@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers — SURVEY.md §2.1. Every oracle-declared query must
+  * produce bit-identical values in Spark and DuckDB:
+  *
+  *  - money doubles are cast to DECIMAL(18,2) BEFORE summing (decimal
+  *    addition is exact and order-independent; IEEE double summation is
+  *    not, and shuffle order differs between engines and runs);
+  *  - statistical doubles are rounded to 6 dp on both sides;
+  *  - averages are computed as exact decimal sum → one double division —
+  *    both engines then perform the identical IEEE operation;
+  *  - every ORDER BY ends in a unique-key tiebreak.
+  */
+object Det {
+  /** Cast a money column to DECIMAL(18,2) for exact, order-independent sums. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact sum of a money column; output pinned to DECIMAL(18,2). */
+  def moneySum(c: Column): Column = sum(money(c)).cast(DecimalType(18, 2))
+
+  /** Deterministic average: exact decimal sum, then a single double
+    * division, rounded to 6 dp. Same IEEE ops in Spark and DuckDB.
+    * Oracle twin: round(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6)
+    */
+  def moneyAvg(c: Column): Column =
+    round(sum(money(c)).cast("double") / count(lit(1)), 6)
+
+  /** Round a statistical double to 6 dp (stddev/corr/cosine/tf-idf). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** A rate column (discount/tax: 2-dp doubles in [0,1]) as exact decimal.
+    * Casting the FACTORS to decimal before multiplying keeps the product
+    * exact; casting the double PRODUCT would round per-row with
+    * engine-specific modes (observed: 2-cent drift vs DuckDB on sf0.001).
+    */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact sum of price*(1-rate); scale-4 output pinned on both sides.
+    * Oracle twin:
+    * CAST(SUM(CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(r AS DECIMAL(4,2)))) AS DECIMAL(38,4))
+    */
+  def discSum(price: Column, r: Column): Column =
+    sum(money(price) * (lit(1).cast(DecimalType(4, 2)) - rate(r))).cast(DecimalType(38, 4))
+}

@@ -1,0 +1,91 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.model.Schemas
+
+/** Readers — the engine's ingest layer (analogue of postpy's
+  * connections/copy_from_csv surface; SURVEY.md §2 A).
+  *
+  * Parquet is the primary columnar source: the vectorized reader +
+  * filter/column pushdown are what make the 100 TB case work — operators
+  * must keep predicates/projections declarative so they reach
+  * FileSourceScan as PushedFilters/ReadSchema.
+  */
+object Sources {
+
+  /** Read a named test table from an sf dir. Schema is enforced (asserted
+    * in tests), not inferred — inference is a full extra data pass at scale.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** CSV read with required explicit schema — the COPY FROM CSV analogue
+    * (postpy dml.copy_from_csv [unverified, SURVEY §0]). Header on,
+    * empty-string → null, UTF-8.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, nullValue: String = ""): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("nullValue", nullValue)
+      .option("encoding", "UTF-8")
+      .csv(path)
+
+  /** JSON-lines read with explicit schema. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JDBC reader options from PG-style env (postpy connections.connect
+    * analogue). Pure config construction — unit-testable without a server.
+    */
+  def jdbcOptions(env: Map[String, String], table: String): Map[String, String] = {
+    val host = env.getOrElse("PGHOST", "localhost")
+    val port = env.getOrElse("PGPORT", "5432")
+    val db   = env.getOrElse("PGDATABASE", "postgres")
+    Map(
+      "url"      -> s"jdbc:postgresql://$host:$port/$db",
+      "dbtable"  -> table,
+      "user"     -> env.getOrElse("PGUSER", "postgres"),
+      "password" -> env.getOrElse("PGPASSWORD", ""),
+      "driver"   -> "org.postgresql.Driver",
+      // scale: partitioned reads, not a single-connection scan
+      "fetchsize" -> "10000",
+    )
+  }
+
+  def jdbc(spark: SparkSession, env: Map[String, String], table: String): DataFrame =
+    spark.read.format("jdbc").options(jdbcOptions(env, table)).load()
+
+  /** Verify a loaded table matches the expected schema (names + types,
+    * ignoring nullability). Returns mismatches; empty = ok.
+    */
+  def schemaDrift(df: DataFrame, expected: StructType): Seq[String] = {
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    expected.flatMap { f =>
+      actual.get(f.name) match {
+        case None => Some(s"missing column ${f.name}")
+        case Some(t) if t != f.dataType.simpleString =>
+          Some(s"${f.name}: expected ${f.dataType.simpleString}, got $t")
+        case _ => None
+      }
+    }
+  }
+
+  /** Names of test tables (reflection surface, postpy admin.get_user_tables
+    * analogue for the file catalog).
+    */
+  val tableNames: Seq[String] = Schemas.all.keys.toSeq.sorted
+}
