@@ -8,7 +8,8 @@ import graft.ops._
   *
   * Every key in `queries` has a DuckDB twin in `oracleSql`; both obey the
   * determinism rules of SURVEY.md §2.1 (decimal money sums, round-6 stats,
-  * total-order tiebreaks, UTC).
+  * total-order tiebreaks, UTC). Aliases match exactly — the driver sorts
+  * columns by name before hashing.
   */
 object SparkEntry {
 
@@ -18,13 +19,44 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 D aggregations
     "q_agg_pricing_summary" -> Relational.pricingSummary,
+    "q_agg_distinct" -> Relational.aggDistinct,
+    "q_agg_multi_distinct" -> Relational.aggMultiDistinct,
+    "q_agg_rollup" -> Relational.aggRollup,
+    "q_agg_cube" -> Relational.aggCube,
+    "q_agg_grouping_sets" -> Relational.aggGroupingSets,
+    "q_agg_stats" -> Relational.aggStats,
+    "q_agg_percentile" -> Relational.aggPercentile,
+    "q_agg_collect" -> Relational.aggCollect,
+    // §2 B predicates / projections
+    "q_predicates" -> Relational.predicates,
+    "q_conditional" -> Relational.conditional,
+    // §2 C joins
+    "q_join_inner" -> Joins.joinInner,
+    "q_join_broadcast" -> Joins.joinBroadcast,
+    "q_join_sortmerge" -> Joins.joinSortMerge,
+    "q_join_left" -> Joins.joinLeft,
+    "q_join_full" -> Joins.joinFull,
+    "q_join_semi" -> Joins.joinSemi,
+    "q_join_anti" -> Joins.joinAnti,
+    "q_join_cross" -> Joins.joinCross,
+    "q_join_range" -> Joins.joinRange,
+    // §2 F windows / sort / set ops
+    "q_window_rank" -> Windows.windowRank,
+    "q_window_running" -> Windows.windowRunning,
+    "q_window_range" -> Windows.windowRange,
+    "q_window_lag_lead" -> Windows.windowLagLead,
+    "q_topk_per_group" -> Windows.topkPerGroup,
+    "q_sort_limit_topk" -> Windows.sortLimitTopk,
+    "q_union_all" -> Windows.unionAll,
+    "q_union_distinct" -> Windows.unionDistinct,
+    "q_intersect" -> Windows.intersectKeys,
+    "q_except" -> Windows.exceptKeys,
   )
 
-  /** DuckDB oracle twins. Table references are absolute parquet paths via
-    * the {dir} placeholder-free convention: the driver substitutes the sf
-    * dir for the parquet file path pattern below (FIXTURES.md §2 verified
-    * pattern: SELECT ... FROM '<dir>/<name>.parquet').
+  /** DuckDB oracle twins — bare table names (driver registers each parquet
+    * table under its name, per the contract example).
     */
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -37,5 +69,176 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity <= 45
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_extendedprice), 6) AS sd_price,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_predicates" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(20,3)) AS bal_uplift
+        |FROM customer
+        |WHERE (c_mktsegment IN ('AUTOMOBILE','BUILDING') OR c_mktsegment = 'MACHINERY')
+        |  AND c_acctbal BETWEEN 1000 AND 9000
+        |  AND c_name LIKE 'Customer#00%' AND c_name IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus='F' THEN 'finished' WHEN o_orderstatus='O' THEN 'open' ELSE 'pending' END AS status_label,
+        |  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS priority_or_none,
+        |  GREATEST(o_totalprice, 100000.0) AS price_floor,
+        |  LEAST(o_totalprice, 400000.0) AS price_cap
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS s_nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c_nk, s_nk) AS nationkey, COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nk = s_nk ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+
+    "q_join_range" ->
+      """SELECT o1.o_custkey AS custkey, COUNT(*) AS n_pairs
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn
+        |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  COUNT(*) OVER w AS n_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_30d
+        |FROM (SELECT *, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS delta_us,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_sort_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  UNION ALL SELECT o_custkey FROM orders) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT s_suppkey AS suppkey FROM supplier
+        |UNION SELECT l_suppkey FROM lineitem ORDER BY suppkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
   )
 }

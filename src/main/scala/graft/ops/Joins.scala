@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det._
+import graft.io.Sources
+
+/** Join surface (SURVEY.md §2 C) — every join family the reference's SQL
+  * pass-through exposes, with the physical strategy chosen for scale:
+  *
+  *  - dimension joins are explicitly broadcast (no shuffle of the fact);
+  *  - fact-fact joins are shuffle joins on their keys (sort-merge hint
+  *    where the sort is reusable);
+  *  - semi/anti joins are planned as such (never as distinct-after-join);
+  *  - the theta self-join is bounded by an equi key (per-customer) so the
+  *    non-equi condition never degenerates into a global NL join.
+  */
+object Joins {
+
+  /** q_join_inner: orders ⋈ customer, aggregated by segment. Shuffle hash
+    * join on custkey; at scale both sides partition on the key, so the
+    * join is a single co-partitioned exchange each.
+    */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(spark, dir)
+    val c = Sources.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q_join_broadcast: fact ⋈ small dim with an explicit broadcast hint —
+    * the fact table never shuffles; this is THE 100 TB star-join shape
+    * (part is MBs even at full scale; lineitem is the 100 TB side).
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Sources.lineitem(spark, dir)
+    val p = Sources.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q_join_sortmerge: large-large equi join with a merge hint — at scale
+    * both sides are too big to hash-build, and the sort is spillable.
+    */
+  def joinSortMerge(spark: SparkSession, dir: String): DataFrame = {
+    val l = Sources.lineitem(spark, dir)
+    val o = Sources.orders(spark, dir)
+    l.hint("merge")
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q_join_left: left outer + null-aware aggregation (customers with zero
+    * orders keep a row; their sum is NULL, count 0).
+    */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir)
+    val o = Sources.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_join_full: full outer of two aggregates on nationkey — the engine
+    * shape that also powers upsert/merge (§2 E).
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("c_nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Sources.supplier(spark, dir)
+      .groupBy(col("s_nationkey").cast("long").as("s_nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nk") === col("s_nk"), "full")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q_join_semi: EXISTS as a left-semi join — streams the left side,
+    * builds only keys from the right; never materializes the match.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir)
+    val o = Sources.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_join_anti: NOT EXISTS as a left-anti join — also the delete-by-keys
+    * engine (§2 E).
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir)
+    val o = Sources.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_join_cross: cartesian product — only ever between bounded inputs
+    * (both dims here are catalog-sized at any scale factor).
+    */
+  def joinCross(spark: SparkSession, dir: String): DataFrame =
+    Sources.region(spark, dir).crossJoin(Sources.nation(spark, dir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** q_join_range: theta self-join bounded by the customer equi-key: pairs
+    * of orders per customer where one strictly precedes the other. The
+    * equi component keeps this a hash join with a residual condition —
+    * no nested-loop blowup at scale.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val o1 = Sources.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("d1"))
+    val o2 = Sources.orders(spark, dir)
+      .select(col("o_custkey").as("custkey2"), col("o_orderdate").as("d2"))
+    o1.join(o2, col("custkey") === col("custkey2") && col("d1") < col("d2"))
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("custkey"))
+  }
+}

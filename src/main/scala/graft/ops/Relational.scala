@@ -1,26 +1,29 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Det._
 import graft.io.Sources
 
-/** Relational query surface (SURVEY.md §2 B/C/D/F) — the capability a
-  * postpy user gets by passing SQL through sql.select [unverified, §0],
+/** Relational query surface (SURVEY.md §2 B/D) — the capability a postpy
+  * user gets by passing SQL through sql.select [unverified, SURVEY §0],
   * re-expressed as declarative DataFrame plans so Catalyst gets full
   * pushdown/pruning/join-selection freedom.
   *
   * Scale notes are attached per operator: the test data is tiny, but every
   * plan here is shaped for the 1000-executor / 100 TB case — partial
-  * aggregation before shuffle, broadcast for dimension tables, merge hints
-  * for fact-fact joins, and no driver-side collection anywhere.
+  * aggregation before shuffle, group keys with bounded cardinality, and no
+  * driver-side collection anywhere.
   */
 object Relational {
 
   /** TPC-H Q1-style pricing summary (flagship). Hash aggregate with
     * map-side partial aggregation; group-key cardinality is tiny (RF×LS)
     * so the shuffle moves only partial states, not rows — the canonical
-    * 100 TB-safe aggregation shape.
+    * 100 TB-safe aggregation shape. The l_quantity predicate is pushed
+    * into the parquet scan.
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val l = Sources.lineitem(spark, dir)
@@ -35,4 +38,145 @@ object Relational {
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** §2 B q_predicates: IN / BETWEEN / LIKE / IS NOT NULL / boolean
+    * composition + a computed projection. All predicates are Column
+    * expressions ⇒ Catalyst pushes them into the parquet scan
+    * (PushedFilters); the computed column is exact decimal arithmetic.
+    */
+  def predicates(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir)
+    c.filter(
+        (col("c_mktsegment").isin("AUTOMOBILE", "BUILDING") || col("c_mktsegment") === "MACHINERY") &&
+        col("c_acctbal").between(1000, 9000) &&
+        col("c_name").like("Customer#00%") &&
+        col("c_name").isNotNull)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        (money(col("c_acctbal")) * lit(1.1).cast(DecimalType(2, 1)))
+          .cast(DecimalType(20, 3)).as("bal_uplift"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2 B q_conditional: CASE WHEN / coalesce / nullif / greatest / least.
+    * Pure per-row projection — no shuffle at any scale.
+    */
+  def conditional(spark: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("pending").as("status_label"),
+        coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("none")).as("priority_or_none"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"),
+        least(col("o_totalprice"), lit(400000.0)).as("price_cap"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** §2 D q_agg_distinct: COUNT(DISTINCT) per group — Spark plans the
+    * two-phase expand + partial agg automatically; distinct state is
+    * bounded by (group, suppkey) cardinality, safe at scale.
+    */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2 D q_agg_multi_distinct: several DISTINCT aggregates in one query
+    * (Expand-based multi-distinct plan).
+    */
+  def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           countDistinct(col("o_orderpriority")).as("n_prio"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Level id that is engine-portable: grouping(a)*2+grouping(b), cast to
+    * BIGINT on both sides (must appear inside agg — Catalyst resolves
+    * grouping() only under Rollup/Cube/GroupingSets). Ordering by
+    * (gid, keys) is total and null-placement-independent — within one gid
+    * the rolled-up columns are uniformly NULL (SURVEY §2.1.3).
+    */
+  private def gid2(a: String, b: String) =
+    (grouping(col(a)) * 2 + grouping(col(b))).cast("long").as("gid")
+
+  /** §2 D q_agg_rollup: hierarchy totals status→priority. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"),
+           gid2("o_orderstatus", "o_orderpriority"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** §2 D q_agg_cube: all grouping combinations of (returnflag, linestatus). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"),
+           gid2("l_returnflag", "l_linestatus"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** §2 D q_agg_grouping_sets: explicit grouping sets via SQL (the
+    * DataFrame API has no grouping-sets verb; Spark SQL is first-class).
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Sources.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** §2 D q_agg_stats: sample stddev/variance/correlation, rounded to 6 dp
+    * per SURVEY §2.1.2. Variance is computed on the small-magnitude column
+    * (quantity) so double error stays far below the rounding grain.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(r6(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+           r6(var_samp(col("l_quantity"))).as("var_qty"),
+           r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2 D q_agg_percentile: exact median (interpolating percentile, not
+    * approx) — at 100 TB one would switch to approx_percentile; the exact
+    * form is the oracle-checkable contract.
+    */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+           r6(expr("percentile(l_extendedprice, 0.25)")).as("p25_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2 D q_agg_collect: ordered list aggregation — sort_array makes the
+    * collected list deterministic (collect_list order is not).
+    */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame = {
+    val n = Sources.nation(spark, dir)
+    n.groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** §2 D API-only: approximate distinct (HLL). Not oracle-declared
+    * (approximate); tolerance-tested in ScalaTest. At 100 TB this replaces
+    * exact countDistinct wherever a small rsd is acceptable — constant
+    * memory per group instead of a distinct-state blowup.
+    */
+  def approxDistinctSuppliers(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_suppkey"), rsd).as("n_supp_approx"))
+      .orderBy(col("l_returnflag"))
 }

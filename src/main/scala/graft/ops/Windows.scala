@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Det._
+import graft.io.Sources
+
+/** Window functions, global sort/limit, and set operations (SURVEY.md
+  * §2 F). Every window ORDER BY carries a unique-key tiebreak
+  * (SURVEY §2.1.3) so rank/lag results are total-order deterministic.
+  *
+  * Scale: window state is bounded per partition key (customer / user /
+  * segment — all high-cardinality keys, so partitions stay small and
+  * parallelism stays wide); global top-k is TakeOrderedAndProject (per-
+  * partition heap + driver merge of k rows, never a full global sort).
+  */
+object Windows {
+
+  /** q_window_rank: rank / dense_rank / row_number per market segment. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Sources.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        row_number().over(w).cast("long").as("rn"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_window_running: running money sum per customer over order history
+    * (rows frame). Decimal accumulation keeps it exact and
+    * order-of-merge-independent.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        sum(money(col("o_totalprice"))).over(w)
+          .cast(DecimalType(38, 2)).as("run_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q_window_range: value-range frame — count and money sum of each
+    * customer's orders in the trailing 30 days. The order key is an
+    * epoch-day BIGINT on both engines (timestamp range frames differ in
+    * unit semantics across engines; integer days do not).
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Sources.orders(spark, dir)
+      .withColumn("day", day)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(money(col("o_totalprice"))).over(w)
+          .cast(DecimalType(38, 2)).as("sum_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q_window_lag_lead: per-user event deltas (lag/lead). Microsecond
+    * epoch arithmetic — identical integer ops in Spark (unix_micros) and
+    * DuckDB (epoch_us).
+    */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Sources.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("delta_us"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q_topk_per_group: top-3 orders by price per market segment —
+    * row_number + filter, the scalable per-group top-k (heap-free, one
+    * shuffle on the group key).
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Sources.orders(spark, dir)
+    val c = Sources.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** q_sort_limit_topk: global ORDER BY + LIMIT → TakeOrderedAndProject
+    * (per-partition top-k, driver merges k·p rows — never a global sort).
+    */
+  def sortLimitTopk(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** q_union_all: UNION ALL of key streams + count per key. */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Sources.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    val b = Sources.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    a.unionByName(b)
+      .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("custkey"))
+  }
+
+  /** q_union_distinct: UNION with dedup. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val a = Sources.supplier(spark, dir).select(col("s_suppkey").as("suppkey"))
+    val b = Sources.lineitem(spark, dir).select(col("l_suppkey").as("suppkey"))
+    a.union(b).distinct().orderBy(col("suppkey"))
+  }
+
+  /** q_intersect: INTERSECT (set semantics). */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    val a = Sources.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    val b = Sources.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    a.intersect(b).orderBy(col("custkey"))
+  }
+
+  /** q_except: EXCEPT (set semantics). */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    val a = Sources.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    val b = Sources.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    a.except(b).orderBy(col("custkey"))
+  }
+}

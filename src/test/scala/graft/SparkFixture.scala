@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.Suite
+
+/** Shared SparkSession for all suites (the postpy connection-fixture
+  * analogue, SURVEY §5.2.1). One JVM-wide session — ScalaTest suites run
+  * sequentially in the forked JVM, and session startup dominates test time.
+  */
+trait SparkFixture { this: Suite =>
+  lazy val spark: SparkSession = SparkFixture.session
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** The executed physical plan as a string, for strategy assertions. */
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
