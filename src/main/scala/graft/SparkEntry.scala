@@ -42,6 +42,14 @@ object SparkEntry {
     "q_join_anti" -> Joins.joinAnti,
     "q_join_cross" -> Joins.joinCross,
     "q_join_range" -> Joins.joinRange,
+    // §2 A scans / sources
+    "q_scan_project_filter" -> Etl.scanProjectFilter,
+    "q_csv_roundtrip" -> Etl.csvRoundtrip,
+    "q_json_extract" -> Etl.jsonExtract,
+    // §2 E mutation verbs as dataflow
+    "q_upsert_merge" -> Merge.upsertMerge,
+    "q_insert_missing" -> Merge.insertMissingQuery,
+    "q_delete_keys" -> Merge.deleteKeysQuery,
     // §2 F windows / sort / set ops
     "q_window_rank" -> Windows.windowRank,
     "q_window_running" -> Windows.windowRunning,
@@ -133,6 +141,65 @@ object SparkEntry {
         |  GREATEST(o_totalprice, 100000.0) AS price_floor,
         |  LEAST(o_totalprice, 400000.0) AS price_cap
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        |FROM lineitem WHERE l_extendedprice > 90000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH stage AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'Customer#new', c_nationkey, CAST(500 AS DECIMAL(18,2)), 'AUTOMOBILE'
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |)
+        |SELECT COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(s.c_acctbal, CAST(t.c_acctbal AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM customer t FULL OUTER JOIN stage s ON t.c_custkey = s.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_insert_missing" ->
+      """WITH stage AS (
+        |  SELECT * FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |),
+        |merged AS (
+        |  SELECT * FROM customer
+        |  UNION ALL
+        |  SELECT * FROM stage s WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_delete_keys" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem k
+        |  WHERE k.l_suppkey % 13 = 0 AND k.l_orderkey = l.l_orderkey AND k.l_linenumber = l.l_linenumber)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_inner" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -1,0 +1,62 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+
+/** Writers (SURVEY.md §2 A/E API-only rows).
+  *
+  * Transactionality: the reference wraps multi-statement batches in a
+  * Postgres transaction (postpy sql.execute_transaction [unverified]).
+  * Spark writes are job-atomic per output directory via the commit
+  * protocol but NOT multi-statement-atomic; `atomicOverwrite` narrows the
+  * gap for single-table replacement by staging to a sibling directory and
+  * renaming — readers see either the old or the new table, never a
+  * partial write. This is a documented semantic difference, not a hidden
+  * one (SURVEY §7.4.6).
+  */
+object Sinks {
+
+  /** TRUNCATE + reload analogue: full overwrite of a parquet table. */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Append (INSERT) to a parquet table. */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** CSV export with header — COPY TO analogue. */
+  def csv(df: DataFrame, path: String, nullValue: String = ""): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("nullValue", nullValue)
+      .option("encoding", "UTF-8")
+      .csv(path)
+
+  /** Stage-then-rename overwrite: write to `<path>.__staging`, then move
+    * it over `path` atomically (same filesystem). Local/HDFS-style
+    * semantics; object stores need their own committer at 100 TB.
+    */
+  def atomicOverwrite(df: DataFrame, path: String): Unit = {
+    val target: Path = Paths.get(path)
+    val staging: Path = Paths.get(path + ".__staging")
+    deleteRecursively(staging)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val backup = Paths.get(path + ".__old")
+    deleteRecursively(backup)
+    if (Files.exists(target)) Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // roll back: restore the previous table before propagating
+      if (Files.exists(backup) && !Files.exists(target))
+        Files.move(backup, target, StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    deleteRecursively(backup)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
+}

@@ -30,12 +30,14 @@ object Sources {
   /** events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark has no nanosecond
     * TimestampType and refuses the file by default. Read the raw nanos as
     * long and truncate to microseconds (integer DIV — exactly DuckDB's
-    * ns→us conversion), so both engines see identical timestamps.
+    * ns→us conversion), as TIMESTAMP_NTZ to match the other tables (all
+    * naive timestamps, session pinned UTC — SURVEY §2.1.4).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -24,7 +24,7 @@ object Schemas {
     StructField("l_tax", DoubleType),
     StructField("l_returnflag", StringType),
     StructField("l_linestatus", StringType),
-    StructField("l_shipdate", TimestampType),
+    StructField("l_shipdate", TimestampNTZType),
   ))
 
   val orders: StructType = StructType(Seq(
@@ -32,7 +32,7 @@ object Schemas {
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType),
-    StructField("o_orderdate", TimestampType),
+    StructField("o_orderdate", TimestampNTZType),
     StructField("o_orderpriority", StringType),
   ))
 
@@ -73,7 +73,7 @@ object Schemas {
 
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Det._
+import graft.io.Sources
+
+/** Mutation verbs as pure dataflow (SURVEY.md §2 E) — the heart of the
+  * reference's ETL surface (postpy dml.upsert_records /
+  * create_upsert_statement / delete-by-PK [unverified, SURVEY §0]),
+  * re-expressed as joins that produce the post-state.
+  *
+  * Scale: upsert is a full-outer join on the PK — one co-partitioned
+  * shuffle of each side; insert-missing is an anti join (broadcast-able
+  * when the stage is small, which is the common CDC case); delete-by-keys
+  * is an anti join against a key set that is typically broadcast. No
+  * driver-side state anywhere, so these run identically at 100 TB.
+  */
+object Merge {
+
+  /** INSERT … ON CONFLICT (pk) DO UPDATE as dataflow: rows present in
+    * stage win column-wise (coalesce), rows only in target survive, rows
+    * only in stage are inserted. Generic over any PK.
+    */
+  def upsert(target: DataFrame, stage: DataFrame, pk: Seq[String]): DataFrame = {
+    val s = stage.columns.foldLeft(stage)((d, c) => d.withColumnRenamed(c, "__s_" + c))
+    val cond = pk.map(k => col(k) === col("__s_" + k)).reduce(_ && _)
+    target.join(s, cond, "full")
+      .select(target.columns.map(c => coalesce(col("__s_" + c), col(c)).as(c)): _*)
+  }
+
+  /** INSERT … ON CONFLICT DO NOTHING: append only the stage rows whose PK
+    * is absent from the target.
+    */
+  def insertMissing(target: DataFrame, stage: DataFrame, pk: Seq[String]): DataFrame =
+    target.unionByName(stage.join(target.select(pk.map(col): _*), pk, "left_anti"))
+
+  /** DELETE WHERE (pk) IN (keys): anti join on the (possibly composite) PK. */
+  def deleteByKeys(target: DataFrame, keys: DataFrame, pk: Seq[String]): DataFrame =
+    target.join(keys, pk, "left_anti")
+
+  // ---- declared query keys (deterministic stagings derived from the data) ----
+
+  private def acctbal100(c: Column): Column = money(c) + lit(100).cast(DecimalType(18, 2))
+
+  /** q_upsert_merge: stage = every 10th customer with acctbal+100, plus
+    * synthetic new customers (key+1000000) for every 100th; result =
+    * per-segment checksum of the merged table.
+    */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = Sources.customer(spark, dir)
+      .withColumn("c_acctbal", money(col("c_acctbal")))
+    val updates = Sources.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              acctbal100(col("c_acctbal")).cast(DecimalType(18, 2)).as("c_acctbal"),
+              col("c_mktsegment"))
+    val inserts = Sources.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), lit("Customer#new").as("c_name"),
+              col("c_nationkey"), lit(500).cast(DecimalType(18, 2)).as("c_acctbal"),
+              lit("AUTOMOBILE").as("c_mktsegment"))
+    upsert(t, updates.unionByName(inserts), Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("c_acctbal")).cast(DecimalType(18, 2)).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q_insert_missing: stage overlaps the target (every 5th customer) and
+    * adds new keys (every 50th, key+2000000); only the new keys land.
+    */
+  def insertMissingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Sources.customer(spark, dir)
+    val stage = t.filter(col("c_custkey") % 5 === 0)
+      .unionByName(
+        t.filter(col("c_custkey") % 50 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2000000))
+    insertMissing(t, stage, Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q_delete_keys: composite-PK delete — remove lineitem rows whose
+    * (orderkey, linenumber) appears in a staged key set (those supplied by
+    * every 13th supplier); result = per-flag checksum of the survivors.
+    */
+  def deleteKeysQuery(spark: SparkSession, dir: String): DataFrame = {
+    val l = Sources.lineitem(spark, dir)
+    val keys = l.filter(col("l_suppkey") % 13 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    deleteByKeys(l, keys, Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+}

@@ -72,10 +72,13 @@ object Windows {
     */
   def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — under the pinned
+    // UTC session the cast is value-preserving.
+    val micros = unix_micros(col("ts").cast("timestamp"))
     Sources.events(spark, dir)
       .select(
         col("event_id"), col("user_id"),
-        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("delta_us"),
+        (micros - lag(micros, 1).over(w)).as("delta_us"),
         lag(col("event_type"), 1).over(w).as("prev_type"),
         lead(col("value"), 1).over(w).as("next_value"))
       .orderBy(col("event_id"))

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Sinks, Sources}
+import graft.model.Schemas
+import graft.ops.Etl
+
+class EtlSpec extends AnyFunSuite with SparkFixture {
+
+  test("scan: projection is pruned and filter pushed to parquet") {
+    val p = plan(Etl.scanProjectFilter(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice,90000.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("l_orderkey") && !p.contains("l_tax"),
+      "projection should prune unused columns from ReadSchema")
+  }
+
+  test("csv roundtrip aggregate equals parquet aggregate (lossless COPY)") {
+    val fromCsv = Etl.csvRoundtrip(spark, sfDir).collect()
+    val fromParquet = Sources.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 5 === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           graft.Det.moneySum(col("l_quantity")).as("sum_qty"),
+           graft.Det.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(fromCsv.toSeq === fromParquet.toSeq)
+  }
+
+  test("schema drift detector flags missing and mistyped columns") {
+    val df = spark.range(3).select(col("id").as("l_orderkey"))
+    val drift = Sources.schemaDrift(df, Schemas.lineitem)
+    assert(drift.exists(_.contains("missing column l_partkey")))
+    assert(Sources.schemaDrift(Sources.lineitem(spark, sfDir), Schemas.lineitem).isEmpty)
+  }
+
+  test("events source: nanosecond timestamps become microsecond TimestampType") {
+    val e = Sources.events(spark, sfDir)
+    assert(Sources.schemaDrift(e, Schemas.events).isEmpty)
+    assert(e.count() > 0)
+  }
+
+  test("atomic overwrite: readers see old or new, never partial; rollback-safe") {
+    val dir = Files.createTempDirectory("graft_atomic").toString
+    val path = s"$dir/t"
+    Sinks.atomicOverwrite(spark.range(10).toDF("id"), path)
+    assert(spark.read.parquet(path).count() === 10)
+    Sinks.atomicOverwrite(spark.range(25).toDF("id"), path)
+    assert(spark.read.parquet(path).count() === 25)
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__staging")))
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__old")))
+  }
+
+  test("csv sink + source roundtrip preserves nulls via nullValue") {
+    val dir = Files.createTempDirectory("graft_csvnull").toString
+    val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)) AS t(id, s)")
+    Sinks.csv(df, dir)
+    val back = Sources.csv(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    assert(back.filter(col("s").isNull).count() === 1)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Merge
+
+class MergeSpec extends AnyFunSuite with SparkFixture {
+
+  private def customer = spark.read.parquet(s"$sfDir/customer.parquet")
+
+  test("upsert: updated keys take stage values, others untouched, new keys added") {
+    val stage = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val merged = Merge.upsert(customer, stage, Seq("c_custkey"))
+    assert(merged.count() === customer.count())
+    val before = customer.filter(col("c_custkey") === 10).select("c_acctbal").head.getDouble(0)
+    val after = merged.filter(col("c_custkey") === 10).select("c_acctbal").head.getDouble(0)
+    assert(math.abs(after - before - 100.0) < 1e-9)
+  }
+
+  test("upsert is idempotent: upsert(upsert(t,s),s) == upsert(t,s)") {
+    val stage = customer.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", lit(42.0))
+    val once = Merge.upsert(customer, stage, Seq("c_custkey"))
+    val twice = Merge.upsert(once, stage, Seq("c_custkey"))
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("insertMissing never overwrites and only adds absent keys") {
+    val stage = customer.limit(50)
+      .withColumn("c_acctbal", lit(-999.0)) // would be visible if overwritten
+    val res = Merge.insertMissing(customer, stage, Seq("c_custkey"))
+    assert(res.count() === customer.count())
+    assert(res.filter(col("c_acctbal") === -999.0).count() === 0)
+    val newRows = stage.withColumn("c_custkey", col("c_custkey") + 5000000)
+    val res2 = Merge.insertMissing(customer, newRows, Seq("c_custkey"))
+    assert(res2.count() === customer.count() + 50)
+  }
+
+  test("deleteByKeys removes all rows matching the (composite) key set") {
+    // NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // DELETE semantics are "drop every row matching a staged key".
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val keys = l.filter(col("l_suppkey") % 13 === 0).select("l_orderkey", "l_linenumber")
+    val res = Merge.deleteByKeys(l, keys, Seq("l_orderkey", "l_linenumber"))
+    val matching = l.join(keys.distinct(), Seq("l_orderkey", "l_linenumber"), "left_semi").count()
+    assert(res.count() === l.count() - matching)
+    assert(res.join(keys, Seq("l_orderkey", "l_linenumber"), "inner").count() === 0)
+  }
+
+  test("delete then re-insert restores the table (unique-PK table)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val victims = o.filter(col("o_orderkey") % 13 === 0)
+    val deleted = Merge.deleteByKeys(o, victims.select("o_orderkey"), Seq("o_orderkey"))
+    val restored = Merge.insertMissing(deleted, victims, Seq("o_orderkey"))
+    assert(restored.exceptAll(o).isEmpty && o.exceptAll(restored).isEmpty)
+  }
+}
