@@ -50,6 +50,19 @@ object SparkEntry {
     "q_upsert_merge" -> Merge.upsertMerge,
     "q_insert_missing" -> Merge.insertMissingQuery,
     "q_delete_keys" -> Merge.deleteKeysQuery,
+    // §2 G scalar functions / generators
+    "q_string_funcs" -> Functions.stringFuncs,
+    "q_date_funcs" -> Functions.dateFuncs,
+    "q_math_funcs" -> Functions.mathFuncs,
+    "q_array_funcs" -> Functions.arrayFuncs,
+    "q_explode" -> Functions.explodeTokens,
+    "q_map_funcs" -> Functions.mapFuncs,
+    // §2 I LLM-pipeline operators
+    "q_dedup_exact" -> Text.dedupExact,
+    "q_text_stats" -> Text.textStats,
+    "q_tfidf_topterms" -> Text.tfidfTopTerms,
+    "q_sim_cosine_topk" -> Similarity.cosineTopK,
+    "q_knn_majority" -> Similarity.knnMajority,
     // §2 F windows / sort / set ops
     "q_window_rank" -> Windows.windowRank,
     "q_window_running" -> Windows.windowRunning,
@@ -249,6 +262,123 @@ object SparkEntry {
         |FROM orders o1 JOIN orders o2
         |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_up,
+        |  lower(c_name) AS name_lo,
+        |  substr(c_name, 10, 5) AS name_sub,
+        |  c_name || '_' || c_mktsegment AS name_cat,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+        |  replace(c_name, 'Customer', 'C') AS name_rep,
+        |  regexp_extract(c_name, '(\d+)', 1) AS name_digits,
+        |  string_split(c_name, '#')[2] AS name_after_hash,
+        |  trim('  ' || c_mktsegment || '  ') AS seg_trim
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dy,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+        |  o_orderdate + INTERVAL 30 DAY AS plus_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+        |  abs(o_orderkey - 100000) AS key_dist,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  round(ln(o_totalprice), 6) AS price_ln,
+        |  power(o_orderkey % 9, 2) AS key_mod_sq,
+        |  o_orderkey % 7 AS key_mod7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS first_el,
+        |  embedding[64] AS last_el,
+        |  embedding[1:3] AS head3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_explode" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |SELECT key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  MIN(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_v,
+        |  MAX(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_v
+        |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_kept,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dropped
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH dstats AS (
+        |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |tstats AS (
+        |  SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_uniq_tokens
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE tok <> '' GROUP BY 1)
+        |SELECT d.lang, d.n_docs, d.sum_chars,
+        |  round(CAST(d.sum_chars AS DOUBLE) / d.n_docs, 6) AS avg_chars,
+        |  t.n_tokens, t.n_uniq_tokens
+        |FROM dstats d JOIN tstats t ON d.lang = t.lang ORDER BY d.lang""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        |tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.lang, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT lang, term, score,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT lang, term, score, rn FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH p AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.probe_emb AS DOUBLE[])), 6) AS sim
+        |FROM embeddings e, p WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    "q_knn_majority" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+        |sims AS (
+        |  SELECT p.probe_id, c.vec_id, c.label,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.probe_emb AS DOUBLE[])), 6) AS sim
+        |  FROM cand c CROSS JOIN probes p),
+        |top5 AS (
+        |  SELECT * FROM (
+        |    SELECT probe_id, vec_id, label, sim,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+        |    FROM sims) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT probe_id, CAST(label AS BIGINT) AS label, COUNT(*) AS votes FROM top5 GROUP BY 1, 2),
+        |winner AS (
+        |  SELECT probe_id, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS vr
+        |  FROM votes)
+        |SELECT probe_id, pred_label, votes FROM winner WHERE vr = 1 ORDER BY probe_id""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

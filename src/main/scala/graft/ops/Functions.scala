@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+
+/** Scalar function surface (SURVEY.md §2 G) — string/date/math/array
+  * functions and generators, all from org.apache.spark.sql.functions
+  * (whole-stage-codegen'd; no UDFs — SURVEY §2 J preference order).
+  *
+  * Engine-portability notes baked in:
+  *  - substr is 1-based in both Spark and DuckDB;
+  *  - ceil/floor return BIGINT in Spark but DOUBLE in DuckDB → cast;
+  *  - year/month/day/length return INT in Spark, BIGINT in DuckDB → cast;
+  *  - ln/sqrt are raw IEEE on identical inputs (sqrt exact; ln rounded
+  *    to 6 dp per SURVEY §2.1.2);
+  *  - round(double, n) is NOT portable (repr-based HALF_UP in JVM vs
+  *    binary rounding in C) — never used on computed doubles here.
+  */
+object Functions {
+
+  /** q_string_funcs: upper/lower/trim/substr/concat/length/lpad/replace/
+    * regexp_extract/split+element_at over customer names.
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        substring(col("c_name"), 10, 5).as("name_sub"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment")).as("name_cat"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("key_pad"),
+        regexp_replace(col("c_name"), lit("Customer"), lit("C")).as("name_rep"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("name_digits"),
+        element_at(split(col("c_name"), "#"), 2).as("name_after_hash"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("seg_trim"))
+      .orderBy(col("c_custkey"))
+
+  /** q_date_funcs: extraction, truncation, date arithmetic — all on naive
+    * timestamps under the pinned UTC session (SURVEY §2.1.4).
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus_30d"))
+      .orderBy(col("o_orderkey"))
+
+  /** q_math_funcs: abs/ceil/floor/sqrt/ln/pow/mod. sqrt is IEEE-exact;
+    * ln rounded to 6 dp; no round() on raw doubles (see object doc).
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        abs(col("o_orderkey") - 100000).as("key_dist"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        floor(col("o_totalprice")).as("price_floor"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        graft.Det.r6(log(col("o_totalprice"))).as("price_ln"),
+        pow(col("o_orderkey") % 9, 2).as("key_mod_sq"),
+        (col("o_orderkey") % 7).as("key_mod7"))
+      .orderBy(col("o_orderkey"))
+
+  /** q_array_funcs: size/element_at/slice over the embedding vectors —
+    * the ArrayType(Float) column surface (north star).
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Sources.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_el"),
+        element_at(col("embedding"), 64).as("last_el"),
+        slice(col("embedding"), 1, 3).as("head3"))
+      .orderBy(col("vec_id"))
+
+  /** q_explode: generator over tokenized text — top-20 tokens corpus-wide
+    * (count desc, token asc). The Generate node + partial aggregation:
+    * the classic word-count shape, shuffle moves only (token, count).
+    */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** q_map_funcs: parse the JSON props column into a typed map, explode,
+    * aggregate per key.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))).as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("key"))
+}

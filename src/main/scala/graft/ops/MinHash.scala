@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection (SURVEY.md §2 I API-only
+  * row; tolerance-tested against exact pairwise Jaccard, never declared to
+  * the t2 oracle because it is approximate).
+  *
+  * Two interchangeable implementations of the sketch:
+  *  - `signatureCol`: pure column expressions (codegen'd, preferred in
+  *    pipelines);
+  *  - `MinHashAgg`: a typed Aggregator[Long, Array[Long], Array[Long]] —
+  *    the UDAF extension surface (SURVEY §2 J), exercised from
+  *    groupByKey(...).agg(...).
+  *
+  * Scale: signatures are fixed k·8 bytes per document regardless of text
+  * size; the banding join shuffles (band_idx, band_hash) pairs only —
+  * candidate generation is a hash join, verification touches only
+  * colliding pairs. This is THE dedup shape for 100 TB corpora.
+  */
+object MinHash {
+
+  /** splitmix64 finalizer — the per-function family mixer. Deliberately
+    * in-JVM (Long wraps; no ANSI overflow) and identical in the Aggregator
+    * and test reference implementation.
+    */
+  def mix(x: Long, i: Int): Long = {
+    var z = x + 0x9E3779B97F4A7C15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Column-expression MinHash signature over a shingle array: element i is
+    * min over shingles of xxhash64(shingle, i) — one independent hash per
+    * slot via the seed column.
+    */
+  def signatureCol(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** Typed Aggregator form: input = pre-hashed shingle (Long), buffer =
+    * per-slot minima. Demonstrates the Aggregator/UDAF surface; used via
+    * groupByKey(doc).agg(new MinHashAgg(k).toColumn).
+    */
+  class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    def reduce(b: Array[Long], a: Long): Array[Long] = {
+      var i = 0
+      while (i < k) { val h = mix(a, i); if (h < b(i)) b(i) = h; i += 1 }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+    def outputEncoder: Encoder[Array[Long]] = implicitly(org.apache.spark.sql.Encoders.kryo[Array[Long]])
+  }
+
+  /** Jaccard estimate from two signatures: fraction of agreeing slots. */
+  def estimateCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / size(a)
+
+  /** Candidate near-dup pairs via banded LSH: signature split into bands of
+    * `rows` slots; docs sharing any band hash are candidates; estimate
+    * re-ranks. Returns (id_a, id_b, est) with id_a < id_b.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     shingleWidth: Int = 3, k: Int = 16, rows: Int = 4): DataFrame = {
+    val nBands = k / rows
+    val withSig = df.select(col(idCol).as("id"),
+        signatureCol(array_distinct(Text.shingles(col(textCol), shingleWidth)), k).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => struct(b.as("band_idx"),
+                      xxhash64(concat_ws(",",
+                        transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))
+                      ).as("band_hash")))).as("b"))
+      .select(col("id"), col("sig"), col("b.band_idx"), col("b.band_hash"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              estimateCol(col("x.sig"), col("y.sig")).as("est"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north star): image/audio/video as opaque
+  * BINARY columns with typed metadata, processed per-partition in bounded
+  * batches.
+  *
+  * The actual codecs are NOT available in this environment, so the decode
+  * kernels are clearly-marked deterministic STUBS (byte-derived fakes) —
+  * but the Spark-side architecture is real and tested: schema, partition
+  * iteration, batch shape, and the mapPartitions exchange contract are
+  * exactly what a JNI/FFI decoder would plug into (the Scala analogue of a
+  * pandas_udf/mapInPandas batch kernel).
+  */
+object Multimodal {
+
+  /** media table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("mime", StringType),
+      StructField("bytes", LongType))), nullable = false),
+  ))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+  ))
+
+  /** Build a deterministic synthetic media table from the documents table
+    * (payload = UTF-8 text bytes) — gives the pipeline real binary columns
+    * without external fixtures.
+    */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Sources.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(col("source").as("source"), lit("application/octet-stream").as("mime"),
+             col("n_chars").as("bytes")).as("meta"))
+
+  /** STUB decode kernel =========================================== STUB
+    * A real implementation would JNI/FFI into an image/audio codec here,
+    * one partition at a time, reusing a decoder instance per partition
+    * (exactly why this is mapPartitions and not a per-row UDF). The stub
+    * derives deterministic pseudo-features from the payload bytes.
+    */
+  private def decodeStub(content: Array[Byte], kind: String): (Int, Int, Int, Array[Float]) = {
+    val h = java.util.Arrays.hashCode(content)
+    val width = 64 + math.abs(h % 1024)          // ??? real: decoded width
+    val height = 64 + math.abs((h / 1024) % 1024) // ??? real: decoded height
+    val frames = if (kind == "video") 1 + math.abs(h % 120) else 1
+    // ??? real: model embedding of the decoded media; stub: 8 moments of bytes
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < content.length) { feat(i % 8) += (content(i) & 0xFF) / 255.0f; i += 1 }
+    (width, height, frames, feat)
+  }
+
+  /** Decode + featurize: partition-batched kernel over the binary column.
+    * The mapPartitions iterator shape keeps one decoder per partition and
+    * never materializes more than one row's payload at a time.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select("media_id", "kind", "content").mapPartitions { it =>
+      // per-partition decoder init would go here (codec handle, model…)
+      it.map { r =>
+        val (w, h, f, feat) = decodeStub(r.getAs[Array[Byte]]("content"), r.getString(1))
+        Row(r.getLong(0), r.getString(1), w, h, f, feat.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index —
+    * pure column math on the decoded frame count (no payload touched).
+    */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.filter(col("kind") === "video")
+      .withColumn("sampled_frames",
+        filter(sequence(lit(0), col("n_frames") - 1), i => pmod(i, lit(stride)) === 0))
+      .withColumn("n_sampled", size(col("sampled_frames")))
+}

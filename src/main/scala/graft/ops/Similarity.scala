@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det._
+import graft.io.Sources
+
+/** Vector similarity operators (SURVEY.md §2 I): exact cosine top-k, kNN
+  * classification, and the scale path — LSH-bucketed approximate nearest
+  * neighbours. All dot products are higher-order-function folds (zip_with
+  * + aggregate) in DOUBLE — codegen'd, no UDF serialization, and exactly
+  * the arithmetic the DuckDB oracle performs (SURVEY §2 I).
+  *
+  * Scale: probes are always the broadcast side (a probe set is small by
+  * definition); the corpus side streams. Brute force is O(|corpus|·|probe|)
+  * per partition with no shuffle of the corpus; the LSH variant prunes the
+  * corpus side by bucket equality — a hash join instead of a cross join.
+  */
+object Similarity {
+
+  /** Elementwise dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize an embedding (multimodal column hygiene — north star). */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => (x.cast("double") / n).cast("float"))
+  }
+
+  // ---------- declared query keys ----------
+
+  /** q_sim_cosine_topk: top-5 cosine neighbours of probe vec_id=0
+    * (round 6 dp, vec_id tiebreak). Probe broadcast; corpus streamed.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.embeddings(spark, dir)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_emb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** q_knn_majority: k=5 nearest (cosine) majority label for probes
+    * vec_id 0..9; ties → smallest label. Probes broadcast; one window per
+    * probe for the top-k, one for the vote.
+    */
+  def knnMajority(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val cand = e.filter(col("vec_id") >= 10)
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    val neighbours = cand.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+              r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+    val wVote = Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label"))
+    neighbours.groupBy(col("probe_id"), col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("probe_id"))
+  }
+
+  // ---------- API-only operators (north star; ScalaTest-covered) ----------
+
+  /** Brute-force cosine top-k for an arbitrary probe set (the baseline
+    * ANN). Returns (probe_id, vec_id, sim, rn≤k).
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+              r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic random-hyperplane sign bits: plane p's component for
+    * dimension i is derived from xxhash64(seed, p, i), mapped to ±1.
+    * sign(v) = bit vector of sign(v·plane_p) — classic SimHash/LSH for
+    * cosine similarity, built entirely from column expressions.
+    */
+  def lshSignature(emb: Column, planes: Int, seed: Int = 42): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(1), size(emb)),
+          (x, i) => x.cast("double") *
+            // hash(seed, plane, dim) → uniform ±1
+            when(pmod(xxhash64(lit(seed), lit(p), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Split a `planes`-bit signature into (band_idx, band_val) pairs of
+    * `bandBits` bits each — the classic banded-LSH OR-construction.
+    */
+  private def bandArray(sig: Column, planes: Int, bandBits: Int): Column = {
+    val nBands = planes / bandBits
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+             pmod(shiftright(sig, b * bandBits), lit(1L << bandBits)).as("band_val"))
+    }: _*)
+  }
+
+  /** LSH-bucketed ANN: signatures are split into bands; a corpus vector is
+    * a candidate for a probe if ANY band matches (OR-construction — high
+    * recall), then exact cosine re-ranks the candidates. At 100 TB the
+    * cross join becomes a hash join on (band_idx, band_val) — the scale
+    * path: candidate count ≈ corpus/2^bandBits per band instead of the
+    * full corpus.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val cs = corpus
+      .withColumn("b", explode(bandArray(lshSignature(col("embedding"), planes), planes, bandBits)))
+      .select(col("vec_id"), col("label"), col("embedding"),
+              col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val ps = probes
+      .withColumn("b", explode(bandArray(lshSignature(col("probe_emb"), planes), planes, bandBits)))
+      .select(col("probe_id"), col("probe_emb"),
+              col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    cs.join(broadcast(ps), Seq("band_idx", "band_val"))
+      .select(col("probe_id"), col("vec_id"), col("label"), col("embedding"), col("probe_emb"))
+      .dropDuplicates("probe_id", "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("label"),
+              r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** SimHash of text tokens: 64-bit signature where bit b is the sign of
+    * the sum over tokens of ±1 (from xxhash64(token) bit b). Near-dup
+    * texts → small Hamming distance.
+    */
+  def simHash(textToks: Column, bits: Int = 16): Column = {
+    val sums = (0 until bits).map { b =>
+      val contrib = aggregate(textToks, lit(0.0),
+        (acc, t) => acc +
+          when(pmod(shiftright(xxhash64(t), b), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+      when(contrib >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    sums.reduce(_ + _)
+  }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

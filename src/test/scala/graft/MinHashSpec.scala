@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Sources
+import graft.ops.{MinHash, Text}
+
+class MinHashSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs100 = Sources.documents(spark, sfDir).filter(col("doc_id") < 100)
+
+  test("minhash estimate tracks exact jaccard within tolerance (k=64)") {
+    val sigs = docs100.select(col("doc_id").as("id"),
+      MinHash.signatureCol(array_distinct(Text.shingles(col("text"), 3)), 64).as("sig"))
+    val est = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              MinHash.estimateCol(col("a.sig"), col("b.sig")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Text.ngramJaccardPairs(docs100, "doc_id", "text", 3)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // pairs with no common shingle are absent from `exact` (jaccard 0)
+    var maxErr = 0.0
+    est.foreach { case (k, e) =>
+      val ex = exact.getOrElse(k, 0.0)
+      maxErr = math.max(maxErr, math.abs(e - ex))
+    }
+    // k=64 → std error ~ sqrt(j(1-j)/64) ≤ 0.0625; allow 4 sigma
+    assert(maxErr < 0.25, s"max |est - exact| = $maxErr")
+  }
+
+  test("aggregator form agrees with column form") {
+    import spark.implicits._
+    val shingled = docs100
+      .select(col("doc_id"), explode(array_distinct(Text.shingles(col("text"), 3))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)]
+    val agg = new MinHash.MinHashAgg(16)
+    val fromAgg = shingled.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
+      .collect().toMap
+    // reference: same mix() applied per doc in plain Scala
+    val ref = shingled.collect().groupBy(_._1).map { case (id, rows) =>
+      id -> (0 until 16).map(i => rows.map(r => MinHash.mix(r._2, i)).min).toArray
+    }
+    ref.foreach { case (id, sig) =>
+      assert(fromAgg(id).toSeq === sig.toSeq, s"doc $id sketch mismatch")
+    }
+  }
+
+  test("candidatePairs: exact duplicates always collide with est 1.0") {
+    import spark.implicits._
+    val base = docs100.select(col("doc_id"), col("text"))
+    val dupes = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val corpus = base.unionByName(dupes)
+    val pairs = MinHash.candidatePairs(corpus, "doc_id", "text")
+      .filter(col("id_b") >= 100000 && col("id_a") === col("id_b") - 100000)
+      .collect()
+    assert(pairs.length === 5, s"all 5 planted dupes must be found, got ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) === 1.0))
+  }
+}

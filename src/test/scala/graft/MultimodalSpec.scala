@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  test("synthetic media table matches the declared schema") {
+    val m = Multimodal.syntheticMedia(spark, sfDir)
+    assert(m.schema.map(f => f.name -> f.dataType.simpleString) ===
+      Multimodal.mediaSchema.map(f => f.name -> f.dataType.simpleString))
+    assert(m.count() === 500)
+    assert(m.select("kind").distinct().count() === 3)
+  }
+
+  test("decodeFeatures: deterministic, schema-stable, one row per media") {
+    val m = Multimodal.syntheticMedia(spark, sfDir)
+    val f1 = Multimodal.decodeFeatures(m)
+    assert(f1.schema.map(_.name) === Multimodal.featureSchema.map(_.name))
+    assert(f1.count() === m.count())
+    val f2 = Multimodal.decodeFeatures(m)
+    assert(f1.exceptAll(f2).isEmpty, "stub decode must be deterministic")
+    assert(f1.filter(col("feature").isNull || size(col("feature")) =!= 8).count() === 0)
+  }
+
+  test("video frame sampling: every stride-th frame, none out of range") {
+    val f = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, sfDir))
+    val s = Multimodal.sampleFrames(f, 10)
+    val bad = s.filter(
+      exists(col("sampled_frames"), i => i % 10 =!= 0 || i >= col("n_frames")))
+    assert(bad.count() === 0)
+    assert(s.filter(col("n_sampled") =!= expr("(n_frames + 9) div 10")).count() === 0)
+  }
+}

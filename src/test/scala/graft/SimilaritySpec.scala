@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Sources
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  private def emb = Sources.embeddings(spark, sfDir)
+
+  test("cosine: self-similarity is 1, symmetric") {
+    val self = emb.limit(10)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("normalize: unit norm afterwards") {
+    val n = emb.limit(10)
+      .select(Similarity.norm(Similarity.normalize(col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(n.forall(v => math.abs(v - 1.0) < 1e-5))
+  }
+
+  test("cosineTopK returns 5 rows, descending") {
+    val rows = Similarity.cosineTopK(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("knnMajority: one prediction per probe; votes in 1..5") {
+    val rows = Similarity.knnMajority(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet)
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 5))
+  }
+
+  test("LSH recall: bucketed top-1 matches brute-force for most probes") {
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val exact = Similarity.bruteForceTopK(corpus, probes, 1)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(corpus, probes, 1, planes = 16, bandBits = 4)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // OR-construction over 4 bands of 4 bits — decent recall expected
+    val hits = exact.count { case (p, v) => approx.get(p).contains(v) }
+    assert(approx.nonEmpty)
+    assert(hits >= exact.size / 2, s"LSH top-1 recall too low: $hits/${exact.size}")
+  }
+
+  test("LSH join prunes the candidate space vs full cross join") {
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val full = corpus.count() * probes.count()
+    val cs = corpus.withColumn("band",
+      shiftright(Similarity.lshSignature(col("embedding"), 16), 12))
+    val ps = probes.withColumn("band",
+      shiftright(Similarity.lshSignature(col("probe_emb"), 16), 12))
+    val candidates = cs.join(ps, "band").count()
+    assert(candidates < full / 2, s"bucketing should prune: $candidates vs $full")
+  }
+
+  test("simHash: identical token lists collide; hamming distance sane") {
+    val docs = Sources.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+    val sh = docs.select(col("doc_id"), Similarity.simHash(col("toks")).as("sig"))
+    val j = sh.as("a").join(sh.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(Similarity.hamming(col("a.sig"), col("b.sig")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(j.forall(_ === 0))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Sources
+import graft.ops.Text
+
+class TextSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs = Sources.documents(spark, sfDir)
+
+  test("exactDedup is a fixpoint and keeps the min doc_id per hash") {
+    val once = Text.exactDedup(docs, "text", "doc_id")
+    val twice = Text.exactDedup(once, "text", "doc_id")
+    assert(once.count() === twice.count())
+    assert(once.count() ===
+      docs.select(md5(col("text"))).distinct().count())
+    // keeper is the min id: no other row with same text has a smaller id
+    val kept = once.select(md5(col("text")).as("h"), col("doc_id"))
+    val mins = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("m"))
+    assert(kept.join(mins, "h").filter(col("doc_id") =!= col("m")).count() === 0)
+  }
+
+  test("dedupExact query: kept + dropped = total per lang") {
+    val rows = graft.ops.Text.dedupExact(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(1) === r.getLong(2) + r.getLong(3)))
+  }
+
+  test("textStats: token counts consistent with explode count") {
+    val total = Text.textStats(spark, sfDir).collect().map(_.getLong(4)).sum
+    val direct = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(total === direct)
+  }
+
+  test("tfidf: 5 terms per lang, scores non-increasing within lang") {
+    val rows = Text.tfidfTopTerms(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("languageId: correct on real-language sentences; deterministic on corpus") {
+    // the synthetic corpus text is English-ish tokens regardless of its
+    // lang label, so accuracy is asserted on a crafted fixture instead
+    import spark.implicits._
+    val fixture = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der hund ist nicht mit der katze auf dem dach", "de"),
+      ("el perro y el gato en la casa por la noche", "es"),
+      ("le chien et le chat dans la maison pour une nuit", "fr"),
+    ).toDF("text", "lang")
+    val pred = Text.languageId(fixture, "text").collect()
+    assert(pred.forall(r => r.getString(1) === r.getString(2)),
+      pred.map(r => s"${r.getString(1)}->${r.getString(2)}").mkString(","))
+    // corpus: every doc gets exactly one deterministic prediction
+    val p1 = Text.languageId(docs, "text").select("doc_id", "lang_pred")
+    val p2 = Text.languageId(docs, "text").select("doc_id", "lang_pred")
+    assert(p1.exceptAll(p2).isEmpty)
+    assert(p1.filter(col("lang_pred").isNull).count() === 0)
+  }
+
+  test("qualityScore in [0,1]") {
+    val q = Text.qualityScore(docs, "text").select("quality").collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("tokenCounts: ws count equals split size; bpe ≥ ws for plain text") {
+    val r = Text.tokenCounts(docs, "text")
+      .select(size(split(col("text"), " ")).cast("long"), col("n_tokens_ws"), col("n_tokens_bpe"))
+      .collect()
+    assert(r.forall(x => x.getLong(0) === x.getLong(1)))
+    assert(r.forall(x => x.getLong(2) >= x.getLong(1) - 1))
+  }
+
+  test("fingerprint: equal texts collide, different texts don't (sampled)") {
+    val fp = Text.fingerprint(docs, "text").select("doc_id", "text", "fingerprint")
+    val j = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.text") === col("b.text"))
+      .filter(col("a.fingerprint") =!= col("b.fingerprint"))
+    assert(j.count() === 0, "same text must share fingerprint")
+    val distinctTexts = docs.select("text").distinct().count()
+    val distinctFps = fp.select("fingerprint").distinct().count()
+    assert(distinctFps >= distinctTexts - 5, "unexpected fingerprint collisions")
+  }
+
+  test("shingles: w-token windows, n-w+1 of them") {
+    val d = docs.limit(20)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+              size(Text.shingles(col("text"), 3)).as("ns"))
+    assert(d.filter(col("n") >= 3).filter(col("ns") =!= col("n") - 2).count() === 0)
+  }
+}
