@@ -63,6 +63,11 @@ object SparkEntry {
     "q_tfidf_topterms" -> Text.tfidfTopTerms,
     "q_sim_cosine_topk" -> Similarity.cosineTopK,
     "q_knn_majority" -> Similarity.knnMajority,
+    // §2 H event-time processing (batch twins; streaming twins in tests)
+    "q_stream_tumbling" -> Streaming.tumbling,
+    "q_stream_sliding" -> Streaming.sliding,
+    "q_stream_session" -> Streaming.session,
+    "q_join_asof" -> Streaming.asofClickSignup,
     // §2 F windows / sort / set ops
     "q_window_rank" -> Windows.windowRank,
     "q_window_running" -> Windows.windowRunning,
@@ -262,6 +267,43 @@ object SparkEntry {
         |FROM orders o1 JOIN orders o2
         |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH wins AS (
+        |  SELECT event_type,
+        |    unnest([epoch_us(ts) - epoch_us(ts) % 1800000000,
+        |            epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000]) AS win_us
+        |  FROM events)
+        |SELECT win_us, event_type, COUNT(*) AS n
+        |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM d)
+        |SELECT user_id, MIN(us) AS sess_start_us, MAX(us) AS sess_end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
+        |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
+        |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT c_custkey,

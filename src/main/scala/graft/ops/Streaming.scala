@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det._
+import graft.io.Sources
+
+/** Event-time processing (SURVEY.md §2 H + q_join_asof from §2 C).
+  *
+  * Every declared key is implemented as BATCH dataflow (oracle-checkable);
+  * each has a Structured-Streaming twin built by the `*Stream` methods on
+  * an unbounded DataFrame — ScalaTest asserts stream(append, watermark
+  * closed) == batch on the same rows (SURVEY §5.2.4).
+  *
+  * Scale: tumbling/sliding aggregation state is bounded by (window ×
+  * event_type) cardinality; session state by active users within the
+  * watermark horizon; the as-of join is ONE shuffle (union + running
+  * window), not a per-row point lookup.
+  *
+  * Window-start columns are emitted as epoch-microsecond BIGINTs — both
+  * engines agree on integer epochs, not on timestamp-type round-trips
+  * (SURVEY §2.1.7).
+  */
+object Streaming {
+
+  private def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** q_stream_tumbling (batch): 1-hour tumbling counts + money sums per
+    * event_type.
+    */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    tumblingOn(Sources.events(spark, dir))
+      .orderBy(col("win_us"), col("event_type"))
+
+  /** The shared plan — works on both batch and streaming inputs. */
+  def tumblingOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(us(col("w.start")).as("win_us"), col("event_type"), col("n"), col("sum_value"))
+
+  /** q_stream_sliding (batch): 1-hour windows sliding every 30 minutes —
+    * each event lands in exactly two windows.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    slidingOn(Sources.events(spark, dir))
+      .orderBy(col("win_us"), col("event_type"))
+
+  def slidingOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(us(col("w.start")).as("win_us"), col("event_type"), col("n"))
+
+  /** q_stream_session (batch): 30-minute-gap sessions per user via
+    * lag + running-sum sessionization. Gap boundary: delta >= gap starts a
+    * NEW session — matching session_window's half-open [start, last+gap)
+    * semantics exactly, so the streaming twin agrees.
+    */
+  def session(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOn(Sources.events(spark, dir))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
+  /** Batch sessionization on any events frame (lag + running sum). */
+  def sessionizeOn(events: DataFrame): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", us(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(ws))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("us")).as("sess_start_us"), max(col("us")).as("sess_end_us"),
+           count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
+  }
+
+  /** Streaming twin of `session` — native session_window (same gap
+    * semantics as the batch sessionization above).
+    */
+  def sessionOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), us(col("w.start")).as("sess_start_us"), col("n_events"))
+
+  /** q_join_asof: each click paired with the latest signup of the same
+    * user at-or-before it (DuckDB ASOF JOIN `>=` semantics, inner).
+    *
+    * Implementation: union signups(kind 0) + clicks(kind 1), one running
+    * window per user carries the last signup time forward — a single
+    * shuffle on user_id, no per-row lookup, no range join blowup. Ties
+    * (click_ts == signup_ts) match because kind orders signups first.
+    */
+  def asofClickSignup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir).withColumn("us", us(col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("us"), lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionByName(clicks)
+      .withColumn("signup_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("signup_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"), col("signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Generic as-of join operator (the library API): for each left row,
+    * attach the greatest right `timeCol` ≤ left's, per key. Both inputs
+    * must share key + time column names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, timeCol: String,
+               payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__kind", lit(1))
+    val r = right.select(
+      (col(key) +: col(timeCol) +: payload.map(col)): _*).withColumn("__kind", lit(0))
+    val all = r.unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(timeCol), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = payload.foldLeft(
+      all.withColumn("__rt", last(when(col("__kind") === 0, col(timeCol)), ignoreNulls = true).over(w))
+    ) { (df, p) =>
+      df.withColumn(s"asof_$p", last(when(col("__kind") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__kind") === 1)
+      .drop("__kind" +: payload: _*)
+      .withColumnRenamed("__rt", s"asof_$timeCol")
+  }
+
+  /** File-source streaming reader for the events table (the readStream
+    * twin of Sources.events — same nanos→micros normalization).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // file-stream sources take a directory; select just the events file
+    spark.readStream.schema(raw).option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  }
+}

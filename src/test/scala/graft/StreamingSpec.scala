@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Streaming
+
+/** Streaming twins (SURVEY §5.2.4): each §2 H key re-run as a real
+  * Structured-Streaming query, asserting stream result == batch result on
+  * the same rows; plus watermark late-data semantics.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var qn = 0
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("tumbling: streaming (complete mode) equals batch") {
+    val streamRes = runToTable(
+      Streaming.tumblingOn(Streaming.eventsStream(spark, sfDir)), "complete")
+    val batchRes = Streaming.tumbling(spark, sfDir)
+    assert(streamRes.count() > 0)
+    assert(streamRes.exceptAll(batchRes).isEmpty && batchRes.exceptAll(streamRes).isEmpty)
+  }
+
+  test("sliding: streaming (complete mode) equals batch") {
+    val streamRes = runToTable(
+      Streaming.slidingOn(Streaming.eventsStream(spark, sfDir)), "complete")
+    val batchRes = Streaming.sliding(spark, sfDir)
+    assert(streamRes.exceptAll(batchRes).isEmpty && batchRes.exceptAll(streamRes).isEmpty)
+  }
+
+  /** Run a MemoryStream query feeding batches one at a time, so the
+    * watermark advances between them (one addData per micro-batch).
+    */
+  private def runBatches(events: MemoryStream[Ev], df: DataFrame,
+                         batches: Seq[Seq[Ev]]): DataFrame = {
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => events.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("session: session_window stream equals batch sessionization") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    // user 1: two sessions (gap 45 min); user 2: one session
+    val rows = Seq(
+      Ev(1, new Timestamp(base), 1, "view", 1.0),
+      Ev(2, new Timestamp(base + 10 * 60000), 1, "view", 1.0),
+      Ev(3, new Timestamp(base + 55 * 60000), 1, "view", 1.0),
+      Ev(4, new Timestamp(base + 5 * 60000), 2, "view", 1.0),
+    )
+    // sentinel far in the future pushes the watermark past every session
+    val sentinel = Ev(99, new Timestamp(base + 100L * 3600000), 999, "view", 1.0)
+    val streamed = runBatches(events,
+      Streaming.sessionOn(events.toDF.withWatermark("ts", "10 minutes")),
+      Seq(rows, Seq(sentinel)))
+      .filter(col("user_id") =!= 999)
+    val batch = Streaming.sessionizeOn(rows.toDF())
+      .select(col("user_id"), col("sess_start_us"), col("n_events"))
+    assert(streamed.count() === 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("watermark: late event beyond the horizon is dropped") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    val res = runBatches(events,
+      Streaming.tumblingOn(events.toDF.withWatermark("ts", "1 hour")),
+      Seq(
+        Seq(Ev(1, new Timestamp(base), 1, "view", 1.0)),
+        // advance watermark far past the first window (delay 1h)
+        Seq(Ev(2, new Timestamp(base + 10L * 3600000), 1, "view", 1.0)),
+        // late arrival: inside the first (already closed) window
+        Seq(Ev(3, new Timestamp(base + 60000), 1, "view", 2.0)),
+        // flush once more so any (incorrect) re-emission would surface
+        Seq(Ev(4, new Timestamp(base + 11L * 3600000), 1, "view", 1.0)),
+      ))
+    val firstWin = res.filter(col("win_us") === (base / 3600000 * 3600000) * 1000)
+    assert(firstWin.count() === 1)
+    // the late row (n would be 2) must NOT be reflected
+    assert(firstWin.head.getLong(2) === 1L)
+  }
+
+  test("generic asofJoin agrees with the specialized click↔signup query") {
+    val e = graft.io.Sources.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+    val generic = Streaming.asofJoin(clicks, signups, "user_id", "ts", Seq("signup_event"))
+      .filter(col("asof_ts").isNotNull)
+    val specialized = Streaming.asofClickSignup(spark, sfDir)
+    assert(generic.count() === specialized.count())
+    val g = generic.select(col("event_id"),
+      unix_micros(col("asof_ts").cast("timestamp")).as("signup_us"))
+    val s = specialized.select(col("event_id"), col("signup_us"))
+    assert(g.exceptAll(s).isEmpty && s.exceptAll(g).isEmpty)
+  }
+}
