@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ops.{Merge, Similarity, Streaming, Text}
+
+/** ScalaCheck algebraic properties (SURVEY §5.2.3). Small generated
+  * inputs, shared SparkSession — each property is a real distributed plan.
+  */
+object PropertiesSpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkFixture.session
+  import spark.implicits._
+
+  private val keyVals: Gen[List[(Long, Double)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0.0, 100.0)))
+
+  property("upsert idempotence: upsert(upsert(t,s),s) == upsert(t,s)") =
+    forAll(keyVals, keyVals) { (t, s) =>
+      val target = t.toDF("k", "v").dropDuplicates("k")
+      val stage = s.toDF("k", "v").dropDuplicates("k")
+      val once = Merge.upsert(target, stage, Seq("k"))
+      val twice = Merge.upsert(once, stage, Seq("k"))
+      twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty
+    }
+
+  property("upsert: result keys = target ∪ stage keys") =
+    forAll(keyVals, keyVals) { (t, s) =>
+      val target = t.toDF("k", "v").dropDuplicates("k")
+      val stage = s.toDF("k", "v").dropDuplicates("k")
+      val res = Merge.upsert(target, stage, Seq("k"))
+      val expect = target.select("k").union(stage.select("k")).distinct().count()
+      res.count() == expect && res.select("k").distinct().count() == expect
+    }
+
+  property("insertMissing ∘ deleteByKeys on disjoint stage = union") =
+    forAll(keyVals) { t =>
+      val target = t.toDF("k", "v").dropDuplicates("k")
+      val stage = target.withColumn("k", col("k") + 1000)
+      val res = Merge.insertMissing(target, stage, Seq("k"))
+      res.count() == target.count() * 2
+    }
+
+  private val texts: Gen[List[String]] =
+    Gen.listOfN(20, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+
+  property("dedup fixpoint + idempotence on generated texts") =
+    forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Text.exactDedup(df, "text", "doc_id")
+      val twice = Text.exactDedup(once, "text", "doc_id")
+      once.count() == twice.count() &&
+        once.count() == df.select("text").distinct().count()
+    }
+
+  private val vec: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)).suchThat(_.exists(_ != 0f))
+
+  property("cosine symmetry and self-similarity") =
+    forAll(vec, vec) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        Similarity.cosine(col("a"), col("b")).as("ab"),
+        Similarity.cosine(col("b"), col("a")).as("ba"),
+        Similarity.cosine(col("a"), col("a")).as("aa")).head
+      math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12 &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9
+    }
+
+  private val eventTimes: Gen[List[Long]] =
+    Gen.listOfN(25, Gen.choose(0L, 6L * 3600 * 1000000)).map(_.distinct)
+
+  property("sessionization: sessions ≤ events; gaps within session < 30 min") =
+    forAll(eventTimes) { usList =>
+      val rows = usList.zipWithIndex.map { case (us, i) =>
+        (i.toLong, new java.sql.Timestamp(us / 1000), 1L, "view", 1.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val sessions = Streaming.sessionizeOn(df).collect()
+      val nEvents = usList.length
+      val gapUs = 30L * 60 * 1000000
+      sessions.length <= math.max(nEvents, 1) &&
+        sessions.map(_.getLong(3)).sum == nEvents &&
+        // sessions are disjoint and separated by >= gap
+        sessions.sortBy(_.getLong(1)).sliding(2).forall {
+          case Array(s1, s2) => s2.getLong(1) - s1.getLong(2) >= gapUs
+          case _ => true
+        }
+    }
+
+  property("set algebra: (a except b) ∪ (a intersect b) == distinct a") =
+    forAll(Gen.listOf(Gen.choose(0L, 20L)), Gen.listOf(Gen.choose(0L, 20L))) { (a, b) =>
+      val da = a.toDF("k")
+      val db = b.toDF("k")
+      val lhs = da.except(db).union(da.intersect(db))
+      val rhs = da.distinct()
+      lhs.exceptAll(rhs).isEmpty && rhs.exceptAll(lhs).isEmpty
+    }
+}
