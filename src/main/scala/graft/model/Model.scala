@@ -34,14 +34,17 @@ final case class Table(
 
   def structType: StructType = StructType(columns.map(_.toField))
 
-  /** CREATE TABLE statement (Spark SQL dialect; PK rendered as a trailing
-    * comment clause because Spark DDL has no PK constraint — the model
-    * keeps it for the merge operators).
+  /** CREATE TABLE statement, executable by spark.sql. Spark DDL has no
+    * engine-enforced PK constraint, so the PK is carried as a table
+    * property (informational — consumed back by `Model.pkFromProperties`
+    * and the merge operators).
     */
   def createStatement: String = {
-    val cols = columns.map(_.ddl)
-    val body = (cols ++ primaryKey.map(_.ddl)).mkString(",\n  ")
-    s"CREATE TABLE IF NOT EXISTS $qualifiedName (\n  $body\n) USING parquet"
+    val body = columns.map(_.ddl).mkString(",\n  ")
+    val props = primaryKey
+      .map(pk => s"\nTBLPROPERTIES ('primary_key' = '${pk.columnNames.mkString(",")}')")
+      .getOrElse("")
+    s"CREATE TABLE IF NOT EXISTS $qualifiedName (\n  $body\n) USING parquet$props"
   }
 
   def dropStatement: String = s"DROP TABLE IF EXISTS $qualifiedName"

@@ -143,6 +143,35 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (north-star dedup family):
+    * LSH bands generate candidates (hash join, no quadratic blowup), exact
+    * cosine confirms against the threshold. Returns (id_a, id_b, sim)
+    * with id_a < id_b. Recall is governed by planes/bandBits (more, finer
+    * bands → higher recall, more candidates); exact duplicates always
+    * collide in every band, so recall@sim=1 is 1.0.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   threshold: Double, planes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val nBands = planes / bandBits
+    val sig = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("sig", lshSignature(col("emb"), planes))
+      .withColumn("b", explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"),
+               pmod(shiftright(col("sig"), b * bandBits), lit(1L << bandBits)).as("band_val"))
+      }: _*)))
+      .select(col("id"), col("emb"), col("b.band_idx"), col("b.band_val"))
+    sig.as("x").join(sig.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              col("x.emb").as("ea"), col("y.emb").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", r6(cosine(col("ea"), col("eb"))))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** SimHash of text tokens: 64-bit signature where bit b is the sign of
     * the sum over tokens of ±1 (from xxhash64(token) bit b). Near-dup
     * texts → small Hamming distance.

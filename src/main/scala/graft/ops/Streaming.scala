@@ -134,6 +134,29 @@ object Streaming {
       .withColumnRenamed("__rt", s"asof_$timeCol")
   }
 
+  /** Custom streaming state (§2 H API-only row): per-user running
+    * count + money total maintained in GroupState across micro-batches —
+    * the flatMapGroupsWithState surface. Emits the updated running totals
+    * for each user touched by the batch. State size is O(active users);
+    * at 100 TB a timeout (GroupStateTimeout) bounds it to the active set.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** File-source streaming reader for the events table (the readStream
     * twin of Sources.events — same nanos→micros normalization).
     */

@@ -21,9 +21,9 @@ class ModelSpec extends AnyFunSuite {
       """CREATE TABLE IF NOT EXISTS main.customer (
         |  c_custkey BIGINT NOT NULL,
         |  c_name STRING,
-        |  c_acctbal DECIMAL(18,2),
-        |  PRIMARY KEY (c_custkey)
-        |) USING parquet""".stripMargin)
+        |  c_acctbal DECIMAL(18,2)
+        |) USING parquet
+        |TBLPROPERTIES ('primary_key' = 'c_custkey')""".stripMargin)
     assert(t.dropStatement === "DROP TABLE IF EXISTS main.customer")
   }
 

@@ -65,6 +65,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(candidates < full / 2, s"bucketing should prune: $candidates vs $full")
   }
 
+  test("nearDupPairs finds planted duplicate embeddings at sim 1.0") {
+    val base = emb.filter(col("vec_id") < 50)
+    val planted = base.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000)
+    val corpus = base.unionByName(planted)
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.999999)
+      .filter(col("id_b") >= 1000 && col("id_a") === col("id_b") - 1000)
+      .collect()
+    assert(pairs.length === 5, s"expected 5 planted dup pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) >= 0.999999))
+  }
+
   test("simHash: identical token lists collide; hamming distance sane") {
     val docs = Sources.documents(spark, sfDir).limit(50)
       .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))

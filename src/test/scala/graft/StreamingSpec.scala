@@ -98,6 +98,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(firstWin.head.getLong(2) === 1L)
   }
 
+  test("flatMapGroupsWithState: per-user totals accumulate across micro-batches") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = graft.ops.Streaming.runningUserTotals(events.toDF)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    events.addData(Ev(1, new Timestamp(base), 1, "view", 10.0),
+                   Ev(2, new Timestamp(base + 1000), 1, "view", 5.0))
+    q.processAllAvailable()
+    events.addData(Ev(3, new Timestamp(base + 2000), 1, "view", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // batch 1 emits (2, 15.0); batch 2 emits the ACCUMULATED (3, 17.5)
+    assert(out === Set((2L, 15.0), (3L, 17.5)))
+  }
+
   test("generic asofJoin agrees with the specialized click↔signup query") {
     val e = graft.io.Sources.events(spark, sfDir)
     val clicks = e.filter(col("event_type") === "click")
