@@ -239,7 +239,8 @@ object SparkEntry {
 
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
+        |           CAST(0 AS DECIMAL(18,2))) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 

@@ -57,14 +57,18 @@ object Joins {
   }
 
   /** q_join_left: left outer + null-aware aggregation (customers with zero
-    * orders keep a row; their sum is NULL, count 0).
+    * orders keep a row: count 0, sum coalesced to 0.00 — a NULL decimal
+    * sum normalizes differently across engine/arrow paths, so the declared
+    * output avoids it).
     */
   def joinLeft(spark: SparkSession, dir: String): DataFrame = {
     val c = Sources.customer(spark, dir)
     val o = Sources.orders(spark, dir)
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(moneySum(col("o_totalprice")),
+                    lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_price"))
       .orderBy(col("c_custkey"))
   }
 
