@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join machinery (SURVEY §4 / the 100 TB mandate):
+  * bucketing for shuffle-free co-located joins, and key salting for skew.
+  * These do nothing the optimizer can't verify — tests assert the plans
+  * (no Exchange under bucketed joins; salt spreads a hot key).
+  */
+object Scale {
+
+  /** Write a table bucketed by join key — repeated joins/aggregations on
+    * the key then need NO shuffle (co-located partitions). At 100 TB this
+    * converts every fact⋈fact join on the bucket key from a full shuffle
+    * of both sides into a zip of pre-sorted buckets.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Salted join for skewed keys: the skewed (large) side gets a random-
+    * but-deterministic salt in [0, salt); the small side is exploded to
+    * all salt values. Spreads one hot key over `salt` reducers. AQE's
+    * skew-join handles moderate skew automatically; salting is for the
+    * pathological hot-key case (one key ≫ a partition).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    val l = large.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    l.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Deterministic variant for tests/replayability: salt derived from a
+    * unique column instead of row position.
+    */
+  def saltedJoinBy(large: DataFrame, small: DataFrame, key: String,
+                   saltFrom: Column, salt: Int): DataFrame = {
+    val l = large.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salt)))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Repartition-and-sort-within for co-located downstream consumers —
+    * one explicit shuffle now, zero for every keyed consumer after.
+    */
+  def coPartition(df: DataFrame, key: String, partitions: Int): DataFrame =
+    df.repartition(partitions, col(key)).sortWithinPartitions(col(key))
+}
