@@ -28,6 +28,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
+    * arithmetic as `cosine`, one fused primitive loop, no intermediate
+    * arrays. Used in the hot ANN paths.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
   /** L2-normalize an embedding (multimodal column hygiene — north star). */
   def normalize(a: Column): Column = {
     val n = norm(a)
@@ -44,7 +54,7 @@ object Similarity {
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_emb"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .select(col("vec_id"), r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+      .select(col("vec_id"), r6(cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
   }
@@ -61,7 +71,7 @@ object Similarity {
     val wTop = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
     val neighbours = cand.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"), col("label"),
-              r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+              r6(cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
     val wVote = Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label"))
@@ -82,7 +92,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
     corpus.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"), col("label"),
-              r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+              r6(cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -138,7 +148,7 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("label"), col("embedding"), col("probe_emb"))
       .dropDuplicates("probe_id", "vec_id")
       .select(col("probe_id"), col("vec_id"), col("label"),
-              r6(cosine(col("embedding"), col("probe_emb"))).as("sim"))
+              r6(cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -167,7 +177,7 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
               col("x.emb").as("ea"), col("y.emb").as("eb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", r6(cosine(col("ea"), col("eb"))))
+      .withColumn("sim", r6(cosineNative(col("ea"), col("eb"))))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

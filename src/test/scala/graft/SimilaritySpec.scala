@@ -23,6 +23,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(n.forall(v => math.abs(v - 1.0) < 1e-5))
   }
 
+  test("native codegen cosine is bit-identical to the HOF formulation") {
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < 30 && col("b.vec_id") < 30)
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        Similarity.cosineNative(col("a.embedding"), col("b.embedding")).as("native"))
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "same double arithmetic order ⇒ bit-equal results")
+  }
+
   test("cosineTopK returns 5 rows, descending") {
     val rows = Similarity.cosineTopK(spark, sfDir).collect()
     assert(rows.length === 5)
