@@ -42,6 +42,8 @@ object SparkEntry {
     "q_join_anti" -> Joins.joinAnti,
     "q_join_cross" -> Joins.joinCross,
     "q_join_range" -> Joins.joinRange,
+    "q_mjoin_shipping" -> Joins.shippingPriority,
+    "q_mjoin_region_volume" -> Joins.regionVolume,
     // §2 A scans / sources
     "q_scan_project_filter" -> Etl.scanProjectFilter,
     "q_csv_roundtrip" -> Etl.csvRoundtrip,
@@ -422,6 +424,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS vr
         |  FROM votes)
         |SELECT probe_id, pred_label, votes FROM winner WHERE vr = 1 ORDER BY probe_id""".stripMargin,
+
+    "q_mjoin_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_mjoin_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -120,6 +120,48 @@ object Joins {
       .select(col("r_name"), col("n_name"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** q_mjoin_shipping (TPC-H Q3 shape): 3-table join with selective
+    * predicates on every side + revenue aggregation + top-10. Catalyst
+    * pushes each filter below its join; AQE sizes the join strategies.
+    * The classic "does the engine order and prune a star join" probe.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Sources.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val l = Sources.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q_mjoin_region_volume (TPC-H Q5 shape): 6-table join — region-gated
+    * nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the classic
+    * same-nation constraint; revenue per nation. Dimensions broadcast,
+    * facts shuffle on keys.
+    */
+  def regionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Sources.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Sources.nation(spark, dir)
+    val c = Sources.customer(spark, dir)
+    val o = Sources.orders(spark, dir)
+    val l = Sources.lineitem(spark, dir)
+    val s = Sources.supplier(spark, dir)
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** q_join_range: theta self-join bounded by the customer equi-key: pairs
     * of orders per customer where one strictly precedes the other. The
     * equi component keeps this a hash join with a residual condition —

@@ -35,6 +35,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "same double arithmetic order ⇒ bit-equal results")
   }
 
+  test("cosine_similarity callable from SQL after extension registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    // extensions object wires the same builders (smoke the entry point)
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("cosineTopK returns 5 rows, descending") {
     val rows = Similarity.cosineTopK(spark, sfDir).collect()
     assert(rows.length === 5)
