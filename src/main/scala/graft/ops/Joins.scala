@@ -151,11 +151,19 @@ object Joins {
     val o = Sources.orders(spark, dir)
     val l = Sources.lineitem(spark, dir)
     val s = Sources.supplier(spark, dir)
-    r.join(n, r("r_regionkey") === n("n_regionkey"))
+    // Build the region-gated order→nation map first (small at any scale
+    // relative to lineitem), keep LINEITEM AS THE STREAMED PROBE SIDE —
+    // never let the planner broadcast the fact table (its pruned size can
+    // fall under the threshold at test SFs, which would be catastrophic at
+    // 100 TB).
+    val asiaOrders = r.join(n, r("r_regionkey") === n("n_regionkey"))
       .join(c, n("n_nationkey") === c("c_nationkey"))
       .join(o, c("c_custkey") === o("o_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
-      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    // merge hint: lineitem⋈orders is large⋈large at real scale — a sort-
+    // merge shuffle join, never a build-side the planner can mis-pick
+    l.hint("merge").join(asiaOrders, l("l_orderkey") === asiaOrders("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") && col("c_nationkey") === s("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
            count(lit(1)).as("n_lines"))
