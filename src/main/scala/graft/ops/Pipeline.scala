@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+
+/** End-to-end training-data corpus preparation (north-star composition):
+  * the operators of Text/MinHash/Similarity chained the way a 100 TB
+  * pipeline runs them — cheap filters first, exact dedup next, the
+  * quadratic-ish near-dup detection last and only over survivors.
+  *
+  * Stage order matters at scale: each stage shrinks the data the next
+  * (more expensive) stage touches, and every stage is a pure DataFrame
+  * transform — the whole pipeline is ONE lazy plan until the sink.
+  */
+object Pipeline {
+
+  final case class CorpusStats(
+      input: Long, afterQuality: Long, afterExactDedup: Long, afterNearDedup: Long)
+
+  /** Quality gate → exact dedup → MinHash near-dup removal. Returns the
+    * cleaned corpus with quality/language/token annotations attached.
+    */
+  def prepareCorpus(docs: DataFrame, minQuality: Double = 0.3,
+                    nearDupEstimate: Double = 0.9): DataFrame = {
+    // 1. cheap per-row annotations + gate (no shuffle)
+    val annotated = Text.tokenCounts(
+      Text.languageId(Text.qualityScore(docs, "text"), "text"), "text")
+    val gated = annotated.filter(col("quality") >= minQuality)
+    // 2. exact dedup — one shuffle on the content hash
+    val exact = Text.exactDedup(gated, "text", "doc_id")
+    // 3. near-dup: banded MinHash candidates, drop the higher doc_id of
+    //    any pair whose estimated Jaccard clears the threshold
+    val dupIds = MinHash.candidatePairs(exact, "doc_id", "text")
+      .filter(col("est") >= nearDupEstimate)
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage-by-stage row counts (each count is a separate job; use for
+    * audits, not in the hot path).
+    */
+  def corpusStats(docs: DataFrame, minQuality: Double = 0.3,
+                  nearDupEstimate: Double = 0.9): CorpusStats = {
+    val annotated = Text.tokenCounts(
+      Text.languageId(Text.qualityScore(docs, "text"), "text"), "text")
+    val gated = annotated.filter(col("quality") >= minQuality)
+    val exact = Text.exactDedup(gated, "text", "doc_id")
+    val cleaned = prepareCorpus(docs, minQuality, nearDupEstimate)
+    CorpusStats(docs.count(), gated.count(), exact.count(), cleaned.count())
+  }
+
+  /** Convenience entry over the test corpus. */
+  def prepareDocuments(spark: SparkSession, dir: String): DataFrame =
+    prepareCorpus(Sources.documents(spark, dir))
+}
