@@ -29,6 +29,8 @@ object SparkEntry {
     "q_agg_stats" -> Relational.aggStats,
     "q_agg_percentile" -> Relational.aggPercentile,
     "q_agg_collect" -> Relational.aggCollect,
+    "q_pivot" -> Relational.pivotStatus,
+    "q_string_agg" -> Relational.stringAgg,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -143,6 +145,17 @@ object SparkEntry {
 
     "q_agg_collect" ->
       """SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations, COUNT(*) AS n
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_predicates" ->

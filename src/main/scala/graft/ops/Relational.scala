@@ -169,6 +169,31 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  /** q_pivot: wide-format conditional aggregation — groupBy().pivot()
+    * with an explicit value list (never let pivot scan for distinct values
+    * at scale; the value list is a catalog fact). Oracle twin: COUNT(*)
+    * FILTER per value — the portable formulation of the same thing.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+      .orderBy(col("o_orderpriority"))
+
+  /** q_string_agg: ordered string aggregation (LISTAGG/string_agg) —
+    * sort_array(collect_list) + concat_ws, deterministic by §2.1.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Sources.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws("|", sort_array(collect_list(col("n_name")))).as("nations"),
+           count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
   /** §2 D API-only: approximate distinct (HLL). Not oracle-declared
     * (approximate); tolerance-tested in ScalaTest. At 100 TB this replaces
     * exact countDistinct wherever a small rsd is acceptable — constant

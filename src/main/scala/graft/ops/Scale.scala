@@ -54,4 +54,15 @@ object Scale {
     */
   def coPartition(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(key)).sortWithinPartitions(col(key))
+
+  /** Deterministic hash sample: keep a row iff xxhash64(key) mod N falls
+    * under fraction·N. Unlike df.sample, this is stable across runs,
+    * partitionings and engines, and the SAME keys survive in every table
+    * sampled with the same key — giving referentially-consistent samples
+    * of a star schema (sample orders and lineitem by orderkey and the join
+    * still works).
+    */
+  def sampleByHash(df: DataFrame, key: String, fraction: Double,
+                   buckets: Long = 1L << 16): DataFrame =
+    df.filter(pmod(xxhash64(col(key)), lit(buckets)) < (fraction * buckets).toLong)
 }

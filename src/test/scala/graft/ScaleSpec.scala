@@ -51,6 +51,20 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(buckets.map(_.getLong(1)).max < 1000 / 2, "no bucket holds most of the hot key")
   }
 
+  test("sampleByHash: deterministic, referentially consistent across tables") {
+    import graft.io.Sources
+    val o1 = Scale.sampleByHash(Sources.orders(spark, sfDir), "o_orderkey", 0.2)
+    val o2 = Scale.sampleByHash(Sources.orders(spark, sfDir), "o_orderkey", 0.2)
+    assert(o1.exceptAll(o2).isEmpty, "same fraction+key ⇒ identical sample")
+    val n = o1.count().toDouble / Sources.orders(spark, sfDir).count()
+    assert(n > 0.1 && n < 0.3, s"sampled fraction $n far from 0.2")
+    // referential consistency: lineitem sampled on the SAME key joins fully
+    val l = Scale.sampleByHash(
+      Sources.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "o_orderkey", 0.2)
+    assert(l.join(o1, "o_orderkey").count() === l.count())
+  }
+
   test("coPartition: downstream groupBy on the key reuses the partitioning") {
     val co = Scale.coPartition(graft.io.Sources.orders(spark, sfDir), "o_custkey", 4)
     val agg = co.groupBy("o_custkey").agg(count(lit(1)))
