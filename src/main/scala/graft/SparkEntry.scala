@@ -31,6 +31,9 @@ object SparkEntry {
     "q_agg_collect" -> Relational.aggCollect,
     "q_pivot" -> Relational.pivotStatus,
     "q_string_agg" -> Relational.stringAgg,
+    "q_unpivot" -> Relational.unpivotMoney,
+    "q_histogram" -> Relational.histogram,
+    "q_scalar_subquery" -> Relational.scalarSubquery,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -157,6 +160,30 @@ object SparkEntry {
     "q_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations, COUNT(*) AS n
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+        |FROM (
+        |  SELECT 'l_extendedprice' AS measure, l_extendedprice AS v FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_histogram" ->
+      // DuckDB 1.0 has no width_bucket; for in-range positive values the
+      // SQL-standard bucket is 1 + floor(x/width) — identical IEEE ops
+      """SELECT CAST(1 + FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |        (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3
+        |         WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_predicates" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,

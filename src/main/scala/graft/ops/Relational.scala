@@ -194,6 +194,48 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy(col("n_regionkey"))
 
+  /** q_unpivot: wide→long melt of the lineitem money columns — the
+    * inverse of pivot (Expand node; no shuffle until the aggregate).
+    */
+  def unpivotMoney(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        variableColumnName = "measure", valueColumnName = "v")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), moneySum(col("v")).as("sum_v"))
+      .orderBy(col("measure"))
+
+  /** q_histogram: equi-width binning via the SQL-standard width_bucket —
+    * identical bucket semantics in Spark and DuckDB.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** q_scalar_subquery: correlated scalar subqueries — customers above
+    * their nation's average balance, compared in EXACT decimal arithmetic
+    * (bal·n > sum, not bal > avg: engine-specific double averages could
+    * flip a boundary row). Catalyst decorrelates into aggregates + joins
+    * (RewriteCorrelatedScalarSubquery).
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Sources.customer(spark, dir).createOrReplaceTempView("ssq_customer")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM ssq_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |        (SELECT COUNT(*) FROM ssq_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM ssq_customer c3
+        |         WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** §2 D API-only: approximate distinct (HLL). Not oracle-declared
     * (approximate); tolerance-tested in ScalaTest. At 100 TB this replaces
     * exact countDistinct wherever a small rsd is acceptable — constant
