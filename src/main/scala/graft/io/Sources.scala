@@ -59,6 +59,24 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Forgiving CSV bulk load: malformed rows land in a quarantine column
+    * instead of failing the job (PERMISSIVE + columnNameOfCorruptRecord) —
+    * at 100 TB a single bad row must never kill a load; the caller splits
+    * `_corrupt` IS NULL / IS NOT NULL into clean + quarantine sinks.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true): DataFrame = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt", org.apache.spark.sql.types.StringType))
+    spark.read
+      .schema(withCorrupt)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+  }
+
   /** JDBC reader options from PG-style env (postpy connections.connect
     * analogue). Pure config construction — unit-testable without a server.
     */

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Det.r6
+
+/** IVF (inverted-file) approximate nearest neighbour — the clustering
+  * counterpart to the sign-LSH path in Similarity (SURVEY §2 I; the north
+  * star names "IVF or LSH" — we provide both).
+  *
+  * Index build: k centroids via Lloyd iterations expressed as DataFrame
+  * joins/aggregations; initial centroids are a deterministic hash-sample
+  * of the corpus. The centroid set (k × dim doubles) is the ONLY thing
+  * ever collected — it is small by construction (k ≤ a few thousand even
+  * at 100 TB) and is broadcast back as a literal, exactly how FAISS-style
+  * IVF ships its coarse quantizer to workers.
+  *
+  * Search: probe → `nprobe` nearest centroids → exact cosine over just
+  * those cells. Cell assignment is a broadcast hash join on cell id; the
+  * corpus is never shuffled by the search.
+  */
+object Ivf {
+
+  /** One Lloyd assignment: nearest centroid id per corpus row (by cosine,
+    * centroids broadcast as a literal array-of-structs column).
+    */
+  private def assignCells(corpus: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val centArr = array(centroids.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+    // argmax over the centroid array via aggregate on (bestSim, bestCid)
+    val best = aggregate(
+      centArr,
+      struct(lit(-2.0).as("s"), lit(-1).as("cid")),
+      (acc, c) => {
+        val sim = Similarity.cosineNative(col("embedding"), c.getField("cvec"))
+        when(sim > acc.getField("s"),
+             struct(sim.as("s"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+    corpus.withColumn("cell", best.getField("cid"))
+  }
+
+  /** Build the coarse quantizer: deterministic hash-sampled init, then
+    * `iters` Lloyd rounds (assignment join + per-cell mean). Returns the
+    * centroids (collected — k·dim doubles, the quantizer itself).
+    */
+  def buildCentroids(corpus: DataFrame, k: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    var centroids = corpus
+      .withColumn("__h", pmod(xxhash64(col("vec_id")), lit(1000000)))
+      .orderBy(col("__h")).limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble).toArray)
+      }
+    (1 to iters).foreach { _ =>
+      val means = assignCells(corpus, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("mm"))
+        .collect()
+        .map { r =>
+          val mm = r.getMap[Int, Double](1)
+          (r.getInt(0), Array.tabulate(dim)(i => mm.getOrElse(i, 0.0)))
+        }
+      // empty cells keep their previous centroid
+      val kept = means.map(_._1).toSet
+      centroids = (means ++ centroids.filterNot(c => kept.contains(c._1))).sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Index the corpus: attach the cell id. At scale this is written out
+    * partitioned by cell, so a search touches only its cells' files.
+    */
+  def index(corpus: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame =
+    assignCells(corpus, centroids)
+
+  /** Search: for each probe, exact cosine over the union of its `nprobe`
+    * nearest cells only.
+    */
+  def search(indexed: DataFrame, probes: DataFrame,
+             centroids: Array[(Int, Array[Double])], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = probes.columns.foldLeft(
+      assignCellsMulti(probes, centroids, nprobe))((d, _) => d)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+              r6(Similarity.cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** nprobe nearest cells per probe (exploded → one row per (probe, cell)). */
+  private def assignCellsMulti(probes: DataFrame, centroids: Array[(Int, Array[Double])],
+                               nprobe: Int): DataFrame = {
+    val centArr = array(centroids.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+    val sims = transform(centArr, c =>
+      struct(Similarity.cosineNative(col("probe_emb"), c.getField("cvec")).as("s"),
+             c.getField("cid").as("cid")))
+    probes
+      .withColumn("cells", slice(reverse(array_sort(sims)), 1, nprobe))
+      .withColumn("c", explode(col("cells")))
+      .select(col("probe_id"), col("probe_emb"), col("c.cid").as("cell"))
+  }
+}

@@ -157,6 +157,19 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming exact dedup (north-star: dedup a document STREAM): drop
+    * rows whose content hash was already seen, with the dedup state
+    * bounded by the watermark horizon — the streaming twin of
+    * Text.exactDedup. At 100 TB/day this is the ingest-side gate that
+    * keeps the batch dedup's input small.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates("__h")
+      .drop("__h")
+
   /** File-source streaming reader for the events table (the readStream
     * twin of Sources.events — same nanos→micros normalization).
     */

@@ -53,6 +53,20 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(java.nio.file.Paths.get(path + ".__old")))
   }
 
+  test("csv quarantine: malformed rows isolated, clean rows parsed") {
+    val dir = Files.createTempDirectory("graft_csvq")
+    Files.writeString(dir.resolve("data.csv"),
+      "id,qty\n1,10\n2,not_a_number\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.IntegerType)))
+    val df = Sources.csvWithQuarantine(spark, dir.toString, schema).cache()
+    assert(df.count() === 3, "no row may be dropped")
+    assert(df.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(df.filter(col("_corrupt").isNull).count() === 2)
+    assert(df.filter(col("_corrupt").isNotNull).head.getString(2).contains("not_a_number"))
+  }
+
   test("csv sink + source roundtrip preserves nulls via nullValue") {
     val dir = Files.createTempDirectory("graft_csvnull").toString
     val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)) AS t(id, s)")

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Sources
+import graft.ops.{Ivf, Similarity}
+
+class IvfSpec extends AnyFunSuite with SparkFixture {
+
+  private def emb = Sources.embeddings(spark, sfDir)
+
+  test("IVF index assigns every vector to a valid cell; build is deterministic") {
+    val cents = Ivf.buildCentroids(emb, k = 8, iters = 2)
+    assert(cents.length === 8)
+    val idx = Ivf.index(emb, cents)
+    assert(idx.filter(col("cell") < 0 || col("cell") >= 8).count() === 0)
+    assert(idx.count() === emb.count())
+    val cents2 = Ivf.buildCentroids(emb, k = 8, iters = 2)
+    assert(cents.map(_._2.toSeq).toSeq === cents2.map(_._2.toSeq).toSeq)
+  }
+
+  test("IVF search recall vs brute force is reasonable; nprobe=all is exact") {
+    val probes = emb.filter(col("vec_id") < 15)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val corpus = emb.filter(col("vec_id") >= 15)
+    val cents = Ivf.buildCentroids(corpus, k = 8, iters = 2)
+    val idx = Ivf.index(corpus, cents)
+    val exact = Similarity.bruteForceTopK(corpus, probes, 1)
+      .select("probe_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nprobe = k ⇒ every cell searched ⇒ identical to brute force
+    val full = Ivf.search(idx, probes, cents, k = 1, nprobe = 8)
+      .select("probe_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === exact)
+    // nprobe = 3 of 8 cells ⇒ decent recall
+    val approx = Ivf.search(idx, probes, cents, k = 1, nprobe = 3)
+      .select("probe_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (p, v) => approx.get(p).contains(v) }
+    assert(hits >= exact.size / 2, s"IVF recall@1 too low: $hits/${exact.size}")
+  }
+}

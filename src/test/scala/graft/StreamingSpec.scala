@@ -117,6 +117,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out === Set((2L, 15.0), (3L, 17.5)))
   }
 
+  test("streaming dedup drops repeated content within the horizon") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    // event_type doubles as "content"; two duplicates of A, one B
+    val res = runBatches(events,
+      graft.ops.Streaming.dedupStream(events.toDF, "ts", "event_type"),
+      Seq(
+        Seq(Ev(1, new Timestamp(base), 1, "contentA", 1.0),
+            Ev(2, new Timestamp(base + 1000), 2, "contentA", 1.0),
+            Ev(3, new Timestamp(base + 2000), 3, "contentB", 1.0)),
+        Seq(Ev(4, new Timestamp(base + 3000), 4, "contentA", 1.0)),
+      ))
+    assert(res.count() === 2, "only one contentA and one contentB survive")
+    assert(res.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("generic asofJoin agrees with the specialized click↔signup query") {
     val e = graft.io.Sources.events(spark, sfDir)
     val clicks = e.filter(col("event_type") === "click")
