@@ -131,8 +131,12 @@ object Joins {
       .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
     val l = Sources.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
-    c.join(o, c("c_custkey") === o("o_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
+    // lineitem stays the streamed side of a sort-merge join — the planner
+    // would otherwise broadcast the filtered+pruned fact table at test SFs
+    // (observed), a plan that dies at real scale.
+    val co = c.join(o, c("c_custkey") === o("o_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.hint("merge").join(co, l("l_orderkey") === co("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))

@@ -64,10 +64,16 @@ object Text {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Sources.documents(spark, dir)
     val n = d.count() // one tiny job; the corpus row count is a scalar broadcast
-    val tok = d.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    // ONE explode, one shuffle to (doc, term) grain; tf and df are then
+    // cheap rollups of the same frame — no second explode, no distinct
+    // expansion ((doc_id, term) is already unique at this grain).
+    val perDoc = d
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
-    val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy(col("lang"), col("term")).agg(sum(col("c")).as("tf"))
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .select(col("lang"), col("term"),
               round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
