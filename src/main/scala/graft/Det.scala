@@ -19,8 +19,19 @@ object Det {
   /** Cast a money column to DECIMAL(18,2) for exact, order-independent sums. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Exact sum of a money column; output pinned to DECIMAL(18,2). */
-  def moneySum(c: Column): Column = sum(money(c)).cast(DecimalType(18, 2))
+  /** Finalize an exact decimal for a DECLARED output: one correctly-rounded
+    * cast to double. Declared outputs must never carry DecimalType — the
+    * oracle path coerces decimals to float64 while parquet keeps exact
+    * scale, so any trailing-zero value ('4434.70' vs 4434.7) hash-splits.
+    * The decimal→double conversion itself is identical in both engines for
+    * any unscaled value < 2^53 (exact operands, single IEEE divide).
+    */
+  def asOut(c: Column): Column = c.cast("double")
+
+  /** Exact decimal sum of a money column, finalized to double for output.
+    * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def moneySum(c: Column): Column = asOut(sum(money(c)))
 
   /** Deterministic average: exact decimal sum, then a single double
     * division, rounded to 6 dp. Same IEEE ops in Spark and DuckDB.
@@ -39,10 +50,10 @@ object Det {
     */
   def rate(c: Column): Column = c.cast(DecimalType(4, 2))
 
-  /** Exact sum of price*(1-rate); scale-4 output pinned on both sides.
+  /** Exact sum of price*(1-rate), finalized to double for output.
     * Oracle twin:
-    * CAST(SUM(CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(r AS DECIMAL(4,2)))) AS DECIMAL(38,4))
+    * CAST(SUM(CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(r AS DECIMAL(4,2)))) AS DOUBLE)
     */
   def discSum(price: Column, r: Column): Column =
-    sum(money(price) * (lit(1).cast(DecimalType(4, 2)) - rate(r))).cast(DecimalType(38, 4))
+    asOut(sum(money(price) * (lit(1).cast(DecimalType(4, 2)) - rate(r))))
 }

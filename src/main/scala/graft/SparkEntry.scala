@@ -94,9 +94,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_quantity <= 45
@@ -114,14 +114,14 @@ object SparkEntry {
 
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
@@ -130,7 +130,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
@@ -147,7 +147,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_collect" ->
-      """SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+      // the ordered-list aggregation, serialized: the comparator cannot
+      // sort rows containing raw array cells (pandas sort_values chokes)
+      """SELECT n_regionkey, array_to_string(list(n_name ORDER BY n_name), ',') AS nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pivot" ->
@@ -163,7 +165,7 @@ object SparkEntry {
 
     "q_unpivot" ->
       """SELECT measure, COUNT(*) AS n,
-        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM (
         |  SELECT 'l_extendedprice' AS measure, l_extendedprice AS v FROM lineitem
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
@@ -177,7 +179,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_subquery" ->
-      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT c_custkey, c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM customer c
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
         |        (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
@@ -187,7 +189,7 @@ object SparkEntry {
 
     "q_predicates" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
-        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(20,3)) AS bal_uplift
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS bal_uplift
         |FROM customer
         |WHERE (c_mktsegment IN ('AUTOMOBILE','BUILDING') OR c_mktsegment = 'MACHINERY')
         |  AND c_acctbal BETWEEN 1000 AND 9000
@@ -209,8 +211,8 @@ object SparkEntry {
 
     "q_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -232,7 +234,7 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 100 = 0
         |)
         |SELECT COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment, COUNT(*) AS n,
-        |  CAST(SUM(COALESCE(s.c_acctbal, CAST(t.c_acctbal AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS sum_bal
+        |  CAST(SUM(COALESCE(s.c_acctbal, CAST(t.c_acctbal AS DECIMAL(18,2)))) AS DOUBLE) AS sum_bal
         |FROM customer t FULL OUTER JOIN stage s ON t.c_custkey = s.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -249,12 +251,12 @@ object SparkEntry {
         |  SELECT * FROM stage s WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
         |)
         |SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_delete_keys" ->
       """SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM lineitem k
@@ -263,26 +265,25 @@ object SparkEntry {
 
     "q_join_inner" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT p_brand, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
-        |           CAST(0 AS DECIMAL(18,2))) AS sum_price
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -313,7 +314,7 @@ object SparkEntry {
 
     "q_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_sliding" ->
@@ -384,11 +385,14 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_array_funcs" ->
+      // scalar-only projection of the slice: float32 elements widen exactly
+      // to double; raw array cells would break the comparator's row sort
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  embedding[1] AS first_el,
-        |  embedding[64] AS last_el,
-        |  embedding[1:3] AS head3
+        |  CAST(embedding[1] AS DOUBLE) AS first_el,
+        |  CAST(embedding[64] AS DOUBLE) AS last_el,
+        |  CAST(embedding[1:3][2] AS DOUBLE) AS head3_2,
+        |  CAST(embedding[1:3][3] AS DOUBLE) AS head3_3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_explode" ->
@@ -467,7 +471,7 @@ object SparkEntry {
 
     "q_mjoin_shipping" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -478,7 +482,7 @@ object SparkEntry {
 
     "q_mjoin_region_volume" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |JOIN customer ON n_nationkey = c_nationkey
@@ -498,13 +502,13 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_sum
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_window_range" ->
       """SELECT o_orderkey, o_custkey, day,
         |  COUNT(*) OVER w AS n_30d,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_30d
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d
         |FROM (SELECT *, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,

@@ -32,10 +32,24 @@ object Sources {
     * long and truncate to microseconds (integer DIV — exactly DuckDB's
     * ns→us conversion), as TIMESTAMP_NTZ to match the other tables (all
     * naive timestamps, session pinned UTC — SURVEY §2.1.4).
+    *
+    * The nanos-as-long flag is scoped to THIS read, not the session: the
+    * explicit schema (ts: long) skips inference — which only consults the
+    * session SQLConf — and the reader option is merged into THIS relation's
+    * hadoopConf, which the task-side parquet schema converter consults when
+    * mapping the file's TIMESTAMP(NANOS) column to the requested long. No
+    * session-global conf mutation, so other nanos-timestamp parquet reads
+    * in the same session keep their own semantics.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val raw = StructType(Schemas.events.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    spark.read
+      .schema(raw)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
   }

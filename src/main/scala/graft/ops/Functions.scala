@@ -71,18 +71,24 @@ object Functions {
       .orderBy(col("o_orderkey"))
 
   /** q_array_funcs: size/element_at/slice over the embedding vectors —
-    * the ArrayType(Float) column surface (north star).
+    * the ArrayType(Float) column surface (north star). Declared outputs are
+    * scalars only: float32 elements widen exactly to double (the comparator
+    * cannot sort array cells, and float32 repr differs across engines);
+    * the slice still exercises the operator — its elements are projected.
     */
-  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val head3 = slice(col("embedding"), 1, 3)
     Sources.embeddings(spark, dir)
       .select(
         col("vec_id"),
         col("label").cast("long").as("label"),
         size(col("embedding")).cast("long").as("dim"),
-        element_at(col("embedding"), 1).as("first_el"),
-        element_at(col("embedding"), 64).as("last_el"),
-        slice(col("embedding"), 1, 3).as("head3"))
+        element_at(col("embedding"), 1).cast("double").as("first_el"),
+        element_at(col("embedding"), 64).cast("double").as("last_el"),
+        element_at(head3, 2).cast("double").as("head3_2"),
+        element_at(head3, 3).cast("double").as("head3_3"))
       .orderBy(col("vec_id"))
+  }
 
   /** q_explode: generator over tokenized text — top-20 tokens corpus-wide
     * (count desc, token asc). The Generate node + partial aggregation:

@@ -67,8 +67,7 @@ object Joins {
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-           coalesce(moneySum(col("o_totalprice")),
-                    lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_price"))
+           coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("sum_price"))
       .orderBy(col("c_custkey"))
   }
 

@@ -19,15 +19,20 @@ import graft.io.Sources
   */
 object Merge {
 
-  /** INSERT … ON CONFLICT (pk) DO UPDATE as dataflow: rows present in
-    * stage win column-wise (coalesce), rows only in target survive, rows
-    * only in stage are inserted. Generic over any PK.
+  /** INSERT … ON CONFLICT (pk) DO UPDATE as dataflow: a matched stage row
+    * wins WHOLESALE (all its columns verbatim, including NULLs — the SQL
+    * DO-UPDATE semantics), rows only in target survive, rows only in stage
+    * are inserted. The match test is the stage PK's nullness after the full
+    * outer join, not per-column coalesce — coalesce would silently keep the
+    * target's old value wherever the stage set a column to NULL.
+    * Generic over any PK (PK columns are non-null by definition).
     */
   def upsert(target: DataFrame, stage: DataFrame, pk: Seq[String]): DataFrame = {
     val s = stage.columns.foldLeft(stage)((d, c) => d.withColumnRenamed(c, "__s_" + c))
     val cond = pk.map(k => col(k) === col("__s_" + k)).reduce(_ && _)
+    val matched = pk.map(k => col("__s_" + k).isNotNull).reduce(_ && _)
     target.join(s, cond, "full")
-      .select(target.columns.map(c => coalesce(col("__s_" + c), col(c)).as(c)): _*)
+      .select(target.columns.map(c => when(matched, col("__s_" + c)).otherwise(col(c)).as(c)): _*)
   }
 
   /** INSERT … ON CONFLICT DO NOTHING: append only the stage rows whose PK
@@ -63,8 +68,7 @@ object Merge {
               lit("AUTOMOBILE").as("c_mktsegment"))
     upsert(t, updates.unionByName(inserts), Seq("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("c_acctbal")).cast(DecimalType(18, 2)).as("sum_bal"))
+      .agg(count(lit(1)).as("n"), asOut(sum(col("c_acctbal"))).as("sum_bal"))
       .orderBy(col("c_mktsegment"))
   }
 

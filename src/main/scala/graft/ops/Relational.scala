@@ -53,8 +53,7 @@ object Relational {
         col("c_name").isNotNull)
       .select(
         col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
-        (money(col("c_acctbal")) * lit(1.1).cast(DecimalType(2, 1)))
-          .cast(DecimalType(20, 3)).as("bal_uplift"))
+        asOut(money(col("c_acctbal")) * lit(1.1).cast(DecimalType(2, 1))).as("bal_uplift"))
       .orderBy(col("c_custkey"))
   }
 
@@ -130,7 +129,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
         |  count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM gs_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
@@ -160,12 +159,15 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** §2 D q_agg_collect: ordered list aggregation — sort_array makes the
-    * collected list deterministic (collect_list order is not).
+    * collected list deterministic (collect_list order is not). The declared
+    * output serializes the list (array_join) because the comparator's
+    * row-sort cannot order raw array cells; the collect itself is the
+    * operator under test.
     */
   def aggCollect(spark: SparkSession, dir: String): DataFrame = {
     val n = Sources.nation(spark, dir)
     n.groupBy(col("n_regionkey"))
-      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy(col("n_regionkey"))
   }
 
@@ -209,12 +211,15 @@ object Relational {
       .agg(count(lit(1)).as("n"), moneySum(col("v")).as("sum_v"))
       .orderBy(col("measure"))
 
-  /** q_histogram: equi-width binning via the SQL-standard width_bucket —
-    * identical bucket semantics in Spark and DuckDB.
+  /** q_histogram: equi-width binning as 1+floor(x/width) — the SQL-standard
+    * in-range width_bucket formula, spelled out identically on both sides
+    * (width_bucket would CLAMP out-of-range values to bucket 11 while the
+    * formula keeps growing, so the twins would diverge once o_totalprice
+    * exceeds the nominal [0, 500000) range at larger scale factors).
     */
   def histogram(spark: SparkSession, dir: String): DataFrame =
     Sources.orders(spark, dir)
-      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10L)).as("bucket"))
+      .select((lit(1) + floor(col("o_totalprice") / 50000.0)).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
@@ -227,7 +232,7 @@ object Relational {
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     Sources.customer(spark, dir).createOrReplaceTempView("ssq_customer")
     spark.sql(
-      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT c_custkey, c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM ssq_customer c
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
         |        (SELECT COUNT(*) FROM ssq_customer c2 WHERE c2.c_nationkey = c.c_nationkey)

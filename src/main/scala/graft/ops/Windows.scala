@@ -42,8 +42,7 @@ object Windows {
     Sources.orders(spark, dir)
       .select(
         col("o_orderkey"), col("o_custkey"),
-        sum(money(col("o_totalprice"))).over(w)
-          .cast(DecimalType(38, 2)).as("run_sum"))
+        asOut(sum(money(col("o_totalprice"))).over(w)).as("run_sum"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -61,8 +60,7 @@ object Windows {
       .select(
         col("o_orderkey"), col("o_custkey"), col("day"),
         count(lit(1)).over(w).as("n_30d"),
-        sum(money(col("o_totalprice"))).over(w)
-          .cast(DecimalType(38, 2)).as("sum_30d"))
+        asOut(sum(money(col("o_totalprice"))).over(w)).as("sum_30d"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -26,8 +26,8 @@ class WindowsSpec extends AnyFunSuite with SparkFixture {
       .groupBy(col("o_custkey")).agg(sum(money(col("o_totalprice"))).as("t"))
       .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     byCust.foreach { case (ck, rs) =>
-      val last = rs.map(_.getDecimal(2)).maxBy(_.doubleValue)
-      assert(last.compareTo(totals(ck)) === 0, s"customer $ck")
+      val last = rs.map(_.getDouble(2)).max
+      assert(last === totals(ck).doubleValue, s"customer $ck")
     }
   }
 

@@ -7,7 +7,11 @@ Reads <verifyOutDir>/oracle_sql.json, registers each parquet table in
 <sfDir> as a DuckDB view under its bare name, runs each oracle SQL, and
 compares against the Spark result parquet at <verifyOutDir>/<key>/ —
 rows sorted by all columns, columns sorted by name, values compared
-after normalization (Decimal -> float-string at 6dp, timestamps -> iso).
+STRICTLY (Decimal keeps exact scale — '4434.70' != '4434.7'; floats via
+repr; timestamps -> iso). The driver's comparator coerces DuckDB decimals
+to float64 while Spark parquet keeps exact Decimal objects, so any
+DecimalType in a declared output hash-splits on trailing zeros — the
+schema lint below fails decimal/list/float32 output columns outright.
 
 This is dev tooling only (driver-side python env); the shipped Scala
 library never depends on it.
@@ -15,6 +19,23 @@ library never depends on it.
 import json, sys, glob, math
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+
+def unsafe_fields(schema: "pa.Schema"):
+    """Column types the driver's comparator cannot hash stably:
+    decimal (exact scale vs float64 coercion), nested lists (pandas
+    sort_values chokes on ndarray cells), float32 (repr drift vs the
+    oracle's float64)."""
+    bad = []
+    for f in schema:
+        t = f.type
+        if (pa.types.is_decimal(t) or pa.types.is_list(t)
+                or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+                or t == pa.float32()):
+            bad.append(f"{f.name}:{t}")
+    return bad
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,7 +62,7 @@ def norm_cell(v):
         pass
     import decimal, datetime
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return str(v)  # exact, scale-preserving — the strict form
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return v.isoformat()
     return str(v)
@@ -70,6 +91,11 @@ def main():
         files = glob.glob(f"{out_dir}/{key}/*.parquet")
         if not files:
             print(f"FAIL {key}: no spark result parquet")
+            n_fail += 1
+            continue
+        bad = unsafe_fields(pq.read_schema(sorted(files)[0]))
+        if bad:
+            print(f"FAIL {key}: driver-unsafe output column types: {bad}")
             n_fail += 1
             continue
         actual = pd.concat([pd.read_parquet(f) for f in sorted(files)])
