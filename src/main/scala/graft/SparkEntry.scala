@@ -70,12 +70,21 @@ object SparkEntry {
     "q_tfidf_topterms" -> Text.tfidfTopTerms,
     "q_sim_cosine_topk" -> Similarity.cosineTopK,
     "q_knn_majority" -> Similarity.knnMajority,
+    "q_lang_id" -> Text.langIdQuery,
+    "q_quality_score" -> Text.qualityQuery,
+    "q_token_count" -> Text.tokenCountQuery,
+    "q_doc_fingerprint" -> Text.fingerprintQuery,
+    "q_dedup_ngram" -> Text.dedupNgramQuery,
+    "q_sim_neardup" -> Similarity.simPairsQuery,
     // §2 H event-time processing (batch twins; streaming twins in tests)
     "q_stream_tumbling" -> Streaming.tumbling,
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_join_asof" -> Streaming.asofClickSignup,
+    "q_date_spine" -> Relational.dateSpine,
+    "q_join_nullsafe" -> Joins.joinNullSafe,
     // §2 F windows / sort / set ops
+    "q_window_ntile" -> Windows.windowNtile,
     "q_window_rank" -> Windows.windowRank,
     "q_window_running" -> Windows.windowRunning,
     "q_window_range" -> Windows.windowRange,
@@ -88,10 +97,134 @@ object SparkEntry {
     "q_except" -> Windows.exceptKeys,
   )
 
+  /** Render a Scala word list as a DuckDB list literal — keeps the oracle
+    * twins of the stopword-driven queries in lockstep with Text.stopwords
+    * (one source of truth for both engines).
+    */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** q_lang_id oracle: replicates Text.languageId exactly — per-language
+    * stopword-hit ratio, argmax with ties to the lexicographically LARGEST
+    * language (Spark's array_max over (score, lang) structs ⇒ the CASE
+    * tests languages in descending name order with >=).
+    */
+  private def langIdOracle: String = {
+    val langs = graft.ops.Text.stopwords.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      s"CAST(len(list_intersect(toks, ${sqlList(ws)})) AS DOUBLE)/n AS s_$l"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT lang, list_distinct(string_split(lower(text), ' ')) AS toks,
+       |         CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n
+       |  FROM documents),
+       |s AS (SELECT lang,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT lang,
+       |  CASE WHEN s_zh >= greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+       |       WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+       |       WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+       |       WHEN s_en >= s_de THEN 'en'
+       |       ELSE 'de' END AS lang_pred,
+       |  COUNT(*) AS n
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q_quality_score oracle: replicates Text.qualityScore term-for-term
+    * (same literal weights, same left-to-right double arithmetic).
+    */
+  private def qualityOracle: String = {
+    val allStops = sqlList(graft.ops.Text.stopwords.values.flatten.toSeq)
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS nchars,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntoks,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $allStops)) AS DOUBLE) AS stop_hits
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nchars BETWEEN 100 AND 2000 THEN 1.0
+       |         WHEN nchars < 100 THEN nchars/100.0
+       |         ELSE 2000.0/nchars END AS len_score,
+       |    1.0 - least(punct/greatest(ntoks, 1.0), 1.0) AS punct_score,
+       |    least(stop_hits/5.0, 1.0) AS stop_score
+       |  FROM t)
+       |SELECT doc_id, round(len_score*0.4 + punct_score*0.3 + stop_score*0.3, 6) AS quality
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle twins — bare table names (driver registers each parquet
     * table under its name, per the contract example).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_lang_id" -> langIdOracle,
+
+    "q_quality_score" -> qualityOracle,
+
+    "q_token_count" ->
+      // BPE-ish tokens = maximal letter/digit runs + each non-space,
+      // non-alphanumeric char (exactly what the Spark lookaround split
+      // yields after trimming whitespace pieces)
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+        |     + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      // 3-gram shingle Jaccard; round-6 before the threshold on both sides
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(common AS DOUBLE)/(x.sz + y.sz - common), 6) AS jaccard
+        |  FROM common JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_neardup" ->
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH months AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01', INTERVAL 1 MONTH)) AS month_start),
+        |m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS ms, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start, COALESCE(n_orders, 0) AS n_orders, COALESCE(sum_price, 0.0) AS sum_price
+        |FROM months LEFT JOIN m ON month_start = ms ORDER BY month_start""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer c JOIN supplier s
+        |  ON nullif(c.c_nationkey, 13) IS NOT DISTINCT FROM nullif(s.s_nationkey, 13)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,

@@ -173,6 +173,21 @@ object Joins {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q_join_nullsafe: null-safe equality join (<=> / IS NOT DISTINCT FROM)
+    * — NULL keys match each other instead of vanishing, the semantics CDC
+    * key-reconciliation needs. The nullif(…, 13) manufactures a NULL key
+    * bucket from real data. Spark plans <=> as a hash join key (null-safe
+    * comparison), so this stays a proper equi join at scale.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Sources.customer(spark, dir)
+    val s = Sources.supplier(spark, dir)
+    c.join(s, nullif(c("c_nationkey"), lit(13)) <=> nullif(s("s_nationkey"), lit(13)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** q_join_range: theta self-join bounded by the customer equi-key: pairs
     * of orders per customer where one strictly precedes the other. The
     * equi component keeps this a hash join with a residual condition —

@@ -241,6 +241,25 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q_date_spine: series generation + zero-filled calendar join — the
+    * monthly order volume over a complete month spine (1995-01..2001-12,
+    * trailing months legitimately zero). sequence()+explode generates the
+    * spine without any driver-side loop; the left join zero-fills.
+    */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val months = spark.range(1).select(explode(expr(
+      "sequence(CAST('1995-01-01' AS TIMESTAMP_NTZ), CAST('2001-12-01' AS TIMESTAMP_NTZ), INTERVAL 1 MONTH)"))
+      .as("month_start"))
+    val m = Sources.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("ms"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+    months.join(m, col("month_start") === col("ms"), "left")
+      .select(col("month_start"),
+              coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+              coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy(col("month_start"))
+  }
+
   /** §2 D API-only: approximate distinct (HLL). Not oracle-declared
     * (approximate); tolerance-tested in ScalaTest. At 100 TB this replaces
     * exact countDistinct wherever a small rsd is acceptable — constant

@@ -83,6 +83,22 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** q_sim_neardup: exact pairwise cosine similar-pair mining above a
+    * threshold (round-6 BEFORE the threshold test so the boundary cannot
+    * flip between engines). This quadratic exact form is the declared
+    * ground truth; nearDupPairs below (LSH candidate generation) is the
+    * subquadratic scale path tolerance-tested against it.
+    */
+  def simPairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), r6(cosineNative(col("ea"), col("eb"))).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- API-only operators (north star; ScalaTest-covered) ----------
 
   /** Brute-force cosine top-k for an arbitrary probe set (the baseline

@@ -83,6 +83,58 @@ object Text {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** q_lang_id: language-ID confusion counts — predicted language (stopword
+    * heuristic, see languageId) vs the labelled lang. Pure column ops over
+    * one scan; the per-language stopword lists are literals, so the whole
+    * thing codegens with no shuffle before the final tiny groupBy.
+    */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    languageId(Sources.documents(spark, dir), "text")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** q_quality_score: per-doc quality in [0,1] (see qualityScore) —
+    * the cheap pre-filter every 100 TB ingest runs before expensive stages.
+    */
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Sources.documents(spark, dir), "text")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** q_token_count: whitespace and BPE-ish token counts per document (see
+    * tokenCounts) — the budget/packing primitive of LLM data pipelines.
+    */
+  def tokenCountQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Sources.documents(spark, dir), "text")
+      .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical-form content fingerprint: md5 of the whitespace-normalized,
+    * lowercased text — the portable cross-engine document identity (the
+    * xxhash64 rolling fingerprint below is the faster engine-internal one).
+    */
+  def canonicalFingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** q_doc_fingerprint: per-doc canonical content hash. */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), canonicalFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** q_dedup_ngram: exact 3-gram-shingle Jaccard near-dup pairs at
+    * threshold 0.5 (round-6 on both sides BEFORE the threshold test so the
+    * boundary cannot flip between engines). This exact-pairwise form is the
+    * declared ground truth; MinHash-LSH (MinHash.scala) is the subquadratic
+    * scale path tolerance-tested against it.
+    */
+  def dedupNgramQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Sources.documents(spark, dir), "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------- API-only operators (north star; ScalaTest-covered) ----------
 
   /** Language ID by stopword-hit heuristic: score each language by the

@@ -64,6 +64,23 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q_window_ntile: distribution window functions — quartile bucketing
+    * (ntile), percent_rank and cume_dist per market segment. The rank
+    * divisions are exact integer-derived doubles ((rank-1)/(n-1), k/n) —
+    * identical IEEE ops in both engines, no rounding needed. Total order
+    * within each partition via the custkey tiebreak.
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Sources.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q_window_lag_lead: per-user event deltas (lag/lead). Microsecond
     * epoch arithmetic — identical integer ops in Spark (unix_micros) and
     * DuckDB (epoch_us).

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Joins
+import graft.io.Sources
 
 class JoinsSpec extends AnyFunSuite with SparkFixture {
 
@@ -66,4 +67,18 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
       assert(n <= c * (c - 1) / 2, s"customer $ck: $n pairs from $c orders")
     }
   }
+
+  test("null-safe join: NULL keys match; count equals sum over nation buckets") {
+    import org.apache.spark.sql.functions._
+    val c = Sources.customer(spark, sfDir)
+      .groupBy(nullif(col("c_nationkey"), lit(13)).as("k")).agg(count(lit(1)).as("nc"))
+    val s = Sources.supplier(spark, sfDir)
+      .groupBy(nullif(col("s_nationkey"), lit(13)).as("k")).agg(count(lit(1)).as("ns"))
+    val expected = c.join(s, c("k") <=> s("k"))
+      .agg(sum(col("nc") * col("ns"))).collect()(0).getLong(0)
+    val actual = Joins.joinNullSafe(spark, sfDir)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(actual === expected)
+  }
+
 }

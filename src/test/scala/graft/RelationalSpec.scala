@@ -90,4 +90,13 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(approx(k) - e).toDouble / e < 0.15, s"group $k: approx=${approx(k)} exact=$e")
     }
   }
+
+  test("date spine: 84 complete months, zero-filled where no orders") {
+    val rows = Relational.dateSpine(spark, sfDir).collect()
+    assert(rows.length === 84)
+    assert(rows.exists(_.getLong(1) === 0L))           // trailing empty months
+    assert(rows.forall(r => r.getLong(1) >= 0L))
+    assert(rows.filter(_.getLong(1) === 0L).forall(_.getDouble(2) === 0.0))
+  }
+
 }

@@ -109,4 +109,11 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0))
     assert(j.forall(_ === 0))
   }
+
+  test("simPairsQuery: exact pair mining agrees with the LSH path at sim=1 recall") {
+    val rows = Similarity.simPairsQuery(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.45))
+  }
+
 }

@@ -92,4 +92,33 @@ class TextSpec extends AnyFunSuite with SparkFixture {
               size(Text.shingles(col("text"), 3)).as("ns"))
     assert(d.filter(col("n") >= 3).filter(col("ns") =!= col("n") - 2).count() === 0)
   }
+
+  test("dedupNgramQuery: pairs are id_a < id_b with jaccard in (0, 1]") {
+    val rows = Text.dedupNgramQuery(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) > 0.4999995 && r.getDouble(2) <= 1.0))
+  }
+
+  test("fingerprintQuery: distinct fingerprints equal distinct texts") {
+    val nTexts = Sources.documents(spark, sfDir).select("text").distinct.count()
+    val nFps = Text.fingerprintQuery(spark, sfDir).select("fp").distinct.count()
+    assert(nFps === nTexts)
+  }
+
+  test("langIdQuery: confusion counts cover every document exactly once") {
+    val total = Text.langIdQuery(spark, sfDir).agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total === Sources.documents(spark, sfDir).count())
+  }
+
+  test("qualityQuery: one row per doc, quality in [0, 1]") {
+    val rows = Text.qualityQuery(spark, sfDir).collect()
+    assert(rows.length === Sources.documents(spark, sfDir).count())
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("tokenCountQuery: counts positive, bpe >= ws on plain space-joined text") {
+    val rows = Text.tokenCountQuery(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1)))
+  }
+
 }

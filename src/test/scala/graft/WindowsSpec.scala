@@ -78,4 +78,13 @@ class WindowsSpec extends AnyFunSuite with SparkFixture {
     val keys = Windows.unionDistinct(spark, sfDir).collect().map(_.getLong(0))
     assert(keys.length === keys.distinct.length)
   }
+
+  test("ntile: quartile in 1..4; pr and cd in [0,1]; cd non-decreasing with pr") {
+    val rows = Windows.windowNtile(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(rows.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+    assert(rows.forall(r => r.getDouble(4) >= r.getDouble(3)))
+  }
+
 }
