@@ -245,7 +245,12 @@ object Text {
       .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("ss"))
       .select(col("id"), size(col("ss")).as("sz"), explode(col("ss")).as("s"))
       .select(col("id"), col("sz"), xxhash64(col("s")).as("h"))
-    sh.as("a").join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    // merge hint: the shingle stream is corpus-sized on BOTH sides — a
+    // sort-merge shuffle join is the only plan that survives real scale
+    // (the planner would happily broadcast the ~6 MB side at test SFs),
+    // and it is faster here too (sorted-run merge beats hash probing on
+    // the heavily duplicated hash keys)
+    sh.as("a").hint("merge").join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
                col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("common"))
