@@ -81,6 +81,7 @@ object SparkEntry {
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_join_asof" -> Streaming.asofClickSignup,
+    "q_agg_filtered" -> Relational.aggFiltered,
     "q_date_spine" -> Relational.dateSpine,
     "q_join_nullsafe" -> Joins.joinNullSafe,
     // §2 F windows / sort / set ops
@@ -209,6 +210,14 @@ object SparkEntry {
         |  cume_dist() OVER w AS cd
         |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_filtered" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_totalprice > 450000) AS any_huge
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_date_spine" ->
       """WITH months AS (

@@ -241,6 +241,21 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q_agg_filtered: FILTER-style conditional aggregation plus boolean
+    * aggregates (bool_and/bool_or) — count(when(...)) is Spark's portable
+    * spelling of COUNT(*) FILTER (WHERE ...). One hash aggregate, tiny
+    * group cardinality — the same 100 TB-safe shape as the pricing summary.
+    */
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_totalprice") > 450000).as("any_huge"))
+      .orderBy(col("o_orderpriority"))
+
   /** q_date_spine: series generation + zero-filled calendar join — the
     * monthly order volume over a complete month spine (1995-01..2001-12,
     * trailing months legitimately zero). sequence()+explode generates the

@@ -99,4 +99,11 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.filter(_.getLong(1) === 0L).forall(_.getDouble(2) === 0.0))
   }
 
+
+  test("filtered aggregation: filtered counts bounded by group size; booleans coherent") {
+    val rows = Relational.aggFiltered(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)))   // all_positive on TPC-H prices
+  }
+
 }

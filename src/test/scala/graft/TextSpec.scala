@@ -121,4 +121,10 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1)))
   }
 
+
+  test("dedup_ngram pair join plans a sort-merge join, never a broadcast of the shingle stream") {
+    val p = plan(Text.dedupNgramQuery(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), s"shingle self-join must sort-merge:\n$p")
+  }
+
 }
