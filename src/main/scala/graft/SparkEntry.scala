@@ -81,6 +81,7 @@ object SparkEntry {
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_join_asof" -> Streaming.asofClickSignup,
+    "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_agg_filtered" -> Relational.aggFiltered,
     "q_date_spine" -> Relational.dateSpine,
     "q_join_nullsafe" -> Joins.joinNullSafe,
@@ -489,6 +490,14 @@ object SparkEntry {
         |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
         |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
         |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_tol" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
+        |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
+        |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+        |WHERE c.click_us - s.signup_us <= 604800000000
         |ORDER BY c.event_id""".stripMargin,
 
     "q_string_funcs" ->

@@ -31,6 +31,22 @@ object Sinks {
       .option("encoding", "UTF-8")
       .csv(path)
 
+  /** Hive-style partitioned write with bounded file sizes — the layout a
+    * 100 TB output needs: one directory per partition value, files capped
+    * at `maxRecordsPerFile` rows (Spark splits write tasks at the cap, so
+    * no second sizing pass and no driver-side row count). The repartition
+    * on the partition columns co-locates each partition value into one
+    * task, avoiding the classic small-files explosion (tasks × partition
+    * values output files).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       maxRecordsPerFile: Long): Unit =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Stage-then-rename overwrite: write to `<path>.__staging`, then move
     * it over `path` atomically (same filesystem). Local/HDFS-style
     * semantics; object stores need their own committer at 100 TB.

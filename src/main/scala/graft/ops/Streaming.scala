@@ -112,6 +112,16 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q_join_asof_tol: as-of join with a match tolerance — a click only
+    * pairs with a prior signup at most 7 days old (time-series joins
+    * almost always carry a staleness bound). Same single-shuffle plan as
+    * q_join_asof; the tolerance is a post-filter on the carried timestamp,
+    * applied identically in the oracle twin (ASOF JOIN + WHERE).
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame =
+    asofClickSignup(spark, dir)
+      .filter(col("click_us") - col("signup_us") <= 7L * 24 * 3600 * 1000000)
+
   /** Generic as-of join operator (the library API): for each left row,
     * attach the greatest right `timeCol` ≤ left's, per key. Both inputs
     * must share key + time column names.

@@ -77,4 +77,19 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
         org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
     assert(back.filter(col("s").isNull).count() === 1)
   }
+
+  test("partitioned write: hive layout, file row cap respected, lossless roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_partwrite").toString
+    val docs = Sources.documents(spark, sfDir)
+    graft.io.Sinks.writePartitioned(docs, s"$dir/docs", Seq("lang"), maxRecordsPerFile = 50L)
+    val langDirs = new java.io.File(s"$dir/docs").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")))
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.count() === docs.count())
+    // no data file exceeds the row cap
+    import org.apache.spark.sql.functions._
+    val perFile = back.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 50L), s"files over cap: ${perFile.filter(_ > 50L).mkString(",")}")
+  }
+
 }

@@ -55,4 +55,17 @@ class MergeSpec extends AnyFunSuite with SparkFixture {
     val restored = Merge.insertMissing(deleted, victims, Seq("o_orderkey"))
     assert(restored.exceptAll(o).isEmpty && o.exceptAll(restored).isEmpty)
   }
+
+  test("upsert: matched stage row overwrites wholesale, including NULLs (DO-UPDATE semantics)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val target = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L)).toDF("k", "v", "x")
+    val stage = Seq((1L, Option.empty[String], 99L), (3L, Option("c"), 30L)).toDF("k", "v", "x")
+    val out = Merge.upsert(target, stage, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) null else r.getString(1)) -> r.getLong(2))).toMap
+    assert(out(1L) === ((null: String) -> 99L))   // stage NULL replaces target value
+    assert(out(2L) === ("b" -> 20L))      // unmatched target survives
+    assert(out(3L) === ("c" -> 30L))      // stage-only row inserted
+  }
+
 }

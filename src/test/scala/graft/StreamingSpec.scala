@@ -148,4 +148,13 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = specialized.select(col("event_id"), col("signup_us"))
     assert(g.exceptAll(s).isEmpty && s.exceptAll(g).isEmpty)
   }
+
+  test("asof tolerance: subset of plain asof, staleness bound respected") {
+    val plain = graft.ops.Streaming.asofClickSignup(spark, sfDir).count()
+    val tol = graft.ops.Streaming.asofTolerance(spark, sfDir)
+    val rows = tol.collect()
+    assert(rows.length <= plain)
+    assert(rows.forall(r => r.getLong(2) - r.getLong(3) <= 604800000000L))
+  }
+
 }
