@@ -76,6 +76,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> Text.fingerprintQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
+    "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     // §2 H event-time processing (batch twins; streaming twins in tests)
     "q_stream_tumbling" -> Streaming.tumbling,
     "q_stream_sliding" -> Streaming.sliding,
@@ -133,12 +134,14 @@ object SparkEntry {
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** q_quality_score oracle: replicates Text.qualityScore term-for-term
-    * (same literal weights, same left-to-right double arithmetic).
+  /** Shared CTE body replicating Text.qualityScore term-for-term (same
+    * literal weights, same left-to-right double arithmetic) — ends with a
+    * `qscore(doc_id, quality)` relation, reused by the quality and
+    * pipeline oracles.
     */
-  private def qualityOracle: String = {
+  private def qualityCtes: String = {
     val allStops = sqlList(graft.ops.Text.stopwords.values.flatten.toSeq)
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS DOUBLE) AS nchars,
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntoks,
@@ -152,10 +155,43 @@ object SparkEntry {
        |         ELSE 2000.0/nchars END AS len_score,
        |    1.0 - least(punct/greatest(ntoks, 1.0), 1.0) AS punct_score,
        |    least(stop_hits/5.0, 1.0) AS stop_score
-       |  FROM t)
-       |SELECT doc_id, round(len_score*0.4 + punct_score*0.3 + stop_score*0.3, 6) AS quality
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |qscore AS (
+       |  SELECT doc_id, round(len_score*0.4 + punct_score*0.3 + stop_score*0.3, 6) AS quality
+       |  FROM sc)""".stripMargin
   }
+
+  private def qualityOracle: String =
+    s"""WITH $qualityCtes
+       |SELECT doc_id, quality FROM qscore ORDER BY doc_id""".stripMargin
+
+  /** q_pipeline_corpus oracle: quality gate → keep-min-per-md5 dedup →
+    * exact 3-gram-Jaccard pair drop (id_b of pairs ≥ 0.5, one pass) →
+    * per-lang survivor stats. Mirrors Pipeline.pipelineQuery stage order.
+    */
+  private def pipelineOracle: String =
+    s"""WITH $qualityCtes,
+       |gated AS (
+       |  SELECT d.* FROM documents d JOIN qscore q USING (doc_id) WHERE q.quality >= 0.3),
+       |ded AS (
+       |  SELECT * FROM gated
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ded),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+       |  FROM tk),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |cm AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |dropids AS (
+       |  SELECT DISTINCT id_b AS doc_id
+       |  FROM cm JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       |  WHERE round(CAST(common AS DOUBLE)/(x.sz + y.sz - common), 6) >= 0.5)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB oracle twins — bare table names (driver registers each parquet
     * table under its name, per the contract example).
@@ -164,6 +200,8 @@ object SparkEntry {
     "q_lang_id" -> langIdOracle,
 
     "q_quality_score" -> qualityOracle,
+
+    "q_pipeline_corpus" -> pipelineOracle,
 
     "q_token_count" ->
       // BPE-ish tokens = maximal letter/digit runs + each non-space,

@@ -53,4 +53,25 @@ object Pipeline {
   /** Convenience entry over the test corpus. */
   def prepareDocuments(spark: SparkSession, dir: String): DataFrame =
     prepareCorpus(Sources.documents(spark, dir))
+
+  /** q_pipeline_corpus: the oracle-exact pipeline twin — quality gate →
+    * exact dedup (keep min doc_id per content hash) → EXACT n-gram-Jaccard
+    * near-dup removal (drop the higher id of each pair ≥ 0.5, single
+    * pass) → per-language survivor stats. Same stage order as
+    * prepareCorpus; the approximate MinHash stage is swapped for the exact
+    * pair miner so every stage is DuckDB-checkable end-to-end.
+    */
+  def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val gated = Text.qualityScore(Sources.documents(spark, dir), "text")
+      .filter(col("quality") >= 0.3)
+    val ded = Text.exactDedup(gated, "text", "doc_id")
+    val dupIds = Text.ngramJaccardPairs(ded, "doc_id", "text", 3)
+      .filter(r6(col("jaccard")) >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    ded.join(dupIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -34,4 +34,12 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val b = Pipeline.prepareDocuments(spark, sfDir).select("doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("pipelineQuery: survivor counts bounded by corpus; all langs non-negative") {
+    val total = graft.io.Sources.documents(spark, sfDir).count()
+    val rows = graft.ops.Pipeline.pipelineQuery(spark, sfDir).collect()
+    val kept = rows.map(_.getLong(1)).sum
+    assert(kept > 0 && kept <= total)
+  }
+
 }
