@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+import graft.Det.moneySum
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory
@@ -77,6 +79,11 @@ object SparkEntry {
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
+    "q_sample_hash" -> ((s: SparkSession, dir: String) =>
+      Scale.sampleByMd5(graft.io.Sources.orders(s, dir), "o_orderkey", Seq("0", "1"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))),
     // §2 H event-time processing (batch twins; streaming twins in tests)
     "q_stream_tumbling" -> Streaming.tumbling,
     "q_stream_sliding" -> Streaming.sliding,
@@ -202,6 +209,15 @@ object SparkEntry {
     "q_quality_score" -> qualityOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
+
+    "q_sample_hash" ->
+      // deterministic md5-digit sample — identical row membership in any
+      // engine that can compute md5 of the key string
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_count" ->
       // BPE-ish tokens = maximal letter/digit runs + each non-space,

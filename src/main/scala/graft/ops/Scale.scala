@@ -65,4 +65,13 @@ object Scale {
   def sampleByHash(df: DataFrame, key: String, fraction: Double,
                    buckets: Long = 1L << 16): DataFrame =
     df.filter(pmod(xxhash64(col(key)), lit(buckets)) < (fraction * buckets).toLong)
+
+  /** Engine-portable deterministic sample: bucket by a hex digit of
+    * md5(key) — md5 agrees across every engine (unlike xxhash64, which is
+    * Spark-specific), so the SAME rows are sampled when a different system
+    * replays the pipeline. 2 of 16 digit values = a 1/8 sample.
+    * sampleByHash above is the faster in-engine form.
+    */
+  def sampleByMd5(df: DataFrame, key: String, hexDigits: Seq[String]): DataFrame =
+    df.filter(substring(md5(col(key).cast("string")), 1, 1).isin(hexDigits: _*))
 }
