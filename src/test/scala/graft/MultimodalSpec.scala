@@ -32,4 +32,25 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(bad.count() === 0)
     assert(s.filter(col("n_sampled") =!= expr("(n_frames + 9) div 10")).count() === 0)
   }
+
+  test("dedupMedia: planted duplicate payloads collapse to the lowest media_id") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.syntheticMedia(spark, sfDir)
+    val dup = media.filter(col("media_id") < 5).withColumn("media_id", col("media_id") + 100000)
+    val out = Multimodal.dedupMedia(media.unionByName(dup))
+    assert(out.count() === media.count())              // dups dropped
+    assert(out.filter(col("media_id") >= 100000).count() === 0)  // originals kept
+  }
+
+  test("visionTokenBudget: patches scale with dimensions; video frames multiply") {
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, sfDir))
+    val b = Multimodal.visionTokenBudget(feats, patch = 14)
+    val rows = b.select("width", "height", "n_frames", "n_vision_tokens").collect()
+    rows.foreach { r =>
+      val expected = math.ceil(r.getInt(0) / 14.0).toLong * math.ceil(r.getInt(1) / 14.0).toLong * r.getInt(2)
+      assert(r.getLong(3) === expected)
+    }
+  }
+
 }
