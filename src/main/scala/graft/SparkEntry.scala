@@ -79,6 +79,10 @@ object SparkEntry {
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
+    "q_join_skew" -> Scale.skewJoinQuery,
+    "q_text_levenshtein" -> Functions.levenshteinQuery,
+    "q_try_cast" -> Functions.tryCastQuery,
+    "q_agg_bitwise" -> Relational.aggBitwise,
     "q_sample_hash" -> ((s: SparkSession, dir: String) =>
       Scale.sampleByMd5(graft.io.Sources.orders(s, dir), "o_orderkey", Seq("0", "1"))
         .groupBy(col("o_orderpriority"))
@@ -209,6 +213,30 @@ object SparkEntry {
     "q_quality_score" -> qualityOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
+
+    "q_join_skew" ->
+      // the oracle is the PLAIN join: the salt must be semantically invisible
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_levenshtein" ->
+      """SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_try_cast" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(substr(c_name, 10, 15) AS BIGINT) AS name_num,
+        |  TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_bitwise" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sample_hash" ->
       // deterministic md5-digit sample — identical row membership in any

@@ -115,4 +115,25 @@ object Functions {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
            min(col("value")).as("min_v"), max(col("value")).as("max_v"))
       .orderBy(col("key"))
+
+  /** q_text_levenshtein: edit distance against a reference key — the
+    * fuzzy-matching primitive (entity resolution, near-key joins). Same
+    * well-defined metric in every engine.
+    */
+  def levenshteinQuery(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .select(col("c_custkey"),
+              levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("dist"))
+      .orderBy(col("c_custkey"))
+
+  /** q_try_cast: ANSI-safe casting of dirty data — try_cast yields NULL
+    * instead of failing the job (the 100 TB ingest posture: quarantine,
+    * never crash). Both engines share TRY_CAST semantics.
+    */
+  def tryCastQuery(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .select(col("c_custkey"),
+              expr("try_cast(substring(c_name, 10, 15) AS BIGINT)").as("name_num"),
+              expr("try_cast(c_mktsegment AS DOUBLE)").as("seg_num"))
+      .orderBy(col("c_custkey"))
 }

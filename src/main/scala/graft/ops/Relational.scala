@@ -285,4 +285,15 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_suppkey"), rsd).as("n_supp_approx"))
       .orderBy(col("l_returnflag"))
+
+  /** q_agg_bitwise: bitwise AND/OR/XOR aggregates — bitmap/flag rollups
+    * (permission masks, feature flags) in one hash aggregate.
+    */
+  def aggBitwise(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_linenumber")).cast("long").as("band"),
+           bit_or(col("l_linenumber")).cast("long").as("bor"),
+           bit_xor(col("l_linenumber")).cast("long").as("bxor"))
+      .orderBy(col("l_returnflag"))
 }

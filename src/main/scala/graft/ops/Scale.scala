@@ -74,4 +74,21 @@ object Scale {
     */
   def sampleByMd5(df: DataFrame, key: String, hexDigits: Seq[String]): DataFrame =
     df.filter(substring(md5(col(key).cast("string")), 1, 1).isin(hexDigits: _*))
+
+  /** q_join_skew: the salted skew join DECLARED against a plain-join
+    * oracle — proving the salt is semantically invisible (same rows, same
+    * aggregates) while physically spreading each hot key over 8 reducers.
+    * The salt on the large side derives deterministically from o_orderkey.
+    */
+  def skewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    val o = graft.io.Sources.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"), col("o_orderkey"))
+    val c = graft.io.Sources.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoinBy(o, c, "custkey", col("o_orderkey"), 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
 }
