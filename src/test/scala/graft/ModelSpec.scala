@@ -4,6 +4,20 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model._
 
+class TypedModelSpec extends AnyFunSuite with SparkFixture {
+  test("typed Dataset surface: encoder roundtrip and pushdown-preserving filters") {
+    val ds = graft.model.Typed.documents(spark, sfDir)
+    val en = graft.model.Typed.inLanguage(ds, "en")
+    val first = en.head()
+    assert(first.lang === "en" && first.text.nonEmpty) // typed access
+    // Column predicate reaches the parquet scan as a pushed filter
+    val p = en.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("lang"), s"no pushdown:\n$p")
+    val gated = graft.model.Typed.withMinChars(en, 100L)
+    assert(gated.collect().forall(d => d.n_chars >= 100L && d.lang == "en"))
+  }
+}
+
 /** Statement-equality tests — direct homage to the reference's DDL
   * compiler tests (postpy tests/test_ddl.py asserting exact SQL strings
   * [unverified, SURVEY §0/§5.1]).
@@ -53,4 +67,6 @@ class ModelSpec extends AnyFunSuite {
     assert(opts("dbtable") === "public.customer")
     assert(opts("user") === "u")
   }
+
+
 }
