@@ -100,4 +100,41 @@ object PropertiesSpec extends Properties("graft") {
       val rhs = da.distinct()
       lhs.exceptAll(rhs).isEmpty && rhs.exceptAll(lhs).isEmpty
     }
+
+  private val sentences: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("the", "data", "spark", "row", "scan", "merge", "fast", "key")
+    val sentence = Gen.listOfN(8, word).map(_.mkString(" "))
+    Gen.listOfN(8, sentence).map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+  }
+
+  property("ngram jaccard ∈ [0,1]; self-pairs absent; ids ordered") =
+    forAll(sentences) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Text.ngramJaccardPairs(df, "doc_id", "text", 3).collect()
+      pairs.forall { r =>
+        val j = r.getAs[Double]("jaccard")
+        j >= 0.0 && j <= 1.0 && r.getAs[Long]("id_a") < r.getAs[Long]("id_b")
+      }
+    }
+
+  property("identical texts have jaccard exactly 1") =
+    forAll(Gen.listOfN(6, Gen.oneOf("a b c d e f", "x y z w v u"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val same = Text.ngramJaccardPairs(df, "doc_id", "text", 3)
+        .join(df.toDF("id_a", "ta"), "id_a")
+        .join(df.toDF("id_b", "tb"), "id_b")
+        .filter(col("ta") === col("tb")).collect()
+      same.forall(_.getAs[Double]("jaccard") == 1.0)
+    }
+
+  property("md5 sampling: deterministic and membership-stable across repartitioning") =
+    forAll(Gen.listOfN(40, Gen.choose(0L, 10000L))) { ks =>
+      val df = ks.distinct.toDF("k")
+      val a = graft.ops.Scale.sampleByMd5(df, "k", Seq("0", "1", "2", "3"))
+        .collect().map(_.getLong(0)).toSet
+      val b = graft.ops.Scale.sampleByMd5(df.repartition(7), "k", Seq("0", "1", "2", "3"))
+        .collect().map(_.getLong(0)).toSet
+      a == b
+    }
+
 }
