@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
+    "q_sim_users" -> Similarity.userSimilarityQuery,
     "q_join_skew" -> Scale.skewJoinQuery,
     "q_text_levenshtein" -> Functions.levenshteinQuery,
     "q_try_cast" -> Functions.tryCastQuery,
@@ -213,6 +214,27 @@ object SparkEntry {
     "q_quality_score" -> qualityOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
+
+    "q_sim_users" ->
+      // sparse behavioral cosine: integer partial sums are exact, only the
+      // final ratio is floating — identical arithmetic in both engines
+      """WITH v AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |norms AS (SELECT user_id, sqrt(CAST(SUM(n*n) AS DOUBLE)) AS nrm FROM v GROUP BY 1),
+        |p AS (SELECT user_id AS probe_id, h, n AS pn FROM v WHERE user_id < 5),
+        |dots AS (
+        |  SELECT p.probe_id, v.user_id AS other_id, CAST(SUM(p.pn * v.n) AS DOUBLE) AS dot
+        |  FROM p JOIN v ON p.h = v.h AND v.user_id <> p.probe_id
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT probe_id, other_id, round(dot/(a.nrm*b.nrm), 6) AS sim
+        |  FROM dots JOIN norms a ON a.user_id = probe_id JOIN norms b ON b.user_id = other_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, other_id) AS BIGINT) AS rn
+        |  FROM sims)
+        |SELECT probe_id, other_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
 
     "q_join_skew" ->
       // the oracle is the PLAIN join: the salt must be semantically invisible

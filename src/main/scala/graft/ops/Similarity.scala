@@ -103,6 +103,41 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q_sim_users: sparse-feature similarity join (behavioral cosine) —
+    * each probe user's hourly-activity vector against every other user's,
+    * computed as a JOIN ON THE SHARED BUCKET rather than dense vectors:
+    * dot(a,b) = Σ_h a_h·b_h only needs rows where both are active. Counts
+    * are integers, so the partial sums are EXACT (BIGINT) and only the
+    * final ratio is floating — fully portable. The probe side broadcasts;
+    * the full vector table streams: the 100 TB shape for user-user
+    * similarity (the dense alternative shuffles |users|² pairs).
+    */
+  def userSimilarityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir)
+    val v = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val norms = v.groupBy(col("user_id"))
+      .agg(sqrt(sum(col("n") * col("n")).cast("double")).as("nrm"))
+    val p = v.filter(col("user_id") < 5)
+      .select(col("user_id").as("probe_id"), col("h").as("ph"), col("n").as("pn"))
+    val dots = broadcast(p)
+      .join(v, col("ph") === col("h") && col("user_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("user_id").as("other_id"))
+      .agg(sum(col("pn") * col("n")).cast("double").as("dot"))
+    val na = norms.select(col("user_id").as("probe_id"), col("nrm").as("nrm_a"))
+    val nb = norms.select(col("user_id").as("other_id"), col("nrm").as("nrm_b"))
+    val sims = dots
+      .join(broadcast(na), Seq("probe_id"))
+      .join(broadcast(nb), Seq("other_id"))
+      .select(col("probe_id"), col("other_id"),
+              r6(col("dot") / (col("nrm_a") * col("nrm_b"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("other_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("other_id"), col("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   // ---------- API-only operators (north star; ScalaTest-covered) ----------
 
   /** Brute-force cosine top-k for an arbitrary probe set (the baseline

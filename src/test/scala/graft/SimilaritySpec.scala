@@ -116,4 +116,13 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
 
+
+  test("user behavioral similarity: top-5 per probe, sims in (0,1], no self-pairs") {
+    val rows = Similarity.userSimilarityQuery(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.forall(_._2.length <= 5))
+    assert(rows.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
 }
