@@ -95,6 +95,7 @@ object SparkEntry {
     "q_stream_session" -> Streaming.session,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_tol" -> Streaming.asofTolerance,
+    "q_join_interval" -> Streaming.intervalJoin,
     "q_agg_filtered" -> Relational.aggFiltered,
     "q_date_spine" -> Relational.dateSpine,
     "q_join_nullsafe" -> Joins.joinNullSafe,
@@ -595,6 +596,13 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
         |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_interval" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_asof_tol" ->
       """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),

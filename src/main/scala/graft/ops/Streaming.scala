@@ -122,6 +122,24 @@ object Streaming {
     asofClickSignup(spark, dir)
       .filter(col("click_us") - col("signup_us") <= 7L * 24 * 3600 * 1000000)
 
+  /** q_join_interval: event-time interval self-join — pairs of events by
+    * the same user within 30 minutes of each other. The user_id equi-key
+    * keeps this a hash join with a residual time predicate (the streaming
+    * analogue is a stream-stream join with a time-range condition); the
+    * time math is integer microseconds on both engines.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir).withColumn("us", us(col("ts")))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("id_a") < col("id_b") &&
+              abs(col("us_a") - col("us_b")) <= 30L * 60 * 1000000)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** Generic as-of join operator (the library API): for each left row,
     * attach the greatest right `timeCol` ≤ left's, per key. Both inputs
     * must share key + time column names.
