@@ -202,7 +202,9 @@ object Streaming {
     * twin of Sources.events — same nanos→micros normalization).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos flag scoped to this reader (explicit schema skips inference;
+    // the option reaches the task-side converter via the relation's
+    // hadoopConf) — no session-global conf mutation, like Sources.events
     val raw = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -211,7 +213,30 @@ object Streaming {
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     // file-stream sources take a directory; select just the events file
-    spark.readStream.schema(raw).option("pathGlobFilter", "events.parquet").parquet(dir)
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(dir)
       .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  /** Stream-stream time-interval join (the streaming twin of
+    * intervalJoin): same-user event pairs within 30 minutes. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark can expire join state — the required shape for
+    * an unbounded stream-stream join (state would otherwise grow forever).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("event_id").as("id_a"),
+                        col("ts").as("ts_a"))
+      .withWatermark("ts_a", "1 hour")
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("id_b"),
+                         col("ts").as("ts_b"))
+      .withWatermark("ts_b", "1 hour")
+    l.join(r,
+      col("l_user") === col("r_user") && col("id_a") < col("id_b") &&
+      col("ts_b") >= col("ts_a") - expr("INTERVAL 30 MINUTES") &&
+      col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"))
+      .select(col("l_user").as("user_id"), col("id_a"), col("id_b"))
   }
 }

@@ -157,4 +157,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getLong(2) - r.getLong(3) <= 604800000000L))
   }
 
+
+  test("stream-stream interval join equals the batch pair join on the same rows") {
+    val events = MemoryStream[Ev]
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rows = Seq(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "view", 1.0),
+      Ev(3, ts(50), 1, "click", 1.0),                       // >30min from 1 and 2
+      Ev(4, ts(5), 2, "click", 1.0), Ev(5, ts(20), 2, "view", 1.0))
+    events.addData(rows: _*)
+    val streamed = runToTable(
+      Streaming.intervalJoinStream(events.toDF(), events.toDF()), "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin over the same rows
+    val batch = {
+      val df = rows.toDF()
+      val a = df.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+      val b = df.select(col("user_id").as("u2"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+      a.join(b, col("user_id") === col("u2") && col("id_a") < col("id_b") &&
+        abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))) <= 30L*60*1000000)
+        .select(col("user_id"), col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(streamed === batch)
+    assert(batch === Set((1L,1L,2L), (2L,4L,5L)))   // 3 pairs nothing (out of range)
+  }
+
 }
