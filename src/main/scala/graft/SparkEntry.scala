@@ -57,6 +57,8 @@ object SparkEntry {
     "q_json_extract" -> Etl.jsonExtract,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
+    "q_scd2" -> Merge.scd2Query,
+    "q_dq_checks" -> Etl.dqChecksQuery,
     "q_insert_missing" -> Merge.insertMissingQuery,
     "q_delete_keys" -> Merge.deleteKeysQuery,
     // §2 G scalar functions / generators
@@ -485,6 +487,34 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(s.c_acctbal, CAST(t.c_acctbal AS DECIMAL(18,2)))) AS DOUBLE) AS sum_bal
         |FROM customer t FULL OUTER JOIN stage s ON t.c_custkey = s.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS from_us,
+        |  epoch_us(lead(o_orderdate, 1) OVER w) AS to_us,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, from_us, o_orderkey""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH base AS (
+        |  SELECT
+        |    COUNT(*) FILTER (WHERE NOT l_quantity BETWEEN 1 AND 50) AS qty_out_of_range,
+        |    COUNT(*) FILTER (WHERE NOT l_discount BETWEEN 0.0 AND 0.1) AS discount_out_of_range,
+        |    COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS null_orderkey,
+        |    COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS bad_returnflag
+        |  FROM lineitem),
+        |dups AS (
+        |  SELECT COALESCE(SUM(c - 1), 0) AS violations FROM (
+        |    SELECT COUNT(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey HAVING COUNT(*) > 1))
+        |SELECT chk, CAST(violations AS BIGINT) AS violations FROM (
+        |  SELECT 'qty_out_of_range' AS chk, qty_out_of_range AS violations FROM base
+        |  UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM base
+        |  UNION ALL SELECT 'null_orderkey', null_orderkey FROM base
+        |  UNION ALL SELECT 'bad_returnflag', bad_returnflag FROM base
+        |  UNION ALL SELECT 'dup_composite_key', violations FROM dups)
+        |ORDER BY chk""".stripMargin,
 
     "q_insert_missing" ->
       """WITH stage AS (

@@ -55,4 +55,41 @@ object Etl {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** Data-quality expectations over a table: each check is a (name,
+    * violation-predicate) pair evaluated in ONE conditional-aggregation
+    * pass — the ingest-gate report a 100 TB pipeline runs before
+    * publishing a partition (reject/alert on nonzero counts). Uniqueness
+    * checks need their own small aggregate (they are not row-local).
+    */
+  def dqChecks(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{count, when, lit}
+    val aggs = checks.map { case (name, violated) =>
+      count(when(violated, 1)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // long format: one row per check
+    row.unpivot(Array.empty, checks.map(c => org.apache.spark.sql.functions.col(c._1)).toArray,
+                "chk", "violations")
+  }
+
+  /** q_dq_checks: the declared data-quality report on lineitem — range,
+    * domain and null checks (row-local, one pass) plus a composite-key
+    * duplicate count.
+    */
+  def dqChecksQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = Sources.lineitem(spark, dir)
+    val rowChecks = dqChecks(l, Seq(
+      "qty_out_of_range" -> !col("l_quantity").between(1, 50),
+      "discount_out_of_range" -> !col("l_discount").between(0.0, 0.1),
+      "null_orderkey" -> col("l_orderkey").isNull,
+      "bad_returnflag" -> !col("l_returnflag").isin("A", "N", "R")))
+    val dups = l.groupBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+      .select(lit("dup_composite_key").as("chk"), col("violations"))
+    rowChecks.unionByName(dups).orderBy(col("chk"))
+  }
 }

@@ -45,6 +45,29 @@ object Merge {
   def deleteByKeys(target: DataFrame, keys: DataFrame, pk: Seq[String]): DataFrame =
     target.join(keys, pk, "left_anti")
 
+  /** Slowly-changing-dimension type 2: order a key's change stream by
+    * event time and derive validity intervals — valid_from = this change,
+    * valid_to = next change (NULL = current). One window per key, no
+    * self-join; the standard warehouse history-tracking verb as pure
+    * dataflow.
+    */
+  def scd2(df: DataFrame, key: String, tsCol: String, tiebreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** q_scd2: customer order history as SCD2 validity intervals. */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame =
+    scd2(Sources.orders(spark, dir), "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"),
+              unix_micros(col("valid_from").cast("timestamp")).as("from_us"),
+              unix_micros(col("valid_to").cast("timestamp")).as("to_us"),
+              col("is_current"))
+      .orderBy(col("o_custkey"), col("from_us"), col("o_orderkey"))
+
   // ---- declared query keys (deterministic stagings derived from the data) ----
 
   private def acctbal100(c: Column): Column = money(c) + lit(100).cast(DecimalType(18, 2))

@@ -92,4 +92,22 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(perFile.forall(_ <= 50L), s"files over cap: ${perFile.filter(_ > 50L).mkString(",")}")
   }
 
+
+  test("dq checks: row-local checks clean; composite-key dup count matches direct count") {
+    val rows = graft.ops.Etl.dqChecksQuery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size === 5)
+    // synthetic data is range/domain/null-clean...
+    assert(rows("qty_out_of_range") === 0L && rows("discount_out_of_range") === 0L)
+    assert(rows("null_orderkey") === 0L && rows("bad_returnflag") === 0L)
+    // ...but lineitem has NO unique composite key (known data quirk) — the
+    // check must agree with an independent dup count
+    import org.apache.spark.sql.functions._
+    val expected = graft.io.Sources.lineitem(spark, sfDir)
+      .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L))).collect()(0).getLong(0)
+    assert(rows("dup_composite_key") === expected)
+  }
+
 }

@@ -68,4 +68,17 @@ class MergeSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ("c" -> 30L))      // stage-only row inserted
   }
 
+
+  test("scd2: intervals chain per key; exactly one current row per key") {
+    val rows = graft.ops.Merge.scd2Query(spark, sfDir).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.count(_.getBoolean(4)) === 1, s"key $k: exactly one is_current")
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(1)))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(!a.isNullAt(3) && a.getLong(3) === b.getLong(2), s"key $k: valid_to chains to next valid_from")
+      }
+    }
+  }
+
 }
