@@ -98,6 +98,8 @@ object SparkEntry {
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_join_interval" -> Streaming.intervalJoin,
+    "q_retention_cohort" -> Analytics.retentionCohort,
+    "q_funnel" -> Analytics.funnel,
     "q_agg_filtered" -> Relational.aggFiltered,
     "q_date_spine" -> Relational.dateSpine,
     "q_join_nullsafe" -> Joins.joinNullSafe,
@@ -626,6 +628,26 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
         |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT epoch_us(cohort_wk) AS cohort_us, epoch_us(wk) AS week_us,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(t_view) AS n_view,
+        |  COUNT(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+        |  COUNT(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click) AS n_full_funnel
+        |FROM f""".stripMargin,
 
     "q_join_interval" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Analytics
+
+class AnalyticsSpec extends AnyFunSuite with SparkFixture {
+
+  test("retention: cohort users sum to total users in the cohort's own week") {
+    val rows = Analytics.retentionCohort(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // activity week is never before the cohort week
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(0)))
+    // total distinct users across cohort diagonal == total users
+    val diag = rows.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    val total = graft.io.Sources.events(spark, sfDir)
+      .select("user_id").distinct.count()
+    assert(diag === total)   // every user is active in their first week
+  }
+
+  test("funnel: monotone non-increasing step counts") {
+    val r = Analytics.funnel(spark, sfDir).collect()(0)
+    val (v, vc, full) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && vc >= full && full >= 0)
+    assert(v > 0)
+  }
+}
