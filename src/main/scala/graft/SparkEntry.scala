@@ -54,6 +54,7 @@ object SparkEntry {
     // §2 A scans / sources
     "q_scan_project_filter" -> Etl.scanProjectFilter,
     "q_csv_roundtrip" -> Etl.csvRoundtrip,
+    "q_json_roundtrip" -> Etl.jsonRoundtrip,
     "q_json_extract" -> Etl.jsonExtract,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
@@ -466,6 +467,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_roundtrip" ->
+      // the oracle reads PARQUET directly: the roundtrip must be lossless
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents WHERE doc_id % 3 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->

@@ -45,6 +45,25 @@ object Etl {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_json_roundtrip: JSON-lines bulk load — write a documents slice as
+    * JSONL, read it back with the explicit schema (no inference pass), and
+    * aggregate; the declared result must equal the same aggregate straight
+    * off parquet, proving the roundtrip lossless. The newline-delimited
+    * JSON source/sink is the interchange format most ingest feeds arrive
+    * in at scale.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_json_roundtrip").toFile
+    tmp.deleteOnExit()
+    Sources.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").json(tmp.getAbsolutePath)
+    Sources.jsonLines(spark, tmp.getAbsolutePath, Schemas.documents)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
   /** q_json_extract: JSON field extraction from a string column — the
     * codegen'd get_json_object path, no UDF.
     */

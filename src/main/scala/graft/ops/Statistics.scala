@@ -22,7 +22,8 @@ object Statistics {
     val spark = df.sparkSession
     val aggs = df.columns.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        // coalesce: an EMPTY input must yield 0, not a NULL that breaks getAs[Long]
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
         approx_count_distinct(col(c), rsd).as(s"__ndv_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
