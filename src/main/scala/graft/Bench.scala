@@ -20,10 +20,16 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // two timed passes, min per query: local-machine contention adds
-    // ±15-20% noise to any single pass; the min is the steady-state cost
+    // ±15-20% noise to any single pass; the min is the steady-state cost.
+    // A failing query must NOT pass off its elapsed-to-failure time as a
+    // benchmark result — failures are tracked and published in the JSON.
+    val failed = scala.collection.mutable.SortedSet[String]()
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())
@@ -31,7 +37,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,14 @@ object Det {
     * scale, so any trailing-zero value ('4434.70' vs 4434.7) hash-splits.
     * The decimal→double conversion itself is identical in both engines for
     * any unscaled value < 2^53 (exact operands, single IEEE divide).
+    *
+    * BOUND: beyond 2^53 unscaled (≈ scale-2 sums over ~9e11, reached by
+    * per-group money sums around SF 30+) the two engines' conversions may
+    * differ by 1 ulp (Spark: one BigDecimal rounding; DuckDB: hugeint→
+    * double then /10^scale, two roundings). The oracle gate runs at
+    * sf0.01 — 5 orders of magnitude of headroom; if a future gate scales
+    * past that, switch the affected twins to round-6 of the double ratio
+    * or compare at reduced precision.
     */
   def asOut(c: Column): Column = c.cast("double")
 

@@ -276,17 +276,20 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_count" ->
-      // BPE-ish tokens = maximal letter/digit runs + each non-space,
-      // non-alphanumeric char (exactly what the Spark lookaround split
-      // yields after trimming whitespace pieces)
+      // BPE-ish tokens = maximal letter/digit runs + each kept single-char
+      // piece. The Spark twin keeps a piece iff trim() leaves it non-empty,
+      // and Java's trim strips EVERY char <= U+0020 — so the oracle's
+      // "counted punctuation" class is [^letters digits \x00-\x20], NOT
+      // RE2's \s (which would diverge on \x0B and other control chars)
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
         |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
-        |     + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tokens_bpe
+        |     + len(regexp_extract_all(text, '[^\p{L}\p{N}\x00-\x20]')) AS BIGINT) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      // explicit whitespace class — Java \s and RE2 \s differ on \x0B
+      """SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->

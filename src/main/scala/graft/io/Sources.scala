@@ -41,18 +41,24 @@ object Sources {
     * session-global conf mutation, so other nanos-timestamp parquet reads
     * in the same session keep their own semantics.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = StructType(Schemas.events.fields.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
+  /** Raw on-disk events schema: ts as the nanosecond long it physically is
+    * (derived from Schemas.events — ONE source of truth for batch and
+    * streaming readers).
+    */
+  val eventsRawSchema: StructType = StructType(Schemas.events.fields.map {
+    case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+    case f => f
+  })
+
+  /** The shared ns→us ts normalization (DuckDB-identical integer DIV). */
+  val eventsTsNormalization: String = "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
+
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
-      .schema(raw)
+      .schema(eventsRawSchema)
       .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
-  }
+      .withColumn("ts", org.apache.spark.sql.functions.expr(eventsTsNormalization))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

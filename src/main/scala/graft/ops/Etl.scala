@@ -28,9 +28,20 @@ object Etl {
     * same aggregate straight off parquet, proving the roundtrip lossless.
     * The write happens eagerly; the returned plan reads only the CSV.
     */
+  /** One fixed scratch directory per purpose under java.io.tmpdir —
+    * Spark's overwrite mode replaces the contents on every run, so repeated
+    * Verify/Bench invocations reuse the same disk footprint instead of
+    * leaking a populated temp dir each time.
+    */
+  private def scratchDir(name: String): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"), name)
+
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv_roundtrip").toFile
-    tmp.deleteOnExit()
+    // FIXED scratch path, overwritten each run: a fresh createTempDirectory
+    // per invocation accumulates populated dirs forever (deleteOnExit is a
+    // no-op on non-empty directories), and Verify+Bench call this dozens of
+    // times per round
+    val tmp = scratchDir("graft_csv_roundtrip")
     val slice = Sources.lineitem(spark, dir).filter(col("l_orderkey") % 5 === 0)
     slice.write.mode("overwrite")
       .option("header", "true").option("nullValue", "")
@@ -53,8 +64,7 @@ object Etl {
     * in at scale.
     */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_json_roundtrip").toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir("graft_json_roundtrip")
     Sources.documents(spark, dir).filter(col("doc_id") % 3 === 0)
       .write.mode("overwrite").json(tmp.getAbsolutePath)
     Sources.jsonLines(spark, tmp.getAbsolutePath, Schemas.documents)

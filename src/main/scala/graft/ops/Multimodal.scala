@@ -94,16 +94,13 @@ object Multimodal {
       .withColumn("n_sampled", size(col("sampled_frames")))
 
   /** Content-addressed exact dedup of binary media — REAL, not stubbed:
-    * md5 over the payload bytes, keep the lowest media_id per digest. The
-    * binary-column sibling of Text.exactDedup; same single-shuffle shape,
-    * and the hash is computed without ever decoding the payload.
+    * md5 over the payload bytes (Spark's md5 accepts binary directly, no
+    * decode), keep the lowest media_id per digest. Delegates to the one
+    * shared keep-rule in Text.exactDedup so the text and binary dedup
+    * semantics can never drift apart.
     */
-  def dedupMedia(media: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("content"))).orderBy(col("media_id"))
-    media.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  def dedupMedia(media: DataFrame): DataFrame =
+    Text.exactDedup(media, "content", "media_id")
 
   /** Vision-token budget per media row (pure column math over decoded
     * dimensions): ceil(w/p)·ceil(h/p) patches per frame × frames — the

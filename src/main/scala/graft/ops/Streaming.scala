@@ -201,24 +201,16 @@ object Streaming {
   /** File-source streaming reader for the events table (the readStream
     * twin of Sources.events — same nanos→micros normalization).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // nanos flag scoped to this reader (explicit schema skips inference;
-    // the option reaches the task-side converter via the relation's
-    // hadoopConf) — no session-global conf mutation, like Sources.events
-    val raw = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    // file-stream sources take a directory; select just the events file
-    spark.readStream.schema(raw)
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // schema + ts normalization shared with Sources.events (one source of
+    // truth — the batch/stream twins can't drift); nanos flag scoped to
+    // this reader, no session-global conf mutation. File-stream sources
+    // take a directory; the glob selects just the events file.
+    spark.readStream.schema(graft.io.Sources.eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(dir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
-  }
+      .withColumn("ts", expr(graft.io.Sources.eventsTsNormalization))
 
   /** Stream-stream time-interval join (the streaming twin of
     * intervalJoin): same-user event pairs within 30 minutes. BOTH sides

@@ -113,9 +113,12 @@ object Text {
   /** Canonical-form content fingerprint: md5 of the whitespace-normalized,
     * lowercased text — the portable cross-engine document identity (the
     * xxhash64 rolling fingerprint below is the faster engine-internal one).
+    * The whitespace class is spelled out EXPLICITLY because Java's \s
+    * includes \x0B while RE2's does not — an engine-divergent shorthand
+    * has no place in a canonical identity.
     */
   def canonicalFingerprint(c: Column): Column =
-    md5(lower(regexp_replace(c, "\\s+", " ")))
+    md5(lower(regexp_replace(c, "[ \\t\\n\\x0B\\f\\r]+", " ")))
 
   /** q_doc_fingerprint: per-doc canonical content hash. */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
