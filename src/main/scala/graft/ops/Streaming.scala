@@ -185,6 +185,46 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming as-of enrichment via custom state: each arriving click is
+    * joined to the latest signup SEEN SO FAR for its user — the CDC/
+    * enrichment form of the as-of join, running incrementally instead of
+    * re-sorting history. State per user is ONE timestamp (the last signup
+    * μs), so memory is O(active users) regardless of event volume; at
+    * 100 TB/day add a GroupStateTimeout to expire dormant users.
+    *
+    * Within a micro-batch, rows arrive time-ordered per user via the
+    * sort below only BETWEEN signups/clicks of the same batch — the
+    * iterator is processed in event-time order after an in-group sort.
+    * Emits (event_id, user_id, click_us, signup_us) for clicks with a
+    * known prior-or-equal signup, matching asofClickSignup semantics.
+    */
+  def asofStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), us(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, Long, String, Long)], state: GroupState[Long]) =>
+          var lastSignup = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          // event-time order within the batch: signups before clicks at
+          // the same timestamp (kind 0 < 1), matching the batch twin
+          rows.toSeq.sortBy(r => (r._4, if (r._3 == "signup") 0 else 1)).foreach {
+            case (_, _, "signup", t) => lastSignup = math.max(lastSignup, t)
+            case (_, eid, "click", t) if lastSignup != Long.MinValue && t >= lastSignup =>
+              out += ((eid, user, t, lastSignup))
+            case _ => ()
+          }
+          if (lastSignup != Long.MinValue) state.update(lastSignup)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "click_us", "signup_us")
+  }
+
   /** Streaming exact dedup (north-star: dedup a document STREAM): drop
     * rows whose content hash was already seen, with the dedup state
     * bounded by the watermark horizon — the streaming twin of

@@ -183,4 +183,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batch === Set((1L,1L,2L), (2L,4L,5L)))   // 3 pairs nothing (out of range)
   }
 
+
+  test("asofStream: incremental stateful as-of matches expected enrichment across batches") {
+    val events = MemoryStream[Ev]
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val df = Streaming.asofStream(events.toDF())
+    val q = df.writeStream.format("memory").queryName("asof_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // batch 1: u1 signup+click, u2 click-before-any-signup then signup
+    events.addData(
+      Ev(1, ts(0), 1, "signup", 0), Ev(2, ts(5), 1, "click", 0),
+      Ev(3, ts(2), 2, "click", 0), Ev(4, ts(4), 2, "signup", 0))
+    val s1 = q.start(); s1.awaitTermination()
+    // batch 2: u1 re-signup + click (matches NEW signup), u2 click (matches 10:04)
+    events.addData(
+      Ev(5, ts(10), 1, "signup", 0), Ev(6, ts(15), 1, "click", 0),
+      Ev(7, ts(6), 2, "click", 0))
+    val s2 = df.writeStream.format("memory").queryName("asof_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    s2.awaitTermination()
+    val out = spark.table("asof_stream_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00").getTime * 1000L
+    assert(out === Set(
+      (2L, 1L, us(5), us(0)),    // click after first signup
+      (6L, 1L, us(15), us(10)),  // click matches the RE-signup, not the old one
+      (7L, 2L, us(6), us(4))))   // u2's click after its signup; event 3 never matches
+  }
+
 }
