@@ -106,4 +106,16 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getBoolean(3)))   // all_positive on TPC-H prices
   }
 
+
+  test("approx_percentile within accuracy tolerance of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val l = graft.io.Sources.lineitem(spark, sfDir)
+    val r = l.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    // accuracy=1000 → rank error ≤ n/1000; value error bounded loosely here
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
 }
