@@ -311,10 +311,15 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_neardup" ->
+      // deterministic md5-digit half-slice on BOTH sides (mirrors
+      // Scale.sampleByMd5 — the same engine-portable sample q_sample_hash
+      // uses), so the declared exact pair mining is input-bounded
       """SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+        |    AND substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) t
         |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "q_window_ntile" ->

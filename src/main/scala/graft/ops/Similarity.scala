@@ -84,21 +84,42 @@ object Similarity {
   }
 
   /** q_sim_neardup: exact pairwise cosine similar-pair mining above a
-    * threshold (round-6 BEFORE the threshold test so the boundary cannot
-    * flip between engines). This quadratic exact form is the declared
-    * ground truth; nearDupPairs below (LSH candidate generation) is the
-    * subquadratic scale path tolerance-tested against it.
+    * threshold, DECLARED over a deterministic md5-digit half-slice of the
+    * corpus (Scale.sampleByMd5 semantics, mirrored verbatim in the oracle
+    * SQL) so the declared query's input — and therefore its pair count —
+    * is deterministically bounded rather than all-pairs over the full
+    * corpus. The unbounded exact form (`simPairsExact`) stays API-only as
+    * the ground truth the LSH path (nearDupPairs) is tolerance-tested
+    * against; the production-scale path for the FULL corpus is always
+    * nearDupPairs (banded hash join), never this exact miner.
+    *
+    * Round-6 BEFORE the threshold test so the boundary cannot flip
+    * between engines.
     */
-  def simPairsQuery(spark: SparkSession, dir: String): DataFrame = {
-    val e = Sources.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    // the threshold lives IN the join condition: the nested-loop join then
-    // emits only surviving pairs instead of materializing every candidate
-    // pair row (each carrying two embedding arrays) for a later filter —
-    // the recomputed cosine in the projection touches ~a dozen rows
-    a.join(b, col("id_a") < col("id_b") &&
-              r6(cosineNative(col("ea"), col("eb"))) >= 0.45)
+  def simPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    simPairsExact(
+      Scale.sampleByMd5(Sources.embeddings(spark, dir), "vec_id",
+                        (0 to 7).map(_.toHexString)),
+      threshold = 0.45)
+
+  /** Exact threshold pair mining as a BLOCK-REPLICATED EQUI-JOIN: the
+    * right side is hash-bucketed into `blocks` groups, the left side is
+    * exploded to every block id, and the join runs on the block key — a
+    * shuffled hash/sort-merge join, NOT a BroadcastNestedLoopJoin. Total
+    * comparisons are still O(n²) (inherent to exact mining — bound n or
+    * use nearDupPairs), but the work is spread evenly over `blocks`
+    * reducers with ~n/blocks right rows each, instead of every pair
+    * hitting one nested-loop task.
+    */
+  def simPairsExact(emb: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
+    val right = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      .withColumn("__blk", pmod(xxhash64(col("id_b")), lit(blocks)))
+    val left = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .withColumn("__blk", explode(array((0 until blocks).map(i => lit(i.toLong)): _*)))
+    // threshold in the join condition: only surviving pairs materialize
+    left.join(right, left("__blk") === right("__blk") &&
+                     col("id_a") < col("id_b") &&
+                     r6(cosineNative(col("ea"), col("eb"))) >= threshold)
       .select(col("id_a"), col("id_b"), r6(cosineNative(col("ea"), col("eb"))).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }

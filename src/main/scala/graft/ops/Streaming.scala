@@ -123,18 +123,31 @@ object Streaming {
       .filter(col("click_us") - col("signup_us") <= 7L * 24 * 3600 * 1000000)
 
   /** q_join_interval: event-time interval self-join — pairs of events by
-    * the same user within 30 minutes of each other. The user_id equi-key
-    * keeps this a hash join with a residual time predicate (the streaming
-    * analogue is a stream-stream join with a time-range condition); the
-    * time math is integer microseconds on both engines.
+    * the same user within 30 minutes of each other.
+    *
+    * The equi-key is (user_id, time_bucket), not user_id alone: joining on
+    * the user only makes the join quadratic PER USER (one bot with 1M
+    * events = 10¹² pairs in a single task). Bucketing time into
+    * bound-width cells and exploding the left side to {b-1, b, b+1} keeps
+    * the exact ±bound semantics (any qualifying pair's buckets differ by
+    * at most 1) while bounding each join group to the events of one user
+    * in one 30-minute cell — the 100 TB-safe shape. Each qualifying pair
+    * matches exactly once (the one exploded bucket equal to the right
+    * row's own bucket); the ±30-min predicate stays as the exact residual.
+    * Time math is integer microseconds on both engines.
     */
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bound = 30L * 60 * 1000000
     val e = Sources.events(spark, dir).withColumn("us", us(col("ts")))
     val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+      .withColumn("__b0", expr(s"us_a DIV $bound"))
+      .withColumn("bkt", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
     val b = e.select(col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"))
-    a.join(b, Seq("user_id"))
+      .withColumn("bkt", expr(s"us_b DIV $bound"))
+    a.join(b, Seq("user_id", "bkt"))
       .filter(col("id_a") < col("id_b") &&
-              abs(col("us_a") - col("us_b")) <= 30L * 60 * 1000000)
+              abs(col("us_a") - col("us_b")) <= bound)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))
@@ -165,22 +178,42 @@ object Streaming {
   /** Custom streaming state (§2 H API-only row): per-user running
     * count + money total maintained in GroupState across micro-batches —
     * the flatMapGroupsWithState surface. Emits the updated running totals
-    * for each user touched by the batch. State size is O(active users);
-    * at 100 TB a timeout (GroupStateTimeout) bounds it to the active set.
+    * for each user touched by the batch.
+    *
+    * State is bounded to the ACTIVE user set via EventTimeTimeout: each
+    * update arms a timeout at (last event time + horizon); once the
+    * watermark passes it, the dormant key's state is dropped — without
+    * this, per-user state grows forever at 100 TB/day. A user returning
+    * after the horizon restarts from zero (the documented expiry
+    * semantics, asserted in StreamingSpec).
     */
-  def runningUserTotals(events: DataFrame): DataFrame = {
+  def runningUserTotals(events: DataFrame, horizonMs: Long = 3600000L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark0 = events.sparkSession
     import spark0.implicits._
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    // ts passes through UNPROJECTED: the event-time-timeout checker
+    // requires the watermarked attribute itself in the stateful
+    // operator's child output (a derived epoch column loses the
+    // watermark metadata)
+    events
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          var (n, s) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { r => n += 1; s += r._2 }
-          state.update((n, s))
-          Iterator((user, n, s))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            var maxMs = Long.MinValue
+            rows.foreach { r => n += 1; s += r._2; maxMs = math.max(maxMs, r._3.getTime) }
+            state.update((n, s))
+            state.setTimeoutTimestamp(maxMs + horizonMs)
+            Iterator((user, n, s))
+          }
       }
       .toDF("user_id", "n_events", "sum_value")
   }
@@ -189,8 +222,10 @@ object Streaming {
     * joined to the latest signup SEEN SO FAR for its user — the CDC/
     * enrichment form of the as-of join, running incrementally instead of
     * re-sorting history. State per user is ONE timestamp (the last signup
-    * μs), so memory is O(active users) regardless of event volume; at
-    * 100 TB/day add a GroupStateTimeout to expire dormant users.
+    * μs); EventTimeTimeout expires users dormant past `horizonMs` (the
+    * as-of staleness bound — default 7 days, matching asofTolerance), so
+    * memory is O(users active within the horizon), not O(all users ever):
+    * the required shape at 100 TB/day.
     *
     * Within a micro-batch, rows arrive time-ordered per user via the
     * sort below only BETWEEN signups/clicks of the same batch — the
@@ -198,29 +233,47 @@ object Streaming {
     * Emits (event_id, user_id, click_us, signup_us) for clicks with a
     * known prior-or-equal signup, matching asofClickSignup semantics.
     */
-  def asofStream(events: DataFrame): DataFrame = {
+  def asofStream(events: DataFrame, horizonMs: Long = 7L * 24 * 3600000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark0 = events.sparkSession
     import spark0.implicits._
+    // ts passes through unprojected — see runningUserTotals; event-time
+    // micros are derived in the lambda (ms·1000 + sub-ms nanos)
     events
-      .select(col("user_id"), col("event_id"), col("event_type"), us(col("ts")).as("us"))
-      .as[(Long, Long, String, Long)]
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (user: Long, rows: Iterator[(Long, Long, String, Long)], state: GroupState[Long]) =>
-          var lastSignup = state.getOption.getOrElse(Long.MinValue)
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-          // event-time order within the batch: signups before clicks at
-          // the same timestamp (kind 0 < 1), matching the batch twin
-          rows.toSeq.sortBy(r => (r._4, if (r._3 == "signup") 0 else 1)).foreach {
-            case (_, _, "signup", t) => lastSignup = math.max(lastSignup, t)
-            case (_, eid, "click", t) if lastSignup != Long.MinValue && t >= lastSignup =>
-              out += ((eid, user, t, lastSignup))
-            case _ => ()
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // dormant past the staleness horizon: the stored signup could
+            // never satisfy a future click's bound anyway — drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+            var lastSignup = state.getOption.getOrElse(Long.MinValue)
+            var maxUs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+            // event-time order within the batch: signups before clicks at
+            // the same timestamp (kind 0 < 1), matching the batch twin
+            rows.map(r => (r._1, r._2, r._3, us(r._4)))
+              .toSeq.sortBy(r => (r._4, if (r._3 == "signup") 0 else 1)).foreach {
+              case (_, _, "signup", t) => lastSignup = math.max(lastSignup, t); maxUs = math.max(maxUs, t)
+              case (_, eid, "click", t) =>
+                maxUs = math.max(maxUs, t)
+                if (lastSignup != Long.MinValue && t >= lastSignup)
+                  out += ((eid, user, t, lastSignup))
+              case (_, _, _, t) => maxUs = math.max(maxUs, t)
+            }
+            if (lastSignup != Long.MinValue) {
+              state.update(lastSignup)
+              state.setTimeoutTimestamp(maxUs / 1000 + horizonMs)
+            }
+            out.iterator
           }
-          if (lastSignup != Long.MinValue) state.update(lastSignup)
-          out.iterator
       }
       .toDF("event_id", "user_id", "click_us", "signup_us")
   }

@@ -116,6 +116,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
 
+  test("simPairsExact block equi-join equals the naive all-pairs miner") {
+    val e = emb.filter(col("vec_id") < 100)
+    val naive = {
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_a") < col("id_b") &&
+                graft.Det.r6(Similarity.cosineNative(col("ea"), col("eb"))) >= 0.45)
+        .select(col("id_a"), col("id_b"),
+                graft.Det.r6(Similarity.cosineNative(col("ea"), col("eb"))).as("sim"))
+    }
+    val block = Similarity.simPairsExact(e, 0.45)
+    assert(block.exceptAll(naive).isEmpty && naive.exceptAll(block).isEmpty)
+  }
+
+  test("declared q_sim_neardup plan is a hash/sort-merge join, not BNLJ") {
+    val p = plan(Similarity.simPairsQuery(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
 
   test("user behavioral similarity: top-5 per probe, sims in (0,1], no self-pairs") {
     val rows = Similarity.userSimilarityQuery(spark, sfDir).collect()

@@ -117,6 +117,65 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out === Set((2L, 15.0), (3L, 17.5)))
   }
 
+  test("EventTimeTimeout: dormant user's running-total state is dropped past the horizon") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = Streaming.runningUserTotals(events.toDF, horizonMs = 3600000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // b1: user 1 accumulates 10.0
+    events.addData(Ev(1, new Timestamp(base), 1, "view", 10.0)); q.processAllAvailable()
+    // b2: sentinel event far in the future — after this batch the
+    // watermark advances past user 1's (last event + 1h) timeout
+    events.addData(Ev(2, new Timestamp(base + 10 * 3600000L), 999, "view", 1.0)); q.processAllAvailable()
+    // b3: the timeout actually fires here (timeouts are evaluated against
+    // the watermark computed from the PREVIOUS batch)
+    events.addData(Ev(3, new Timestamp(base + 11 * 3600000L), 999, "view", 1.0)); q.processAllAvailable()
+    // b4: user 1 returns — totals must RESTART from zero, proving the
+    // dormant state was dropped, not kept forever
+    events.addData(Ev(4, new Timestamp(base + 12 * 3600000L), 1, "view", 7.0)); q.processAllAvailable()
+    q.stop()
+    val user1 = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).filter(_._1 == 1L).toSet
+    assert(user1 === Set((1L, 1L, 10.0), (1L, 1L, 7.0)),
+      "expected a restarted (n=1) total after expiry, not an accumulated one")
+  }
+
+  test("EventTimeTimeout: running totals still accumulate within the horizon (equal to batch)") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = Streaming.runningUserTotals(events.toDF, horizonMs = 3600000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    events.addData(Ev(1, new Timestamp(base), 1, "view", 10.0),
+                   Ev(2, new Timestamp(base + 1000), 1, "view", 5.0))
+    q.processAllAvailable()
+    events.addData(Ev(3, new Timestamp(base + 2000), 1, "view", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // same accumulation as the batch twin: (2, 15.0) then (3, 17.5)
+    assert(out === Set((2L, 15.0), (3L, 17.5)))
+  }
+
+  test("asofStream EventTimeTimeout: a dormant user's signup state expires") {
+    val events = MemoryStream[Ev]
+    def ts(h: Int) = new Timestamp(1700000000000L + h * 3600000L)
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = Streaming.asofStream(events.toDF, horizonMs = 3600000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    events.addData(Ev(1, ts(0), 1, "signup", 0)); q.processAllAvailable()
+    events.addData(Ev(2, ts(10), 999, "view", 0)); q.processAllAvailable()  // watermark advances
+    events.addData(Ev(3, ts(11), 999, "view", 0)); q.processAllAvailable()  // timeout fires
+    events.addData(Ev(4, ts(12), 1, "click", 0)); q.processAllAvailable()   // signup forgotten
+    q.stop()
+    assert(spark.table(name).filter(col("user_id") === 1).count() === 0,
+      "click after the expired signup must not match")
+  }
+
   test("streaming dedup drops repeated content within the horizon") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
@@ -158,6 +217,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   }
 
 
+  test("bucketed interval join equals the naive user_id-only join; composite equi-key in plan") {
+    // semantics: the (user_id, bucket) equi-key with left exploded to
+    // {b-1, b, b+1} must reproduce the naive join on user_id exactly
+    val bound = 30L * 60 * 1000000
+    val e = graft.io.Sources.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"))
+    val naive = a.join(b, Seq("user_id"))
+      .filter(col("id_a") < col("id_b") && abs(col("us_a") - col("us_b")) <= bound)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+    val bucketed = Streaming.intervalJoin(spark, sfDir)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    // the plan must join on the composite key (bkt present as a join key),
+    // never fall back to a nested-loop shape
+    val p = plan(bucketed)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("bkt"), "composite (user_id, bkt) equi-key missing from plan:\n" + p)
+  }
+
   test("stream-stream interval join equals the batch pair join on the same rows") {
     val events = MemoryStream[Ev]
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
@@ -187,22 +266,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("asofStream: incremental stateful as-of matches expected enrichment across batches") {
     val events = MemoryStream[Ev]
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
-    val df = Streaming.asofStream(events.toDF())
-    val q = df.writeStream.format("memory").queryName("asof_stream_t")
-      .outputMode("append").trigger(Trigger.AvailableNow())
+    qn += 1
+    val name = s"stream_result_$qn"
+    // ONE continuous query — signup state must persist across micro-batches
+    val q = Streaming.asofStream(events.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
     // batch 1: u1 signup+click, u2 click-before-any-signup then signup
     events.addData(
       Ev(1, ts(0), 1, "signup", 0), Ev(2, ts(5), 1, "click", 0),
       Ev(3, ts(2), 2, "click", 0), Ev(4, ts(4), 2, "signup", 0))
-    val s1 = q.start(); s1.awaitTermination()
-    // batch 2: u1 re-signup + click (matches NEW signup), u2 click (matches 10:04)
+    q.processAllAvailable()
+    // batch 2: u1 re-signup + click (matches NEW signup), u2 click
+    // (matches the 10:04 signup CARRIED IN STATE from batch 1)
     events.addData(
       Ev(5, ts(10), 1, "signup", 0), Ev(6, ts(15), 1, "click", 0),
       Ev(7, ts(6), 2, "click", 0))
-    val s2 = df.writeStream.format("memory").queryName("asof_stream_t")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    s2.awaitTermination()
-    val out = spark.table("asof_stream_t").collect()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     def us(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00").getTime * 1000L
     assert(out === Set(
