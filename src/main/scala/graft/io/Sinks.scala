@@ -24,11 +24,14 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
-  /** CSV export with header — COPY TO analogue. */
-  def csv(df: DataFrame, path: String, nullValue: String = ""): Unit =
+  /** CSV export with header — COPY TO analogue. `encoding` accepts a PG
+    * codec name or Java charset (same registry as the reader side).
+    */
+  def csv(df: DataFrame, path: String, nullValue: String = "",
+          encoding: String = "UTF-8"): Unit =
     df.write.mode("overwrite")
       .option("header", "true").option("nullValue", nullValue)
-      .option("encoding", "UTF-8")
+      .option("encoding", Sources.charsetFor(encoding))
       .csv(path)
 
   /** Hive-style partitioned write with bounded file sizes — the layout a

@@ -62,17 +62,61 @@ object Sources {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Postgres codec name → Java charset name — the engine's analogue of
+    * postpy's encoding registry (pg_encodings.get_postgres_encoding
+    * [unverified, SURVEY §0], direction reversed: the reference maps
+    * python codec → PG name to tell the server; we map PG name → JVM
+    * charset to tell the reader). Keys are normalized uppercase with
+    * separators stripped, so 'latin-1', 'LATIN1' and 'latin_1' all hit.
+    * Wild-caught CSVs are routinely latin-1/cp1252 — hardwiring UTF-8
+    * silently mangles them (no error, wrong bytes).
+    */
+  val pgEncodings: Map[String, String] = Map(
+    "UTF8"      -> "UTF-8",
+    "LATIN1"    -> "ISO-8859-1",
+    "LATIN2"    -> "ISO-8859-2",
+    "LATIN5"    -> "ISO-8859-9",
+    "LATIN9"    -> "ISO-8859-15",
+    "ISO88591"  -> "ISO-8859-1",
+    "ISO885915" -> "ISO-8859-15",
+    "WIN1250"   -> "windows-1250",
+    "WIN1251"   -> "windows-1251",
+    "WIN1252"   -> "windows-1252",
+    "CP1252"    -> "windows-1252",
+    "SQLASCII"  -> "US-ASCII",
+    "KOI8R"     -> "KOI8-R",
+    "EUCJP"     -> "EUC-JP",
+    "EUCKR"     -> "EUC-KR",
+    "SJIS"      -> "Shift_JIS",
+    "GBK"       -> "GBK",
+    "GB18030"   -> "GB18030",
+    "BIG5"      -> "Big5",
+    "UTF16"     -> "UTF-16",
+  )
+
+  /** Resolve a PG-style encoding name to a JVM charset; unknown names fall
+    * through verbatim (the JVM may still know them) but must resolve to a
+    * supported charset — failing LOUDLY beats decoding with wrong bytes.
+    */
+  def charsetFor(pgName: String): String = {
+    val cs = pgEncodings.getOrElse(pgName.toUpperCase.replaceAll("[-_ ]", ""), pgName)
+    require(java.nio.charset.Charset.isSupported(cs), s"unsupported encoding: $pgName")
+    cs
+  }
+
   /** CSV read with required explicit schema — the COPY FROM CSV analogue
     * (postpy dml.copy_from_csv [unverified, SURVEY §0]). Header on,
-    * empty-string → null, UTF-8.
+    * empty-string → null; `encoding` accepts either a PG codec name
+    * (LATIN1, WIN1252…) or a Java charset name, via `charsetFor`.
     */
   def csv(spark: SparkSession, path: String, schema: StructType,
-          header: Boolean = true, nullValue: String = ""): DataFrame =
+          header: Boolean = true, nullValue: String = "",
+          encoding: String = "UTF-8"): DataFrame =
     spark.read
       .schema(schema)
       .option("header", header.toString)
       .option("nullValue", nullValue)
-      .option("encoding", "UTF-8")
+      .option("encoding", charsetFor(encoding))
       .csv(path)
 
   /** JSON-lines read with explicit schema. */

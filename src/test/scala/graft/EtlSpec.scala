@@ -67,6 +67,45 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("_corrupt").isNotNull).head.getString(2).contains("not_a_number"))
   }
 
+  test("encoding registry: PG codec names resolve; unknown names fail loudly") {
+    assert(Sources.charsetFor("LATIN1") === "ISO-8859-1")
+    assert(Sources.charsetFor("latin-1") === "ISO-8859-1")
+    assert(Sources.charsetFor("latin_1") === "ISO-8859-1")
+    assert(Sources.charsetFor("WIN1252") === "windows-1252")
+    assert(Sources.charsetFor("UTF8") === "UTF-8")
+    assert(Sources.charsetFor("ISO-8859-15") === "ISO-8859-15") // JVM passthrough
+    intercept[IllegalArgumentException] { Sources.charsetFor("KLINGON") }
+  }
+
+  test("latin-1 CSV: bytes written as ISO-8859-1 decode correctly; UTF-8 read mangles them") {
+    val dir = Files.createTempDirectory("graft_latin1")
+    // 'café', 'Müller' — 0xE9 and 0xFC are NOT valid UTF-8 sequences
+    Files.write(dir.resolve("data.csv"),
+      "id,name\n1,café\n2,Müller\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val names = Sources.csv(spark, dir.toString, schema, encoding = "LATIN1")
+      .orderBy(col("id")).collect().map(_.getString(1))
+    assert(names.toSeq === Seq("café", "Müller"))
+    val mangled = Sources.csv(spark, dir.toString, schema)
+      .orderBy(col("id")).collect().map(_.getString(1))
+    assert(mangled.toSeq !== Seq("café", "Müller"),
+      "a UTF-8 read of latin-1 bytes must NOT silently produce the right strings")
+  }
+
+  test("latin-1 CSV roundtrip through sink and source") {
+    val dir = Files.createTempDirectory("graft_latin1rt").toString
+    val df = spark.sql("SELECT * FROM VALUES (1, 'café'), (2, 'Müller') AS t(id, name)")
+    Sinks.csv(df, dir, encoding = "latin1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val back = Sources.csv(spark, dir, schema, encoding = "latin1")
+      .orderBy(col("id")).collect().map(_.getString(1))
+    assert(back.toSeq === Seq("café", "Müller"))
+  }
+
   test("csv sink + source roundtrip preserves nulls via nullValue") {
     val dir = Files.createTempDirectory("graft_csvnull").toString
     val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)) AS t(id, s)")
