@@ -72,6 +72,47 @@ object Sinks {
     deleteRecursively(backup)
   }
 
+  /** Multi-table staged commit — the closest Spark analogue of the
+    * reference's multi-statement transaction (postpy sql.execute_transaction
+    * [unverified, SURVEY §0]): EVERY table is staged first (the expensive,
+    * failure-prone phase — a failure here leaves all targets untouched),
+    * then all are swapped in by cheap same-filesystem renames; a swap-phase
+    * failure rolls the already-swapped tables back to their previous
+    * content before propagating. Readers therefore see either all old
+    * tables or all new ones — never a mixed set (modulo the rename window,
+    * which is milliseconds per table, not a data rewrite).
+    */
+  def atomicOverwriteAll(writes: Seq[(DataFrame, String)]): Unit = {
+    // phase 1: stage everything
+    writes.foreach { case (df, path) =>
+      val staging = Paths.get(path + ".__staging")
+      deleteRecursively(staging)
+      df.write.mode("overwrite").parquet(staging.toString)
+    }
+    // phase 2: swap everything; remember what's swapped for rollback
+    val swapped = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      writes.foreach { case (_, path) =>
+        val target = Paths.get(path)
+        val backup = Paths.get(path + ".__old")
+        deleteRecursively(backup)
+        if (Files.exists(target)) Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(path + ".__staging"), target, StandardCopyOption.ATOMIC_MOVE)
+        swapped += path
+      }
+    } catch { case e: Throwable =>
+      // restore every table already swapped, newest-first
+      swapped.reverseIterator.foreach { path =>
+        val target = Paths.get(path)
+        val backup = Paths.get(path + ".__old")
+        deleteRecursively(target)
+        if (Files.exists(backup)) Files.move(backup, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+      throw e
+    }
+    writes.foreach { case (_, path) => deleteRecursively(Paths.get(path + ".__old")) }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -55,17 +55,15 @@ object Ivf {
         (i, r.getSeq[Float](0).map(_.toDouble).toArray)
       }
     (1 to iters).foreach { _ =>
+      // single-pass per-cell means: dim is known, so the per-dimension
+      // averages are `dim` agg expressions in ONE hash aggregate — one
+      // shuffle at `cell` grain, instead of posexplode (rows × dim) +
+      // a (cell, pos) shuffle + a second re-assembly shuffle
       val means = assignCells(corpus, centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("cell"))
-        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("mm"))
+        .agg(array((0 until dim).map(i => avg(col("embedding")(i).cast("double"))): _*).as("m"))
         .collect()
-        .map { r =>
-          val mm = r.getMap[Int, Double](1)
-          (r.getInt(0), Array.tabulate(dim)(i => mm.getOrElse(i, 0.0)))
-        }
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       // empty cells keep their previous centroid
       val kept = means.map(_._1).toSet
       centroids = (means ++ centroids.filterNot(c => kept.contains(c._1))).sortBy(_._1)

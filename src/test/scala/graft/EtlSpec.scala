@@ -53,6 +53,26 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(java.nio.file.Paths.get(path + ".__old")))
   }
 
+  test("multi-table staged commit: both land on success, neither changes on stage failure") {
+    val dir = Files.createTempDirectory("graft_multiatomic").toString
+    val a = s"$dir/a"; val b = s"$dir/b"
+    Sinks.atomicOverwriteAll(Seq(
+      spark.range(10).toDF("id") -> a,
+      spark.range(20).toDF("id") -> b))
+    assert(spark.read.parquet(a).count() === 10)
+    assert(spark.read.parquet(b).count() === 20)
+    // second commit where table B's plan FAILS during staging: neither
+    // target may change (stage-all-first means no swap has happened yet)
+    val boom = spark.range(5).toDF("id")
+      .withColumn("x", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id >= 0 THEN raise_error('stage failure') ELSE 'ok' END"))
+    intercept[Exception] {
+      Sinks.atomicOverwriteAll(Seq(spark.range(99).toDF("id") -> a, boom -> b))
+    }
+    assert(spark.read.parquet(a).count() === 10, "target A must be untouched")
+    assert(spark.read.parquet(b).count() === 20, "target B must be untouched")
+  }
+
   test("csv quarantine: malformed rows isolated, clean rows parsed") {
     val dir = Files.createTempDirectory("graft_csvq")
     Files.writeString(dir.resolve("data.csv"),

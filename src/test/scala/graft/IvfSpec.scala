@@ -35,6 +35,10 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     val approx = Ivf.search(idx, probes, cents, k = 1, nprobe = 3)
       .select("probe_id", "vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = exact.count { case (p, v) => approx.get(p).contains(v) }
-    assert(hits >= exact.size / 2, s"IVF recall@1 too low: $hits/${exact.size}")
+    info(s"IVF recall@1 at nprobe=3/8: $hits/${exact.size}")
+    // the build is deterministic (asserted above), so the recall at this
+    // fixed seed/nprobe is an exact number — pin it: measured 10/15.
+    // A drop means the quantizer or cell assignment regressed.
+    assert(hits >= 10, s"IVF recall@1 regressed below the pinned floor: $hits/${exact.size} < 10/15")
   }
 }
