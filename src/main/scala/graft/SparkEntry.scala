@@ -110,6 +110,7 @@ object SparkEntry {
     "q_window_running" -> Windows.windowRunning,
     "q_window_range" -> Windows.windowRange,
     "q_window_lag_lead" -> Windows.windowLagLead,
+    "q_window_first_last" -> Windows.windowFirstLast,
     "q_topk_per_group" -> Windows.topkPerGroup,
     "q_sort_limit_topk" -> Windows.sortLimitTopk,
     "q_union_all" -> Windows.unionAll,
@@ -851,6 +852,19 @@ object SparkEntry {
         |  lead(value, 1) OVER w AS next_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q_window_first_last" ->
+      // last/nth REQUIRE the explicit full frame — the default running
+      // frame would make last_value the current row on both engines
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (

@@ -99,6 +99,26 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** q_window_first_last: positional window values — each order alongside
+    * its customer's first, latest, and second order price. first_value
+    * uses the default running frame; last/nth need the FULL partition
+    * frame (unboundedPreceding..unboundedFollowing) — with the default
+    * frame last_value is just the current row, the classic SQL trap, so
+    * the frame is explicit and identical in the oracle twin.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Sources.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(wRun).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q_topk_per_group: top-3 orders by price per market segment —
     * row_number + filter, the scalable per-group top-k (heap-free, one
     * shuffle on the group key).

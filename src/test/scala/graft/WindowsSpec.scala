@@ -44,6 +44,24 @@ class WindowsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.count(_.isNullAt(2)) === nUsers)
   }
 
+  test("first/last/nth: single-order customers have first==last, null second") {
+    val rows = Windows.windowFirstLast(spark, sfDir).collect()
+    val byCust = rows.groupBy(_.getLong(1))
+    byCust.foreach { case (ck, rs) =>
+      // first_price / last_price are partition constants except that
+      // first_value's running frame means every row's first is the true
+      // first; last over the full frame is constant
+      val lasts = rs.map(_.getDouble(3)).distinct
+      assert(lasts.length === 1, s"customer $ck: last_price must be one value per partition")
+      if (rs.length == 1) {
+        assert(rs.head.getDouble(2) === rs.head.getDouble(3), s"customer $ck")
+        assert(rs.head.isNullAt(4), s"customer $ck: nth(2) of a 1-row partition is null")
+      } else {
+        assert(rs.forall(!_.isNullAt(4)), s"customer $ck: nth(2) defined for 2+ orders")
+      }
+    }
+  }
+
   test("top-k per group: at most 3 per segment, ranked 1..k") {
     val rows = Windows.topkPerGroup(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
