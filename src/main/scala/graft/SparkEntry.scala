@@ -58,6 +58,7 @@ object SparkEntry {
     "q_json_extract" -> Etl.jsonExtract,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
+    "q_merge_sql" -> Merge.mergeSqlQuery,
     "q_scd2" -> Merge.scd2Query,
     "q_dq_checks" -> Etl.dqChecksQuery,
     "q_insert_missing" -> Merge.insertMissingQuery,
@@ -493,6 +494,23 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_upsert_merge" ->
+      """WITH stage AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'Customer#new', c_nationkey, CAST(500 AS DECIMAL(18,2)), 'AUTOMOBILE'
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |)
+        |SELECT COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(s.c_acctbal, CAST(t.c_acctbal AS DECIMAL(18,2)))) AS DOUBLE) AS sum_bal
+        |FROM customer t FULL OUTER JOIN stage s ON t.c_custkey = s.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_merge_sql" ->
+      // the SAME oracle as q_upsert_merge: executable MERGE INTO and the
+      // join-dataflow upsert are two routes to one semantic — both gated
       """WITH stage AS (
         |  SELECT c_custkey, c_name, c_nationkey,
         |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS c_acctbal,

@@ -95,6 +95,48 @@ object Merge {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q_merge_sql: the EXECUTABLE `MERGE INTO` route to the exact same
+    * post-state as q_upsert_merge — loads the customer fixture into the
+    * in-memory DSv2 row-level-operation catalog (graft.catalog
+    * .GraftCatalog), runs real MERGE SQL (matched → UPDATE SET *,
+    * not matched → INSERT *), and returns the per-segment checksum of the
+    * post-MERGE table. The oracle twin is the same full-outer-join SQL as
+    * q_upsert_merge: one semantic, two executable routes, both gated.
+    * Idempotent (drop + recreate) so Bench's repeated passes are safe.
+    */
+  def mergeSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.q_merge_customer")
+    spark.sql(
+      """CREATE TABLE graft_cat.default.q_merge_customer
+        |(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT,
+        | c_acctbal DECIMAL(18,2), c_mktsegment STRING)""".stripMargin)
+    Sources.customer(spark, dir)
+      .withColumn("c_acctbal", money(col("c_acctbal")))
+      .createOrReplaceTempView("q_merge_src")
+    spark.sql("INSERT INTO graft_cat.default.q_merge_customer SELECT * FROM q_merge_src")
+    val t = Sources.customer(spark, dir)
+    val updates = t.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              acctbal100(col("c_acctbal")).cast(DecimalType(18, 2)).as("c_acctbal"),
+              col("c_mktsegment"))
+    val inserts = t.filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), lit("Customer#new").as("c_name"),
+              col("c_nationkey"), lit(500).cast(DecimalType(18, 2)).as("c_acctbal"),
+              lit("AUTOMOBILE").as("c_mktsegment"))
+    updates.unionByName(inserts).createOrReplaceTempView("q_merge_stage")
+    spark.sql(
+      """MERGE INTO graft_cat.default.q_merge_customer t
+        |USING q_merge_stage s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.table("graft_cat.default.q_merge_customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), asOut(sum(col("c_acctbal"))).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** q_insert_missing: stage overlaps the target (every 5th customer) and
     * adds new keys (every 50th, key+2000000); only the new keys land.
     */
