@@ -81,6 +81,8 @@ object SparkEntry {
     "q_token_count" -> Text.tokenCountQuery,
     "q_doc_fingerprint" -> Text.fingerprintQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
+    "q_dedup_minhash" -> Text.dedupMinhashQuery,
+    "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_sim_users" -> Similarity.userSimilarityQuery,
@@ -213,10 +215,59 @@ object SparkEntry {
        |FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_dedup_minhash oracle: min-md5-string MinHash, k=8 — component i is
+    * min(md5('i:' || shingle)); est = matching components / 8. Shingle
+    * construction is verbatim the q_dedup_ngram oracle's.
+    */
+  private def minhashOracle: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:'||s)) AS m$i").mkString(",\n    ")
+    val matches = (0 until 8).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1.0 ELSE 0.0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 40),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+       |  FROM t),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY 1)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(($matches) / 8.0, 6) AS est_j
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q_dedup_simhash oracle: 16-bit SimHash from md5 hex nibbles — bit b
+    * = sign of Σ_tokens ±1 per bit (b%4) of hex digit 1+b/4 (nibble via
+    * ascii arithmetic), Hamming via bit_count(xor).
+    */
+  private def simhashOracle: String = {
+    val sums = (0 until 16).map { b =>
+      val pos = 1 + b / 4; val shift = b % 4
+      s"SUM(CASE WHEN ((ascii(substr(h, $pos, 1)) - CASE WHEN ascii(substr(h, $pos, 1)) <= 57 THEN 48 ELSE 87 END) >> $shift) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val sig = (0 until 16).map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents WHERE doc_id < 40),
+       |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+       |sums AS (SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, ($sig) AS sig FROM sums)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB oracle twins — bare table names (driver registers each parquet
     * table under its name, per the contract example).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracle,
+
+    "q_dedup_simhash" -> simhashOracle,
+
     "q_lang_id" -> langIdOracle,
 
     "q_quality_score" -> qualityOracle,

@@ -62,6 +62,17 @@ object MinHash {
     def outputEncoder: Encoder[Array[Long]] = implicitly(org.apache.spark.sql.Encoders.kryo[Array[Long]])
   }
 
+  /** Engine-PORTABLE MinHash signature: component i is the lexicographic
+    * MIN over shingles of md5("i:" ++ shingle). md5 and string ordering
+    * agree across every engine (xxhash64 is Spark-specific), so this form
+    * is oracle-declarable (q_dedup_minhash); `signatureCol` above is the
+    * faster in-engine sketch. Same estimator: P(component match) =
+    * Jaccard, so matching-fraction estimates similarity.
+    */
+  def md5Signature(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s))))): _*)
+
   /** Jaccard estimate from two signatures: fraction of agreeing slots. */
   def estimateCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / size(a)

@@ -75,6 +75,23 @@ object Scale {
   def sampleByMd5(df: DataFrame, key: String, hexDigits: Seq[String]): DataFrame =
     df.filter(substring(md5(col(key).cast("string")), 1, 1).isin(hexDigits: _*))
 
+  /** Every unordered row pair (idCol_a < idCol_b) of a BOUNDED frame as a
+    * block-replicated EQUI-join (same shape as Similarity.simPairsExact):
+    * the right side is hashed into `blocks` groups, the left side exploded
+    * to every block id — a shuffled hash/sort-merge join, never a
+    * nested-loop/cartesian plan (PlanGateSpec bans those), with the O(n²)
+    * comparisons spread evenly over `blocks` reducers. Columns return
+    * suffixed _a / _b. Bound n before calling — all-pairs is inherently
+    * quadratic; this controls the plan shape, not the asymptotics.
+    */
+  def allPairsBlocked(df: DataFrame, idCol: String, blocks: Int = 16): DataFrame = {
+    val left = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "_a"))
+      .withColumn("__blk", explode(array((0 until blocks).map(i => lit(i.toLong)): _*)))
+    val right = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "_b"))
+      .withColumn("__blk", pmod(xxhash64(col(idCol + "_b")), lit(blocks)))
+    left.join(right, Seq("__blk")).filter(col(idCol + "_a") < col(idCol + "_b")).drop("__blk")
+  }
+
   /** q_join_skew: the salted skew join DECLARED against a plain-join
     * oracle — proving the salt is semantically invisible (same rows, same
     * aggregates) while physically spreading each hot key over 8 reducers.

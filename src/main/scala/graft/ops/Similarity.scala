@@ -273,4 +273,25 @@ object Similarity {
   }
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Engine-PORTABLE SimHash (q_dedup_simhash): bit b of the signature is
+    * the sign of Σ_tokens ±1, where the ±1 comes from bit (b%4) of the
+    * md5 hex digit at position 1+b/4 — nibble value recovered by ascii
+    * arithmetic (md5 renders lowercase hex in every engine). `simHash`
+    * above is the faster xxhash64 in-engine form; this one is
+    * oracle-declarable because md5/ascii/shift agree across engines.
+    */
+  def simHashMd5(toks: Column, bits: Int = 16): Column = {
+    val hs = transform(toks, t => md5(t))
+    (0 until bits).map { b =>
+      val pos = 1 + b / 4
+      val shift = b % 4
+      val contrib = aggregate(hs, lit(0L), (acc, h) => {
+        val a = ascii(substring(h, pos, 1))
+        val v = a - when(a <= 57, 48).otherwise(87)
+        acc + when(pmod(shiftright(v, shift), lit(2)) === 1, 1L).otherwise(-1L)
+      })
+      when(contrib >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
 }

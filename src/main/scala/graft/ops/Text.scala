@@ -138,6 +138,43 @@ object Text {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q_dedup_minhash: PORTABLE MinHash (min-md5-string components,
+    * MinHash.md5Signature, k=8) — the estimated Jaccard for every pair of
+    * a deterministic doc slice (doc_id < 40; docs with no 3-gram shingles
+    * drop out on both engines). Completes the declared dedup family with
+    * the sketch path: exact ↔ n-gram ↔ MinHash estimate are now ALL under
+    * the oracle gate. The pair join is block-replicated equi
+    * (Scale.allPairsBlocked) — no nested-loop plan.
+    */
+  def dedupMinhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("doc_id"), MinHash.md5Signature(col("ss"), 8).as("sig"))
+    Scale.allPairsBlocked(sigs, "doc_id")
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
+        r6(aggregate(zip_with(col("sig_a"), col("sig_b"),
+             (x, y) => when(x === y, 1.0).otherwise(0.0)),
+           lit(0.0), (acc, v) => acc + v) / 8.0).as("est_j"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q_dedup_simhash: PORTABLE SimHash (16-bit, md5-nibble bits,
+    * Similarity.simHashMd5) — pairwise Hamming distance over the same
+    * bounded doc slice. Near-dup texts → small Hamming distance; the
+    * declared form pins the signature arithmetic against DuckDB
+    * (ascii/shift/xor/bit_count are engine-identical).
+    */
+  def dedupSimhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        Similarity.simHashMd5(array_distinct(tokens(col("text"))), 16).as("sig"))
+    Scale.allPairsBlocked(sigs, "doc_id")
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
+              Similarity.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- API-only operators (north star; ScalaTest-covered) ----------
 
   /** Language ID by stopword-hit heuristic: score each language by the

@@ -127,4 +127,39 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("SortMergeJoin"), s"shingle self-join must sort-merge:\n$p")
   }
 
+  test("dedupMinhashQuery: est in {0, 1/8, ..., 1}; identical texts estimate 1.0") {
+    val rows = Text.dedupMinhashQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r =>
+      val e = r.getDouble(2); e >= 0.0 && e <= 1.0 && math.abs(e * 8 - math.round(e * 8)) < 1e-9
+    })
+    // identical shingle sets ⇒ identical min-md5 components ⇒ est exactly 1
+    import org.apache.spark.sql.functions._
+    val d = Sources.documents(spark, sfDir).filter(col("doc_id") < 2)
+    val dup = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000))
+    val sigs = dup.select(col("doc_id"),
+      graft.ops.MinHash.md5Signature(
+        array_distinct(Text.shingles(col("text"), 3)), 8).as("sig"))
+    val selfPairs = graft.ops.Scale.allPairsBlocked(sigs, "doc_id")
+      .filter(col("doc_id_b") === col("doc_id_a") + 1000)
+      .select(graft.ops.MinHash.estimateCol(col("sig_a"), col("sig_b")).as("e"))
+      .collect()
+    assert(selfPairs.length === 2 && selfPairs.forall(_.getDouble(0) === 1.0))
+  }
+
+  test("dedupSimhashQuery: hamming in [0,16]; identical token sets are 0 apart") {
+    val rows = Text.dedupSimhashQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 16))
+    import org.apache.spark.sql.functions._
+    val sig = Sources.documents(spark, sfDir).limit(20)
+      .select(col("doc_id"),
+        graft.ops.Similarity.simHashMd5(array_distinct(Text.tokens(col("text"))), 16).as("s"))
+    val self = sig.as("a").join(sig.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(graft.ops.Similarity.hamming(col("a.s"), col("b.s")).as("h"))
+      .collect()
+    assert(self.forall(_.getLong(0) === 0L))
+  }
+
 }
