@@ -305,6 +305,37 @@ object Streaming {
       .parquet(dir)
       .withColumn("ts", expr(graft.io.Sources.eventsTsNormalization))
 
+  /** Continuous CDC apply (the STREAMING route to postpy's upsert verb):
+    * maintain a path-addressed parquet table as the running UPSERT of an
+    * unbounded change stream. Each micro-batch (a) keeps only the LATEST
+    * change per key within the batch (`seqCol` descending — the Delta-
+    * style last-writer-wins convention), (b) merges it into the current
+    * table with the same Merge.upsert dataflow the batch verb uses, and
+    * (c) atomically replaces the table (stage + rename), so readers
+    * always see a complete post-merge state. foreachBatch is the
+    * canonical Spark shape for merge sinks; at scale the same callback
+    * body targets a transactional table format instead of rename.
+    */
+  def applyCdcStream(stage: DataFrame, tablePath: String, pk: Seq[String],
+                     seqCol: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stage.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark0 = batch.sparkSession
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = p.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+        val target = if (fs.exists(p)) spark0.read.parquet(tablePath) else latest.limit(0)
+        // materialization order is safe: the merge plan reads the CURRENT
+        // table files while atomicOverwrite writes the staging dir; the
+        // rename happens only after the staged write completes
+        graft.io.Sinks.atomicOverwrite(Merge.upsert(target, latest, pk), tablePath)
+        ()
+      }
+      .start()
+
   /** Stream-stream time-interval join (the streaming twin of
     * intervalJoin): same-user event pairs within 30 minutes. BOTH sides
     * carry watermarks and the join condition bounds event time in both

@@ -176,6 +176,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "click after the expired signup must not match")
   }
 
+  test("applyCdcStream maintains the upsert post-state across micro-batches") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val table = s"$dir/t"
+    val q = Streaming.applyCdcStream(
+      events.toDF.select(col("user_id"), col("value"), col("ts")),
+      table, Seq("user_id"), "ts", s"$dir/ckpt")
+    // batch 1: two keys, plus an in-batch duplicate for user 1 — the
+    // LATER change (value 11) must win within the batch
+    events.addData(
+      Ev(1, new Timestamp(base), 1, "u", 10.0),
+      Ev(2, new Timestamp(base + 1000), 1, "u", 11.0),
+      Ev(3, new Timestamp(base + 500), 2, "u", 20.0))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after1 === Map(1L -> 11.0, 2L -> 20.0))
+    // batch 2: update user 2, insert user 3 — user 1 must carry over
+    events.addData(Ev(4, new Timestamp(base + 2000), 2, "u", 21.0),
+                   Ev(5, new Timestamp(base + 2500), 3, "u", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after2 === Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+  }
+
   test("streaming dedup drops repeated content within the horizon") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
