@@ -56,6 +56,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> Etl.csvRoundtrip,
     "q_json_roundtrip" -> Etl.jsonRoundtrip,
     "q_json_extract" -> Etl.jsonExtract,
+    "q_partition_prune" -> Etl.partitionPrune,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
     "q_merge_sql" -> Merge.mergeSqlQuery,
@@ -536,6 +537,16 @@ object SparkEntry {
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents WHERE doc_id % 3 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_partition_prune" ->
+      // the oracle reads FLAT parquet: the hive-partitioned roundtrip and
+      // its directory-pruned read must be lossless vs the unpartitioned scan
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1994-01' AND '1994-03'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -74,6 +74,36 @@ object Etl {
       .orderBy(col("lang"))
   }
 
+  /** Hive-layout scratch table for the partition-pruning surface: orders
+    * written partitioned by order month (`o_month=yyyy-MM/` directories)
+    * via Sinks.writePartitioned. Overwritten in place on every call (same
+    * fixed-scratch-dir policy as the other roundtrips). At 100 TB this
+    * layout IS the table design: a month predicate must skip whole
+    * directories at planning time instead of scanning 84 months of data.
+    */
+  def partitionedOrdersPath(spark: SparkSession, dir: String): String = {
+    val tmp = scratchDir("graft_partitioned_orders")
+    val orders = Sources.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    graft.io.Sinks.writePartitioned(orders, tmp.getAbsolutePath, Seq("o_month"), 1000000L)
+    tmp.getAbsolutePath
+  }
+
+  /** q_partition_prune: partitioned-layout roundtrip + PRUNED read — write
+    * orders hive-partitioned by month, read back with a month-range
+    * predicate that resolves against directory names only (PartitionFilters
+    * in the scan; asserted in PlanGateSpec — 3 of ~84 month directories
+    * touched, the rest never opened). The declared result must equal the
+    * same aggregate straight off flat parquet (the oracle's form), proving
+    * the partitioned layout lossless AND the pruned read correct.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(partitionedOrdersPath(spark, dir))
+      .filter(col("o_month").between("1994-01", "1994-03"))
+      .groupBy(col("o_month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_month"), col("o_orderpriority"))
+
   /** q_json_extract: JSON field extraction from a string column — the
     * codegen'd get_json_object path, no UDF.
     */

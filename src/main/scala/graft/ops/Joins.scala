@@ -188,19 +188,29 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** q_join_range: theta self-join bounded by the customer equi-key: pairs
-    * of orders per customer where one strictly precedes the other. The
-    * equi component keeps this a hash join with a residual condition —
-    * no nested-loop blowup at scale.
+  /** q_join_range: strictly-ordered order pairs per customer — the theta
+    * self-join `o1 ⋈ o2 ON custkey AND d1 < d2` (the oracle keeps that
+    * literal form), computed here WITHOUT any join: per (custkey, date)
+    * counts cᵢ, then Σᵢ cᵢ · (prefix count of strictly earlier dates) via
+    * one window. A per-key self-join is O(k²) rows in the hot key's task;
+    * this form is O(distinct dates) per key — one hash aggregate and one
+    * window, and the custkey shuffle is reused by the final aggregate.
+    * Customers whose orders all share one date produce zero pairs and are
+    * filtered, matching the join's no-output-row behavior.
     */
   def joinRange(spark: SparkSession, dir: String): DataFrame = {
-    val o1 = Sources.orders(spark, dir)
-      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("d1"))
-    val o2 = Sources.orders(spark, dir)
-      .select(col("o_custkey").as("custkey2"), col("o_orderdate").as("d2"))
-    o1.join(o2, col("custkey") === col("custkey2") && col("d1") < col("d2"))
+    val perDate = Sources.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("d"))
+      .groupBy(col("custkey"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("custkey")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDate
+      .withColumn("earlier", coalesce(sum(col("c")).over(w), lit(0L)))
       .groupBy(col("custkey"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("c") * col("earlier")).cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
       .orderBy(col("custkey"))
   }
 }

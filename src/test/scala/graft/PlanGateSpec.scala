@@ -48,6 +48,37 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_partition_prune: month predicate lands in PartitionFilters (directory skip)") {
+    val p = plan(ops.Etl.partitionPrune(spark, sfDir))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_month"),
+      s"month predicate not in PartitionFilters — pruning lost:\n$p")
+    // the predicate must NOT fall through to data-level PushedFilters:
+    // partition pruning skips directories at planning time, a pushed filter
+    // still opens every file
+    assert(!scanLine.replaceAll(".*PushedFilters", "").contains("o_month"),
+      s"o_month degraded to a data filter:\n$scanLine")
+  }
+
+  test("dynamic partition pruning fires on a dim-filtered join against the partitioned fact") {
+    val path = ops.Etl.partitionedOrdersPath(spark, sfDir)
+    val fact = spark.read.parquet(path)
+    // month dimension with a derived attribute; the selective filter is on
+    // the DIM side only — the fact's partition pruning must come from DPP
+    val dim = fact.select(org.apache.spark.sql.functions.col("o_month")).distinct()
+      .withColumn("q1", org.apache.spark.sql.functions.col("o_month").substr(6, 2)
+        .isin("01", "02", "03"))
+    val joined = fact
+      .join(org.apache.spark.sql.functions.broadcast(
+        dim.filter(org.apache.spark.sql.functions.col("q1"))), Seq("o_month"))
+      .groupBy("o_month")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruning expression in the fact scan — DPP not planned:\n$p")
+  }
+
   test("every lineitem scan prunes its ReadSchema") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (unprunedLineitem(plan(fn(spark, sfDir)))) Some(name) else None
