@@ -36,6 +36,7 @@ object SparkEntry {
     "q_unpivot" -> Relational.unpivotMoney,
     "q_histogram" -> Relational.histogram,
     "q_scalar_subquery" -> Relational.scalarSubquery,
+    "q_corr_subquery" -> Relational.corrSubquery,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
+    "q_media_dedup" -> Multimodal.mediaDedupQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_sim_users" -> Similarity.userSimilarityQuery,
@@ -268,6 +270,26 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_media_dedup" ->
+      // binary content-addressed dedup: Spark hashes the BINARY payload,
+      // the oracle hashes the same UTF-8 bytes via md5(text); keep-rule is
+      // lowest media_id per digest on both sides
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    md5(text) AS digest, n_chars
+        |  FROM documents),
+        |kept AS (
+        |  SELECT media_id, kind, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY digest ORDER BY media_id) AS rn
+        |  FROM media)
+        |SELECT kind, COUNT(*) AS n_kept,
+        |  CAST(SUM(media_id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_bytes
+        |FROM kept WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lang_id" -> langIdOracle,
 
@@ -501,6 +523,18 @@ object SparkEntry {
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3
         |         WHERE c3.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_corr_subquery" ->
+      // Q17 shape; threshold = exact-integer sum cast to double, one IEEE
+      // division — no dependence on either engine's AVG implementation
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE 5 * CAST(l.l_quantity AS BIGINT)
+        |  < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+        |       / COUNT(*)
+        |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
 
     "q_predicates" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,

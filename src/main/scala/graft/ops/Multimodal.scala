@@ -102,6 +102,22 @@ object Multimodal {
   def dedupMedia(media: DataFrame): DataFrame =
     Text.exactDedup(media, "content", "media_id")
 
+  /** q_media_dedup: the content-addressed BINARY dedup as a declared,
+    * oracle-gated key — dedupMedia over the synthetic media table (md5 of
+    * the payload bytes, keep the lowest media_id per digest), then per-kind
+    * stats of the kept rows. The hash runs on the binary column; the
+    * oracle's twin hashes the same bytes via DuckDB md5(text) (the payload
+    * IS the UTF-8 encoding of text, so the digests coincide). Binary never
+    * appears in the declared OUTPUT (contract: no binary output columns).
+    */
+  def mediaDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupMedia(syntheticMedia(spark, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("media_id")).as("sum_id"),
+           sum(col("meta.bytes")).as("sum_bytes"))
+      .orderBy(col("kind"))
+
   /** Vision-token budget per media row (pure column math over decoded
     * dimensions): ceil(w/p)·ceil(h/p) patches per frame × frames — the
     * packing/costing primitive a multimodal training pipeline runs before

@@ -241,6 +241,32 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q_corr_subquery: the TPC-H Q17 shape — line items whose quantity is
+    * below 20% of their part's average, rolled up per brand. ONE correlated
+    * scalar subquery (two would each decorrelate into their own aggregate —
+    * measured: a third full lineitem scan; correlated subqueries are not
+    * merged the way uncorrelated ones are). The threshold stays
+    * deterministic across engines without trusting either AVG
+    * implementation: 5·qty < Σqty/n, where Σqty is an exact integer cast to
+    * double (exact below 2⁵³) and the division is a single identical IEEE
+    * op on both sides. Catalyst decorrelates into one per-part aggregate
+    * joined back on l_partkey (RewriteCorrelatedScalarSubquery) — two scans
+    * total, the canonical Q17 plan.
+    */
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Sources.lineitem(spark, dir).createOrReplaceTempView("csq_lineitem")
+    Sources.part(spark, dir).createOrReplaceTempView("csq_part")
+    spark.sql(
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM csq_lineitem l JOIN csq_part p ON p.p_partkey = l.l_partkey
+        |WHERE 5 * CAST(l.l_quantity AS BIGINT)
+        |  < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+        |       / COUNT(*)
+        |     FROM csq_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+  }
+
   /** q_agg_filtered: FILTER-style conditional aggregation plus boolean
     * aggregates (bool_and/bool_or) — count(when(...)) is Spark's portable
     * spelling of COUNT(*) FILTER (WHERE ...). One hash aggregate, tiny
