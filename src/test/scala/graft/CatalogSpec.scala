@@ -29,4 +29,44 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.catalog.listTables().collect().exists(_.name == "graft_reflect_v"))
     spark.catalog.dropTempView("graft_reflect_v")
   }
+
+  test("GraftCatalog tables are FILE-backed: group files + manifest, COW swap on MERGE") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_t")
+    spark.sql("CREATE TABLE graft_fb.default.fb_t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_t SELECT id AS k, CAST(id AS STRING) AS v FROM range(100)")
+
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_t")).asInstanceOf[graft.catalog.GraftTable]
+    val dir = Paths.get(tbl.location)
+
+    def groups() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val before = groups()
+    assert(before.nonEmpty, "insert produced no group files on disk")
+    assert(Files.exists(dir.resolve("manifest")), "no manifest published")
+    assert(graft.catalog.GroupFiles.live(dir).toSet === before,
+      "manifest does not list exactly the on-disk groups")
+
+    // copy-on-write MERGE: every live group is rewritten — the post-state
+    // file set must be disjoint from the pre-state set (immutable groups)
+    spark.sql(
+      """MERGE INTO graft_fb.default.fb_t t
+        |USING (SELECT id AS k, 'upd' AS v FROM range(0, 100, 2)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = groups()
+    assert(after.nonEmpty && after.intersect(before).isEmpty,
+      s"MERGE must replace groups copy-on-write: before=$before after=$after")
+    assert(spark.table("graft_fb.default.fb_t").count() === 100)
+    assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_t WHERE v = 'upd'")
+      .head().getLong(0) === 50)
+    spark.sql("DROP TABLE graft_fb.default.fb_t")
+    assert(!Files.exists(dir), "DROP TABLE must delete the table directory")
+  }
 }
