@@ -65,6 +65,43 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(l.join(o1, "o_orderkey").count() === l.count())
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition (when salting is NOT needed)") {
+    import spark.implicits._
+    // one pathological key: ~80% of the left side lands in a single reducer.
+    // Thresholds are lowered so the test-scale bytes trip the same decision
+    // a production hot partition would; payload is incompressible-ish so
+    // shuffle sizes reflect row counts.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val left = spark.range(200000L)
+        .select(when(col("id") < 160000L, 0L).otherwise(col("id")).as("k"),
+                md5(col("id").cast("string")).as("pad"))
+      val right = spark.range(0L, 200000L, 1000L).select(col("id").as("k"),
+                md5(col("id").cast("string")).as("dim"))
+      // keep the payload columns in the output — selecting only k would let
+      // column pruning shrink the shuffle below the skew threshold
+      val joined = left.join(right, "k").select(col("k"), col("pad"), col("dim"))
+      // collect() executes THIS dataset's QueryExecution — count() would
+      // build a fresh one and the inspected plan would never finalize
+      assert(joined.collect().length === 160000 + 40) // hot key + every 1000th id
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("coPartition: downstream groupBy on the key reuses the partitioning") {
     val co = Scale.coPartition(graft.io.Sources.orders(spark, sfDir), "o_custkey", 4)
     val agg = co.groupBy("o_custkey").agg(count(lit(1)))

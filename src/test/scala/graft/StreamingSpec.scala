@@ -98,6 +98,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(firstWin.head.getLong(2) === 1L)
   }
 
+  test("tumbling: out-of-order rows aggregate; row AT the watermark kept; window ENDING at it closed") {
+    val events = MemoryStream[Ev]
+    val hour = 3600000L
+    // hour-ALIGNED base: tumbling windows start at epoch-hour multiples, so
+    // alignment makes "window ending exactly at the watermark" exact
+    val base = 1700000000000L / hour * hour
+    val streamed = runBatches(events,
+      Streaming.tumblingOn(events.toDF.withWatermark("ts", "1 hour")),
+      Seq(
+        // batch 1 advances the watermark to base+1h (max ts − 1h delay)
+        Seq(Ev(1, new Timestamp(base + 2 * hour), 1, "view", 1.0)),
+        Seq(
+          // out-of-order but inside the horizon: must aggregate
+          Ev(2, new Timestamp(base + hour + 30 * 60000), 1, "view", 2.0),
+          // EXACTLY at the watermark: its window [1h,2h) is still open → kept
+          Ev(3, new Timestamp(base + hour), 1, "view", 4.0),
+          // in the window ENDING exactly at the watermark [0,1h) → dropped
+          Ev(4, new Timestamp(base + 30 * 60000), 1, "view", 8.0)),
+        // sentinel closes every real window so append mode emits them
+        Seq(Ev(9, new Timestamp(base + 100 * hour), 9, "sent", 0.0))))
+      .filter(col("event_type") =!= "sent")
+    // stream == batch over exactly the rows the watermark admitted
+    val kept = Seq(
+      Ev(1, new Timestamp(base + 2 * hour), 1, "view", 1.0),
+      Ev(2, new Timestamp(base + hour + 30 * 60000), 1, "view", 2.0),
+      Ev(3, new Timestamp(base + hour), 1, "view", 4.0))
+    val batch = Streaming.tumblingOn(kept.toDF())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the boundary facts, pinned explicitly:
+    assert(streamed.filter(col("win_us") === base * 1000).count() === 0,
+      "window ending exactly at the watermark must be closed to late data")
+    val w1 = streamed.filter(col("win_us") === (base + hour) * 1000)
+    assert(w1.head.getLong(2) === 2L,
+      "the exactly-at-watermark row must be aggregated into its open window")
+  }
+
+  test("sliding: streaming with out-of-order late-but-in-horizon rows equals batch") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    val hour = 3600000L
+    val rows = Seq(
+      Ev(1, new Timestamp(base + 2 * hour), 1, "view", 1.0),
+      // arrives after the max-ts row, still inside the 1h horizon
+      Ev(2, new Timestamp(base + hour + 45 * 60000), 2, "click", 1.0),
+      Ev(3, new Timestamp(base + hour + 15 * 60000), 1, "view", 1.0))
+    val streamed = runBatches(events,
+      Streaming.slidingOn(events.toDF.withWatermark("ts", "1 hour")),
+      rows.map(Seq(_)) :+ Seq(Ev(9, new Timestamp(base + 100 * hour), 9, "sent", 0.0)))
+      .filter(col("event_type") =!= "sent")
+    val batch = Streaming.slidingOn(rows.toDF())
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("flatMapGroupsWithState: per-user totals accumulate across micro-batches") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
