@@ -38,11 +38,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Spark's RewriteMergeIntoTable plans a ReplaceData — the operation's
   * scan reads the live groups, the post-merge rows (updated matched rows +
   * carried-over unmatched rows + inserts) are written as NEW groups, and
-  * the commit swaps the manifest from the old file set to the new one. At
-  * 100 TB the missing piece is runtime group filtering (skip rewriting
-  * files whose key range can't match the source — needs per-file column
-  * stats in the manifest); the commit protocol and file layout here are
-  * exactly what that optimization plugs into.
+  * the commit swaps the manifest from the scanned file set to the new one.
+  *
+  * RUNTIME GROUP FILTERING makes the rewrite proportional to the touched
+  * data, not the table: the manifest carries per-file min/max stats for
+  * long-typed columns, the operation's scan implements
+  * SupportsRuntimeV2Filtering over those columns, and Spark's
+  * RowLevelOperationRuntimeGroupFiltering rule feeds it the set of keys
+  * that actually match the MERGE/DELETE/UPDATE source. Files whose stats
+  * range can't contain any matching key are never scanned — and because
+  * the commit replaces only the groups the scan PLANNED, they are never
+  * rewritten either (CatalogSpec proves untouched groups survive a MERGE
+  * byte-identical). This is the Iceberg copy-on-write shape: at 100 TB a
+  * MERGE touching one day's keys rewrites one day's files.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -109,9 +117,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = true
 }
 
+/** One live group file plus its pruning stats: per-column (min, max) for
+  * the long-typed columns, gathered by the writing task.
+  */
+case class Group(file: String, stats: Map[String, (Long, Long)]) {
+  /** Conservative containment test: can this group hold `v` in `col`?
+    * Unknown columns → true (no stats, no pruning).
+    */
+  def mayContain(col: String, v: Long): Boolean =
+    stats.get(col).forall { case (lo, hi) => v >= lo && v <= hi }
+}
+
 /** The on-disk layout: immutable `<uuid>.rows` group files (4-byte field
   * count header, then length-prefixed UnsafeRow payloads) + a `manifest`
-  * text file naming the live groups. The manifest replace is the atomic
+  * text file naming the live groups (one per line:
+  * `file<TAB>col=min:max<TAB>…`). The manifest replace is the atomic
   * commit point (same-filesystem ATOMIC_MOVE, like io.Sinks).
   */
 object GroupFiles {
@@ -119,24 +139,38 @@ object GroupFiles {
 
   def reset(dir: Path): Unit = { delete(dir); Files.createDirectories(dir) }
 
-  def live(dir: Path): Seq[String] = {
+  def live(dir: Path): Seq[Group] = {
     val m = dir.resolve(MANIFEST)
-    if (Files.exists(m)) Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty) else Seq.empty
+    if (!Files.exists(m)) return Seq.empty
+    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.split('\t')
+      val stats = parts.tail.flatMap { s =>
+        val Array(col, range) = s.split('=')
+        val Array(lo, hi) = range.split(':')
+        Some(col -> (lo.toLong, hi.toLong))
+      }.toMap
+      Group(parts.head, stats)
+    }
   }
 
-  /** Atomically publish `files` as the new live set, then delete the
-    * groups the old manifest referenced that are no longer live (safe
-    * AFTER the swap: no reader planning against the new manifest can see
-    * them; in-flight readers on local/HDFS-style filesystems hold the
+  /** Atomically publish `groups` as the new live set, then delete the
+    * group files the old manifest referenced that are no longer live
+    * (safe AFTER the swap: no reader planning against the new manifest can
+    * see them; in-flight readers on local/HDFS-style filesystems hold the
     * open handle).
     */
-  def publish(dir: Path, files: Seq[String]): Unit = {
+  def publish(dir: Path, groups: Seq[Group]): Unit = {
     val old = live(dir)
     val tmp = dir.resolve(MANIFEST + ".tmp")
-    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    val lines = groups.map { g =>
+      (g.file +: g.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c=$lo:$hi" })
+        .mkString("\t")
+    }
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
                StandardCopyOption.REPLACE_EXISTING)
-    (old.toSet -- files.toSet).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    (old.map(_.file).toSet -- groups.map(_.file).toSet)
+      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
 
   def delete(p: Path): Unit =
@@ -145,6 +179,14 @@ object GroupFiles {
       try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
       finally s.close()
     }
+}
+
+/** Shared between a row-level operation's scan and its write: the set of
+  * group files the (possibly runtime-filtered) scan finally planned. The
+  * commit replaces exactly these groups; everything else stays live.
+  */
+class ScanHolder {
+  @volatile var planned: Option[Seq[String]] = None
 }
 
 /** A table whose content is a manifest-listed set of immutable row-group
@@ -161,74 +203,147 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
         TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this, None)
 
   /** Plain writes (INSERT INTO …) append; INSERT OVERWRITE truncates. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(this, info.schema(), replaceAll = false)
+    new GraftWriteBuilder(this, info.schema(), replaceAll = false, None)
 
   /** MERGE/UPDATE/DELETE: group-based copy-on-write — the operation's
-    * scan reads the live groups, its write publishes the rewritten set.
+    * scan reads the live groups (runtime-group-filtered down to the files
+    * whose stats can match the source keys), its write replaces exactly
+    * the scanned groups. The ScanHolder is the scan→write channel.
     */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      private val holder = new ScanHolder
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftScanBuilder(GraftTable.this)
+        new GraftScanBuilder(GraftTable.this, Some(holder))
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-        new GraftWriteBuilder(GraftTable.this, writeInfo.schema(), replaceAll = true)
+        new GraftWriteBuilder(GraftTable.this, writeInfo.schema(),
+                              replaceAll = true, Some(holder))
     }
 }
 
-class GraftScanBuilder(table: GraftTable) extends ScanBuilder {
-  override def build(): Scan = new Scan with Batch {
-    // the live set is pinned at PLAN time: a concurrent commit during
-    // execution cannot change which groups this scan reads
-    private val files = GroupFiles.live(Paths.get(table.location))
-    override def readSchema(): StructType = table.schema()
-    override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => GraftInputPartition(
-        Paths.get(table.location).resolve(f).toString): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      (partition: InputPartition) => {
-        val path = partition.asInstanceOf[GraftInputPartition].path
-        new PartitionReader[InternalRow] {
-          private val in = new DataInputStream(new BufferedInputStream(
-            Files.newInputStream(Paths.get(path))))
-          private val numFields = in.readInt()
-          private val row = new UnsafeRow(numFields)
-          private var done = false
-          override def next(): Boolean =
-            try {
-              val len = in.readInt()
-              val bytes = new Array[Byte](len)
-              in.readFully(bytes)
-              row.pointTo(bytes, len)
-              true
-            } catch { case _: EOFException => done = true; false }
-          override def get(): InternalRow = row
-          override def close(): Unit = in.close()
-        }
+class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder]) extends ScanBuilder {
+  override def build(): Scan = new GraftScan(table, holder)
+}
+
+/** Batch scan over the live groups. SupportsRuntimeV2Filtering lets
+  * Spark's RowLevelOperationRuntimeGroupFiltering (and DPP-style runtime
+  * filters generally) hand us the key values that can actually match; we
+  * prune whole group files on manifest min/max stats without opening them.
+  */
+class GraftScan(table: GraftTable, holder: Option[ScanHolder])
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  // the live set is pinned at PLAN time: a concurrent commit during
+  // execution cannot change which groups this scan reads
+  private var groups: Seq[Group] = GroupFiles.live(Paths.get(table.location))
+
+  override def readSchema(): StructType = table.schema()
+  override def toBatch: Batch = this
+
+  /** Only the LEADING long-typed column (the PK position in every table
+    * this catalog serves): declaring several attributes makes Spark build
+    * a multi-column struct-IN runtime filter, which is untranslatable to a
+    * V2 source filter — the filter silently never arrives and no group is
+    * pruned. One attribute → a plain single-column IN that translates.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    table.schema().fields
+      .find(_.dataType == org.apache.spark.sql.types.LongType)
+      .map(f => Expressions.column(f.name)).toArray
+
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    groups = groups.filter(g => predicates.forall(p => mayMatch(g, p)))
+
+  /** Conservative evaluation of a runtime predicate against group stats:
+    * anything not understood keeps the group.
+    */
+  private def mayMatch(g: Group, p: V2Predicate): Boolean = p.name() match {
+    case "AND" =>
+      p.children().forall {
+        case c: V2Predicate => mayMatch(g, c)
+        case _ => true
       }
+    case "IN" =>
+      colAndValues(p) match {
+        case Some((col, vs)) => vs.isEmpty || vs.exists(g.mayContain(col, _))
+        case None => true
+      }
+    case "=" =>
+      colAndValues(p) match {
+        case Some((col, Seq(v))) => g.mayContain(col, v)
+        case _ => true
+      }
+    case _ => true
   }
+
+  private def colAndValues(p: V2Predicate): Option[(String, Seq[Long])] =
+    p.children().headOption match {
+      case Some(ref: NamedReference) =>
+        val vs = p.children().tail.toSeq.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case v: java.lang.Long => v.longValue()
+              case v: java.lang.Integer => v.longValue()
+              case _ => return None // non-integral literal: don't prune
+            }
+          case _ => return None
+        }
+        Some(ref.fieldNames().mkString("."), vs)
+      case _ => None
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    holder.foreach(_.planned = Some(groups.map(_.file)))
+    groups.map(g => GraftInputPartition(
+      Paths.get(table.location).resolve(g.file).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val path = partition.asInstanceOf[GraftInputPartition].path
+      new PartitionReader[InternalRow] {
+        private val in = new DataInputStream(new BufferedInputStream(
+          Files.newInputStream(Paths.get(path))))
+        private val numFields = in.readInt()
+        private val row = new UnsafeRow(numFields)
+        override def next(): Boolean =
+          try {
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            row.pointTo(bytes, len)
+            true
+          } catch { case _: EOFException => false }
+        override def get(): InternalRow = row
+        override def close(): Unit = in.close()
+      }
+    }
 }
 
 /** One group file per partition; only the path travels. */
 case class GraftInputPartition(path: String) extends InputPartition
 
-class GraftWriteBuilder(table: GraftTable, writeSchema: StructType, replaceAll: Boolean)
+class GraftWriteBuilder(table: GraftTable, writeSchema: StructType, replaceAll: Boolean,
+                        holder: Option[ScanHolder])
     extends WriteBuilder with SupportsTruncate {
   private var truncateRequested = false
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(table, writeSchema, replaceAll || truncateRequested)
+      new GraftBatchWrite(table, writeSchema, replaceAll || truncateRequested, holder)
   }
 }
 
 class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
-                      replaceAll: Boolean) extends BatchWrite {
+                      replaceAll: Boolean, holder: Option[ScanHolder]) extends BatchWrite {
   // a standalone case class, NOT a lambda: a closure here would capture
   // this BatchWrite (and through it the non-serializable table)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -236,21 +351,30 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
-    val written = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files)
-    val files = if (replaceAll) written.toSeq
-                else GroupFiles.live(dir) ++ written
-    GroupFiles.publish(dir, files)
+    val written = messages.flatMap(_.asInstanceOf[GraftCommitMessage].groups).toSeq
+    val scanned = holder.flatMap(_.planned).map(_.toSet)
+    val groups =
+      if (replaceAll) scanned match {
+        // copy-on-write: replace exactly the groups the operation's scan
+        // planned (post runtime group filtering); untouched groups live on
+        case Some(s) => GroupFiles.live(dir).filterNot(g => s(g.file)) ++ written
+        // no scan recorded (INSERT OVERWRITE / TRUNCATE): full replace
+        case None => written
+      }
+      else GroupFiles.live(dir) ++ written
+    GroupFiles.publish(dir, groups)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
     messages.foreach {
-      case GraftCommitMessage(fs) => fs.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      case GraftCommitMessage(gs) =>
+        gs.foreach(g => Files.deleteIfExists(dir.resolve(g.file)))
       case _ => ()
     }
   }
 }
 
-case class GraftCommitMessage(files: Seq[String]) extends WriterCommitMessage
+case class GraftCommitMessage(groups: Seq[Group]) extends WriterCommitMessage
 
 case class GraftWriterFactory(location: String, writeSchema: StructType)
     extends DataWriterFactory {
@@ -276,6 +400,11 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
       private val tmpPath = Paths.get(location).resolve(fileName + ".tmp")
       private val finalPath = Paths.get(location).resolve(fileName)
       private var wrote = false
+      // per-file min/max pruning stats for the long-typed columns
+      private val longCols = writeSchema.fields.zipWithIndex
+        .filter(_._1.dataType == org.apache.spark.sql.types.LongType).map(_._2)
+      private val mins = Array.fill(longCols.length)(Long.MaxValue)
+      private val maxs = Array.fill(longCols.length)(Long.MinValue)
 
       override def write(record: InternalRow): Unit = {
         if (proj == null) {
@@ -293,6 +422,16 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
           wrote = true
         }
         val u = proj(record) // projection output is reused — serialize now
+        var s = 0
+        while (s < longCols.length) {
+          val i = longCols(s)
+          if (!u.isNullAt(i)) {
+            val v = u.getLong(i)
+            if (v < mins(s)) mins(s) = v
+            if (v > maxs(s)) maxs(s) = v
+          }
+          s += 1
+        }
         out.writeInt(u.getSizeInBytes)
         u.writeToStream(out, copyBuffer)
       }
@@ -300,7 +439,12 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
         if (wrote) {
           out.close()
           Files.move(tmpPath, finalPath, StandardCopyOption.ATOMIC_MOVE)
-          GraftCommitMessage(Seq(fileName))
+          val stats = longCols.indices.flatMap { s =>
+            if (mins(s) <= maxs(s))
+              Some(writeSchema.fields(longCols(s)).name -> (mins(s), maxs(s)))
+            else None // all-null column: no stats
+          }.toMap
+          GraftCommitMessage(Seq(Group(fileName, stats)))
         } else GraftCommitMessage(Seq.empty) // empty task: no file at all
       override def abort(): Unit = {
         if (out != null) out.close()

@@ -49,7 +49,7 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     val before = groups()
     assert(before.nonEmpty, "insert produced no group files on disk")
     assert(Files.exists(dir.resolve("manifest")), "no manifest published")
-    assert(graft.catalog.GroupFiles.live(dir).toSet === before,
+    assert(graft.catalog.GroupFiles.live(dir).map(_.file).toSet === before,
       "manifest does not list exactly the on-disk groups")
 
     // copy-on-write MERGE: every live group is rewritten — the post-state
@@ -68,5 +68,49 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       .head().getLong(0) === 50)
     spark.sql("DROP TABLE graft_fb.default.fb_t")
     assert(!Files.exists(dir), "DROP TABLE must delete the table directory")
+  }
+
+  test("runtime group filtering: MERGE rewrites only groups whose key range can match") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_rgf")
+    spark.sql("CREATE TABLE graft_fb.default.fb_rgf (k BIGINT, v STRING)")
+    // two disjoint key populations land in disjoint group files
+    spark.sql("INSERT INTO graft_fb.default.fb_rgf SELECT id, 'low' FROM range(0, 100)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_rgf")).asInstanceOf[graft.catalog.GraftTable]
+    val dir = Paths.get(tbl.location)
+    def groups() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val lowGroups = groups()
+    spark.sql("INSERT INTO graft_fb.default.fb_rgf SELECT id, 'high' FROM range(1000, 1100)")
+    val highGroups = groups() -- lowGroups
+    assert(lowGroups.nonEmpty && highGroups.nonEmpty)
+    // manifest stats must separate the two populations on k
+    val live = graft.catalog.GroupFiles.live(dir)
+    assert(live.filter(g => lowGroups(g.file)).forall(_.stats("k")._2 < 1000))
+
+    // MERGE touching only high keys: low groups must survive UNTOUCHED
+    spark.sql(
+      """MERGE INTO graft_fb.default.fb_rgf t
+        |USING (SELECT id AS k, 'upd' AS v FROM range(1000, 1100, 2)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = groups()
+    assert(lowGroups.subsetOf(after),
+      s"groups outside the MERGE key range were rewritten: low=$lowGroups after=$after")
+    assert(highGroups.intersect(after).isEmpty,
+      s"groups inside the MERGE key range must be copy-on-write replaced")
+    // and the data is right: 200 rows, 50 updated, low population untouched
+    assert(spark.table("graft_fb.default.fb_rgf").count() === 200)
+    assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_rgf WHERE v='upd'")
+      .head().getLong(0) === 50)
+    assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_rgf WHERE v='low'")
+      .head().getLong(0) === 100)
+    spark.sql("DROP TABLE graft_fb.default.fb_rgf")
   }
 }
