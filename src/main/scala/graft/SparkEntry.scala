@@ -86,6 +86,8 @@ object SparkEntry {
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
+    "q_repetition_ratio" -> Text.repetitionQuery,
+    "q_pii_scrub" -> Text.piiScrubQuery,
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_sim_users" -> Similarity.userSimilarityQuery,
@@ -290,6 +292,36 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_bytes
         |FROM kept WHERE rn = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repetition_ratio" ->
+      // exact integer counts; ONE double division + round-6 on both sides
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 6) AS rep_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      // same injected PII, same RE2/Java-identical regexes, global replace
+      """WITH pii AS (
+        |  SELECT lang,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |scr AS (
+        |  SELECT lang, length(t) AS pii_len,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s
+        |  FROM pii)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN s LIKE '%<EMAIL>%' AND s LIKE '%<PHONE>%'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+        |  CAST(SUM(length(s)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(pii_len - length(s)) AS BIGINT) AS sum_removed
+        |FROM scr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lang_id" -> langIdOracle,
 

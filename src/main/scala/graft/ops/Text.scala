@@ -138,6 +138,49 @@ object Text {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q_repetition_ratio: Gopher-style within-document repetition signal —
+    * 1 − distinct/total tokens per doc. Pure array column math (no
+    * explode, no shuffle beyond the final sort): the filter a training
+    * pipeline applies before anything expensive. Determinism: both counts
+    * are exact integers; ONE double division + the shared round-6 rule.
+    */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_tokens"),
+              size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        r6(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double")))
+      .orderBy(col("doc_id"))
+
+  /** q_pii_scrub: PII masking over the corpus — emails and phone numbers
+    * replaced by placeholder tokens via codegen'd regexp_replace (no UDF).
+    * The corpus text carries no PII, so a deterministic email+phone suffix
+    * derived from doc_id is injected first; the declared result then
+    * proves every injected instance was found and masked (n_scrubbed =
+    * n_docs) and the masked lengths agree. The regexes use ONLY syntax
+    * with identical semantics in Java regex and RE2 (explicit classes,
+    * no shorthand \s/\w, no lookaround, no backrefs).
+    */
+  def piiScrubQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val phoneRe = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val withPii = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Sources.documents(spark, dir)
+      .select(col("lang"), length(withPii).as("pii_len"),
+        regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+                       phoneRe, "<PHONE>").as("scrubbed"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("scrubbed").contains("<EMAIL>") &&
+                      col("scrubbed").contains("<PHONE>"), 1)).as("n_scrubbed"),
+           sum(length(col("scrubbed"))).cast("long").as("sum_len"),
+           sum(col("pii_len") - length(col("scrubbed"))).cast("long").as("sum_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** q_dedup_minhash: PORTABLE MinHash (min-md5-string components,
     * MinHash.md5Signature, k=8) — the estimated Jaccard for every pair of
     * a deterministic doc slice (doc_id < 40; docs with no 3-gram shingles
