@@ -88,6 +88,9 @@ object SparkEntry {
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
     "q_repetition_ratio" -> Text.repetitionQuery,
     "q_pii_scrub" -> Text.piiScrubQuery,
+    "q_table_stats" -> ((s, dir) => Statistics.tableStatsExact(
+      graft.io.Sources.customer(s, dir),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_sim_users" -> Similarity.userSimilarityQuery,
@@ -322,6 +325,29 @@ object SparkEntry {
         |  CAST(SUM(length(s)) AS BIGINT) AS sum_len,
         |  CAST(SUM(pii_len - length(s)) AS BIGINT) AS sum_removed
         |FROM scr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_table_stats" ->
+      // exact ANALYZE profile; COUNT(DISTINCT) excludes NULLs in both engines
+      """SELECT 'c_acctbal' AS col_name,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT c_acctbal) AS n_distinct FROM customer
+        |UNION ALL
+        |SELECT 'c_custkey',
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_custkey) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment',
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_mktsegment) FROM customer
+        |UNION ALL
+        |SELECT 'c_name',
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey',
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_nationkey) FROM customer
+        |ORDER BY col_name""".stripMargin,
 
     "q_lang_id" -> langIdOracle,
 
