@@ -637,7 +637,7 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
-        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1994-01' AND '1994-03'
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-03'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->

@@ -355,4 +355,41 @@ object Streaming {
       col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"))
       .select(col("l_user").as("user_id"), col("id_a"), col("id_b"))
   }
+
+  /** Stream-stream LEFT OUTER interval join: like intervalJoinStream but
+    * unmatched left rows are EMITTED (null right side) once the watermark
+    * proves no match can still arrive. Both watermarks + the time-bound
+    * condition are mandatory — they are what lets Spark bound the state
+    * and declare a left row definitively unmatched; without them the
+    * planner rejects the outer join as unbounded.
+    */
+  def intervalJoinStreamLeftOuter(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("event_id").as("id_a"),
+                        col("ts").as("ts_a"))
+      .withWatermark("ts_a", "1 hour")
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("id_b"),
+                         col("ts").as("ts_b"))
+      .withWatermark("ts_b", "1 hour")
+    l.join(r,
+      col("l_user") === col("r_user") &&
+      col("ts_b") >= col("ts_a") &&
+      col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("l_user").as("user_id"), col("id_a"), col("id_b"))
+  }
+
+  /** Streaming dedup keyed on content hash with the WITHIN-WATERMARK
+    * guarantee (Spark 3.5+ dropDuplicatesWithinWatermark): duplicates
+    * whose event times land within the watermark delay of the first
+    * occurrence are dropped, and — unlike plain dropDuplicates — the state
+    * for a key is GUARANTEED evictable once the watermark passes it, so
+    * state stays O(in-horizon distinct content) even when the same content
+    * recurs forever. The right shape for endless crawl/ingest feeds.
+    */
+  def dedupStreamWithinWatermark(docs: DataFrame, tsCol: String, textCol: String,
+                                 horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
 }

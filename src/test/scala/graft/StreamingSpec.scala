@@ -274,6 +274,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(res.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("stream-stream LEFT OUTER interval join emits the unmatched left row after watermark") {
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = Streaming.intervalJoinStreamLeftOuter(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // user 1's click gets a view inside 30min; user 2's click never matches
+    clicks.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(0), 2, "click", 1.0))
+    views.addData(Ev(10, ts(10), 1, "view", 1.0))
+    q.processAllAvailable()
+    // push BOTH watermarks far past ts(0)+30min so user 2 is provably unmatched
+    clicks.addData(Ev(99, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 1.0))
+    views.addData(Ev(98, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).filter(col("user_id") < 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows === Set((1L, 1L, 10L), (2L, 2L, -1L)),
+      "matched pair for user 1, null-padded row for user 2")
+  }
+
+  test("dropDuplicatesWithinWatermark: in-horizon repeat dropped, post-eviction repeat kept") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    val res = runBatches(events,
+      Streaming.dedupStreamWithinWatermark(events.toDF, "ts", "event_type"),
+      Seq(
+        Seq(Ev(1, new Timestamp(base), 1, "contentA", 1.0)),
+        // same content 1s later: within the 1h horizon → dropped
+        Seq(Ev(2, new Timestamp(base + 1000), 2, "contentA", 1.0)),
+        // advance the watermark far past base+1h → contentA state evicted
+        Seq(Ev(3, new Timestamp(base + 5L * 3600000), 3, "contentB", 1.0)),
+        // the SAME content recurring after eviction is a NEW occurrence
+        Seq(Ev(4, new Timestamp(base + 5L * 3600000 + 1000), 4, "contentA", 1.0)),
+      ))
+    assert(res.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L),
+      "first A kept, in-horizon repeat dropped, post-eviction A re-emitted")
+  }
+
   test("generic asofJoin agrees with the specialized click↔signup query") {
     val e = graft.io.Sources.events(spark, sfDir)
     val clicks = e.filter(col("event_type") === "click")
