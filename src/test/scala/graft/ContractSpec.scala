@@ -35,6 +35,33 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** The vacuous-pass guard: a declared key whose Spark side AND oracle
+    * both return 0 rows still hash-matches — proving nothing. Caught live
+    * in round 5: q_partition_prune filtered on 1994 months while the
+    * synthetic orders start in 1995-01, so the gate was green on an empty
+    * result. Only keys whose EMPTINESS is the assertion may return 0 rows.
+    */
+  private val semanticallyEmpty = Set(
+    "q_except",    // set difference of identical inputs IS empty
+    "q_join_anti"  // anti join of fully-covered keys IS empty
+  )
+
+  test("every declared key returns rows at sf0.001 (vacuous-pass guard)") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
+      if (!semanticallyEmpty(k) && fn(spark, sfDir).isEmpty) Some(k) else None
+    }
+    assert(empty.isEmpty,
+      s"declared keys with empty results — the oracle gate proves nothing for:\n  ${empty.mkString("\n  ")}")
+  }
+
+  test("semantically-empty allowlist is itself not stale") {
+    semanticallyEmpty.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"allowlist names unknown key $k")
+      assert(SparkEntry.queries(k)(spark, sfDir).isEmpty,
+        s"$k no longer returns an empty result — remove it from the allowlist")
+    }
+  }
+
   test("oracle SQL contains no stray placeholders or unmatched quotes") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains("{dir}") && !sql.contains("???"), s"$k has placeholders")
