@@ -58,6 +58,7 @@ object SparkEntry {
     "q_json_roundtrip" -> Etl.jsonRoundtrip,
     "q_json_extract" -> Etl.jsonExtract,
     "q_partition_prune" -> Etl.partitionPrune,
+    "q_orc_roundtrip" -> Etl.orcRoundtrip,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
     "q_merge_sql" -> Merge.mergeSqlQuery,
@@ -639,6 +640,14 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-03'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      // the oracle reads PARQUET directly: the ORC roundtrip must be lossless
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -179,6 +179,64 @@ object GroupFiles {
       try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  /** OPTIMIZE-style small-file compaction: bin-pack group files up to
+    * `targetBytes` and merge each bin by STREAMING BYTE COPY — the file
+    * format is a field-count header followed by self-delimiting row
+    * payloads, so merged content is one header plus the members' payload
+    * streams concatenated; no row decode, no Spark job, no driver row
+    * materialization. Bins of one keep their original file untouched.
+    * Stats of a merged group = per-column union of member stats (a column
+    * missing stats in ANY member stays unstated — conservative, never
+    * wrong). The swap is the same atomic manifest publish as every other
+    * commit, so readers see pre- or post-compaction, never a mix.
+    */
+  def compact(dir: Path, targetBytes: Long): Unit = {
+    val groups = live(dir)
+    if (groups.size <= 1) return
+    // sequential packing in manifest order (rewriting data order is not
+    // compaction's job); close a bin once it reaches the target
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(Group, Long)])
+    groups.foreach { g =>
+      val sz = Files.size(dir.resolve(g.file))
+      if (bins.last.nonEmpty && bins.last.map(_._2).sum + sz > targetBytes)
+        bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
+      bins.last += ((g, sz))
+    }
+    val out = bins.filter(_.nonEmpty).map { bin =>
+      if (bin.size == 1) bin.head._1
+      else {
+        val members = bin.map(_._1).toSeq
+        val merged = s"compact-${java.util.UUID.randomUUID()}.rows"
+        val outStream = new DataOutputStream(new BufferedOutputStream(
+          Files.newOutputStream(dir.resolve(merged + ".tmp"))))
+        var headerFields = -1
+        try members.foreach { m =>
+          val in = new DataInputStream(new BufferedInputStream(
+            Files.newInputStream(dir.resolve(m.file))))
+          try {
+            val nf = in.readInt()
+            if (headerFields < 0) { headerFields = nf; outStream.writeInt(nf) }
+            else require(nf == headerFields,
+              s"cannot compact groups with differing field counts ($nf vs $headerFields)")
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { outStream.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        } finally outStream.close()
+        Files.move(dir.resolve(merged + ".tmp"), dir.resolve(merged),
+                   StandardCopyOption.ATOMIC_MOVE)
+        // per-column union, only for columns every member has stats for
+        val cols = members.map(_.stats.keySet).reduce(_ intersect _)
+        val stats = cols.map { c =>
+          c -> ((members.map(_.stats(c)._1).min, members.map(_.stats(c)._2).max))
+        }.toMap
+        Group(merged, stats)
+      }
+    }.toSeq
+    publish(dir, out)
+  }
 }
 
 /** Shared between a row-level operation's scan and its write: the set of

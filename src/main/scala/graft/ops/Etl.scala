@@ -74,6 +74,25 @@ object Etl {
       .orderBy(col("lang"))
   }
 
+  /** q_orc_roundtrip: columnar-format interop — write an orders slice as
+    * ORC (Spark's second first-class columnar format; the interchange
+    * format of Hive-era warehouses), read it back with the explicit
+    * schema, and aggregate. The declared result must equal the same
+    * aggregate straight off parquet, proving the cross-format roundtrip
+    * lossless (timestamps included, under the UTC session contract).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft_orc_roundtrip")
+    Sources.orders(spark, dir).filter(col("o_orderkey") % 7 === 0)
+      .write.mode("overwrite").orc(tmp.getAbsolutePath)
+    spark.read.schema(Schemas.orders).orc(tmp.getAbsolutePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("o_totalprice")).as("sum_price"),
+           countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Hive-layout scratch table for the partition-pruning surface: orders
     * written partitioned by order month (`o_month=yyyy-MM/` directories)
     * via Sinks.writePartitioned. Overwritten in place on every call (same

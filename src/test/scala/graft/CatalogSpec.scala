@@ -70,6 +70,43 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(dir), "DROP TABLE must delete the table directory")
   }
 
+  test("compaction merges small groups by byte copy; content and stats survive") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_c")
+    spark.sql("CREATE TABLE graft_fb.default.fb_c (k BIGINT, v STRING)")
+    // five small inserts → at least five group files
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO graft_fb.default.fb_c SELECT id, 'b$i' FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_c")).asInstanceOf[graft.catalog.GraftTable]
+    val dir = Paths.get(tbl.location)
+    val beforeCount = graft.catalog.GroupFiles.live(dir).size
+    assert(beforeCount >= 5)
+    val checksumBefore = spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) s, COUNT(*) n, COUNT(DISTINCT v) d FROM graft_fb.default.fb_c").head()
+
+    graft.catalog.GroupFiles.compact(dir, targetBytes = Long.MaxValue)
+
+    val after = graft.catalog.GroupFiles.live(dir)
+    assert(after.size === 1, s"unbounded target must compact to one group, got ${after.size}")
+    // merged stats span the full key range
+    assert(after.head.stats("k") === ((0L, 499L)))
+    // no orphan files
+    val onDisk = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    assert(onDisk === after.map(_.file).toSet)
+    // identical content through the normal read path
+    assert(spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) s, COUNT(*) n, COUNT(DISTINCT v) d FROM graft_fb.default.fb_c")
+      .head() === checksumBefore)
+    spark.sql("DROP TABLE graft_fb.default.fb_c")
+  }
+
   test("runtime group filtering: MERGE rewrites only groups whose key range can match") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
