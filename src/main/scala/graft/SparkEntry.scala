@@ -37,6 +37,7 @@ object SparkEntry {
     "q_histogram" -> Relational.histogram,
     "q_scalar_subquery" -> Relational.scalarSubquery,
     "q_corr_subquery" -> Relational.corrSubquery,
+    "q_exists_subquery" -> Relational.existsSubquery,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -594,6 +595,17 @@ object SparkEntry {
         |       / COUNT(*)
         |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(c.c_custkey) AS BIGINT) AS sum_key
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "q_predicates" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,

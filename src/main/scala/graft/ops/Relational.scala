@@ -267,6 +267,28 @@ object Relational {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** q_exists_subquery: EXISTS and NOT EXISTS predicate subqueries in one
+    * WHERE — Catalyst's RewritePredicateSubquery turns them into a semi
+    * join and an anti join on o_custkey (the SQL spelling of the
+    * q_join_semi/q_join_anti dataflow shapes; both rewrites exercised in
+    * a single plan). Thresholds use raw 2-dp data doubles — no computed
+    * floating arithmetic, so the comparison is engine-exact.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Sources.customer(spark, dir).createOrReplaceTempView("exq_customer")
+    Sources.orders(spark, dir).createOrReplaceTempView("exq_orders")
+    spark.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(c.c_custkey) AS BIGINT) AS sum_key
+        |FROM exq_customer c
+        |WHERE EXISTS (SELECT 1 FROM exq_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM exq_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
   /** q_agg_filtered: FILTER-style conditional aggregation plus boolean
     * aggregates (bool_and/bool_or) — count(when(...)) is Spark's portable
     * spelling of COUNT(*) FILTER (WHERE ...). One hash aggregate, tiny
