@@ -88,8 +88,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution, Iceberg-style: ADD COLUMN is a METADATA-ONLY
+    * change — no data file is touched. New columns append at the end,
+    * always nullable; existing group files keep their narrower field
+    * count and the reader null-pads them (the file's 4-byte header says
+    * how wide its rows really are). At 100 TB this is the only acceptable
+    * cost model for adding a column.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(t.schema()) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "only top-level ADD COLUMN is supported")
+          StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+            add.fieldNames().head, add.dataType(), nullable = true))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE change not supported: $other")
+      }
+    }
+    val replaced = new GraftTable(t.name(), newSchema, t.location)
+    tables.put(key(ident), replaced)
+    replaced
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)) match {
@@ -194,15 +217,24 @@ object GroupFiles {
   def compact(dir: Path, targetBytes: Long): Unit = {
     val groups = live(dir)
     if (groups.size <= 1) return
-    // sequential packing in manifest order (rewriting data order is not
-    // compaction's job); close a bin once it reaches the target
-    val bins = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[(Group, Long)])
-    groups.foreach { g =>
-      val sz = Files.size(dir.resolve(g.file))
-      if (bins.last.nonEmpty && bins.last.map(_._2).sum + sz > targetBytes)
-        bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
-      bins.last += ((g, sz))
+    // bin only groups of the SAME row width together (schema evolution
+    // leaves older, narrower files behind — they null-pad at read and can
+    // only merge with their own generation), then pack sequentially in
+    // manifest order; close a bin once it reaches the target
+    def fieldsOf(g: Group): Int = {
+      val in = new DataInputStream(Files.newInputStream(dir.resolve(g.file)))
+      try in.readInt() finally in.close()
+    }
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(Group, Long)]]
+    groups.groupBy(fieldsOf).toSeq.sortBy(_._1).foreach { case (_, gen) =>
+      bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
+      gen.foreach { g =>
+        val sz = Files.size(dir.resolve(g.file))
+        if (bins.last.nonEmpty && bins.last.map(_._2).sum + sz > targetBytes)
+          bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
+        bins.last += ((g, sz))
+      }
     }
     val out = bins.filter(_.nonEmpty).map { bin =>
       if (bin.size == 1) bin.head._1
@@ -364,14 +396,25 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder])
       Paths.get(table.location).resolve(g.file).toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val expectedFields = table.schema().length
     (partition: InputPartition) => {
       val path = partition.asInstanceOf[GraftInputPartition].path
       new PartitionReader[InternalRow] {
         private val in = new DataInputStream(new BufferedInputStream(
           Files.newInputStream(Paths.get(path))))
         private val numFields = in.readInt()
+        require(numFields <= expectedFields,
+          s"group file $path is wider ($numFields) than the table schema ($expectedFields)")
         private val row = new UnsafeRow(numFields)
+        // schema evolution: files written before an ADD COLUMN are
+        // narrower than the current schema — null-pad them at read time
+        // (metadata-only evolution; the data files are never rewritten)
+        private val pad =
+          if (numFields == expectedFields) null
+          else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              expectedFields - numFields))
         override def next(): Boolean =
           try {
             val len = in.readInt()
@@ -380,10 +423,11 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder])
             row.pointTo(bytes, len)
             true
           } catch { case _: EOFException => false }
-        override def get(): InternalRow = row
+        override def get(): InternalRow = if (pad == null) row else pad
         override def close(): Unit = in.close()
       }
     }
+  }
 }
 
 /** One group file per partition; only the path travels. */

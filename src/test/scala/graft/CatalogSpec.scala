@@ -107,6 +107,46 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_c")
   }
 
+  test("ADD COLUMN is metadata-only: old groups null-pad, new writes carry the column") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_evo")
+    spark.sql("CREATE TABLE graft_fb.default.fb_evo (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_evo SELECT id, 'old' FROM range(0, 50)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    def dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_evo")).asInstanceOf[graft.catalog.GraftTable].location)
+    val beforeFiles = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+
+    spark.sql("ALTER TABLE graft_fb.default.fb_evo ADD COLUMN w BIGINT")
+
+    // metadata-only: not a single data file changed
+    val afterAlter = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    assert(afterAlter === beforeFiles, "ADD COLUMN must not touch data files")
+    // old rows read back null-padded
+    assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_evo WHERE w IS NULL")
+      .head().getLong(0) === 50)
+    // new writes carry the column; old and new generations coexist
+    spark.sql("INSERT INTO graft_fb.default.fb_evo SELECT id, 'new', id * 10 FROM range(50, 60)")
+    assert(spark.sql("SELECT CAST(SUM(w) AS BIGINT) FROM graft_fb.default.fb_evo")
+      .head().getLong(0) === (50L until 60L).map(_ * 10).sum)
+    // a MERGE across both generations normalizes everything to the new width
+    spark.sql(
+      """MERGE INTO graft_fb.default.fb_evo t
+        |USING (SELECT id AS k, 'upd' AS v, 7L AS w FROM range(0, 60, 3)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft_fb.default.fb_evo").count() === 60)
+    assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_evo WHERE v = 'upd' AND w = 7")
+      .head().getLong(0) === 20)
+    spark.sql("DROP TABLE graft_fb.default.fb_evo")
+  }
+
   test("runtime group filtering: MERGE rewrites only groups whose key range can match") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
