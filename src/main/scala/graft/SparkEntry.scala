@@ -38,6 +38,7 @@ object SparkEntry {
     "q_scalar_subquery" -> Relational.scalarSubquery,
     "q_corr_subquery" -> Relational.corrSubquery,
     "q_exists_subquery" -> Relational.existsSubquery,
+    "q_lateral_join" -> Relational.lateralJoin,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -605,6 +606,16 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(t.n_orders) AS BIGINT) AS sum_orders,
+        |  CAST(SUM(CAST(t.max_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_max
+        |FROM customer c, LATERAL (
+        |  SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.n_orders > 0
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "q_predicates" ->

@@ -289,6 +289,28 @@ object Relational {
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
   }
 
+  /** q_lateral_join: correlated LATERAL subquery — a per-customer derived
+    * table (order count + max price) joined laterally, then rolled up per
+    * segment. Catalyst decorrelates the lateral aggregate into a
+    * per-custkey aggregate joined back (DecorrelateInnerQuery) — the same
+    * scale-safe shape as the scalar-subquery keys, but through the
+    * LATERAL surface. Money sum goes through the exact-decimal rule;
+    * MAX of raw 2-dp doubles is engine-exact.
+    */
+  def lateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sources.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Sources.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(t.n_orders) AS BIGINT) AS sum_orders,
+        |  CAST(SUM(CAST(t.max_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_max
+        |FROM lat_customer c, LATERAL (
+        |  SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+        |  FROM lat_orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.n_orders > 0
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
   /** q_agg_filtered: FILTER-style conditional aggregation plus boolean
     * aggregates (bool_and/bool_or) — count(when(...)) is Spark's portable
     * spelling of COUNT(*) FILTER (WHERE ...). One hash aggregate, tiny
