@@ -39,6 +39,7 @@ object SparkEntry {
     "q_corr_subquery" -> Relational.corrSubquery,
     "q_exists_subquery" -> Relational.existsSubquery,
     "q_lateral_join" -> Relational.lateralJoin,
+    "q_window_time_range" -> Windows.windowTimeRange,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -1048,6 +1049,17 @@ object SparkEntry {
         |FROM (SELECT *, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_time_range" ->
+      // the literal INTERVAL range-frame spelling; peers share frames so
+      // same-date rows are deterministic without a tiebreak
+      """SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, od_us""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT event_id, user_id,

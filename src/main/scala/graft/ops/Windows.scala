@@ -64,6 +64,26 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q_window_time_range: TIME-interval range frame — the literal
+    * `RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW` SQL
+    * surface over the timestamp order key (q_window_range's epoch-day
+    * form is the engine-portable fallback; this key proves the interval
+    * spelling itself agrees between engines on day-granularity NTZ data
+    * under UTC). RANGE frames are peer-inclusive, so same-date rows share
+    * a frame — deterministic without a tiebreak.
+    */
+  def windowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    Sources.orders(spark, dir).createOrReplaceTempView("wtr_orders")
+    spark.sql(
+      """SELECT o_custkey, unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_90d
+        |FROM wtr_orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, od_us""".stripMargin)
+  }
+
   /** q_window_ntile: distribution window functions — quartile bucketing
     * (ntile), percent_rank and cume_dist per market segment. The rank
     * divisions are exact integer-derived doubles ((rank-1)/(n-1), k/n) —
