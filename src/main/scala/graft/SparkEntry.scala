@@ -40,6 +40,7 @@ object SparkEntry {
     "q_exists_subquery" -> Relational.existsSubquery,
     "q_lateral_join" -> Relational.lateralJoin,
     "q_window_time_range" -> Windows.windowTimeRange,
+    "q_bucket_join" -> Scale.bucketJoinQuery,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -382,6 +383,14 @@ object SparkEntry {
 
     "q_join_skew" ->
       // the oracle is the PLAIN join: the salt must be semantically invisible
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucket_join" ->
+      // the oracle is the PLAIN join on flat parquet: the bucketed layout
+      // must be semantically invisible (only the plan changes)
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -97,6 +97,49 @@ object Scale {
     * aggregates) while physically spreading each hot key over 8 reducers.
     * The salt on the large side derives deterministically from o_orderkey.
     */
+  /** q_bucket_join: the CO-LOCATED bucketed join under the oracle gate —
+    * both sides written bucketed+sorted on the join key (8 buckets), then
+    * merge-join-hinted so the plan zips pre-sorted buckets with NO shuffle
+    * Exchange on either side (asserted in PlanGateSpec). This is THE
+    * repeated-fact-join layout at 100 TB: the shuffle is paid once at
+    * write time, never per query. The bucketed twins are built once per
+    * (session, source dir) — a session-conf marker skips the rebuild so
+    * steady-state runs time the join, not the layout.
+    */
+  def bucketJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    val confKey = "graft.bucketed.src"
+    if (!spark.conf.getOption(confKey).contains(dir)) {
+      // a PREVIOUS JVM's warehouse directory survives while the in-memory
+      // catalog does not — saveAsTable then fails LOCATION_ALREADY_EXISTS;
+      // drop the entry AND clear the leftover location before writing
+      Seq("graft_b_orders", "graft_b_customer").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.nio.file.Paths.get(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        val loc = wh.resolve(t)
+        if (java.nio.file.Files.exists(loc)) {
+          val s = java.nio.file.Files.walk(loc)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally s.close()
+        }
+      }
+      writeBucketed(
+        graft.io.Sources.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+        "graft_b_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
+      writeBucketed(
+        graft.io.Sources.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_b_customer", Seq("c_custkey"), 8, Seq("c_custkey"))
+      spark.conf.set(confKey, dir)
+    }
+    spark.table("graft_b_orders").hint("merge")
+      .join(spark.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def skewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.moneySum
     val o = graft.io.Sources.orders(spark, dir)

@@ -79,6 +79,17 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
       s"no dynamicpruning expression in the fact scan — DPP not planned:\n$p")
   }
 
+  test("q_bucket_join: co-located bucketed join plans NO shuffle Exchange") {
+    val p = plan(ops.Scale.bucketJoinQuery(spark, sfDir))
+    // the join itself must zip buckets: no hashpartitioning Exchange may
+    // feed the SortMergeJoin (the aggregate after it may shuffle — that's
+    // the groupBy's own exchange, keyed on c_mktsegment, not the join's)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(p.contains("SortMergeJoin"), s"bucketed join must SMJ:\n$p")
+    assert(!exchanges.exists(_.contains("custkey")),
+      s"join-key shuffle under the bucketed join — bucket co-location lost:\n$p")
+  }
+
   test("every lineitem scan prunes its ReadSchema") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (unprunedLineitem(plan(fn(spark, sfDir)))) Some(name) else None
