@@ -63,6 +63,7 @@ object SparkEntry {
     "q_json_extract" -> Etl.jsonExtract,
     "q_partition_prune" -> Etl.partitionPrune,
     "q_orc_roundtrip" -> Etl.orcRoundtrip,
+    "q_partition_dpp" -> Etl.partitionDpp,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
     "q_merge_sql" -> Merge.mergeSqlQuery,
@@ -680,6 +681,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_partition_dpp" ->
+      // DPP must be semantically invisible: the oracle applies the
+      // equivalent literal predicate to flat parquet
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y') = '1997'
+        |  AND strftime(o_orderdate, '%m') IN ('01', '02', '03')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->

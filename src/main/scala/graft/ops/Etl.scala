@@ -134,6 +134,26 @@ object Etl {
       .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_month"), col("o_orderpriority"))
 
+  /** q_partition_dpp: DYNAMIC partition pruning under the oracle gate —
+    * the month predicate reaches the partitioned fact only THROUGH a
+    * broadcast dim join (a month dimension derived from orders, filtered
+    * on its quarter attribute), so the pruning decision happens at
+    * runtime via the DPP subquery (plan shape asserted in PlanGateSpec).
+    * The declared result must equal the same aggregate off flat parquet
+    * with the equivalent literal predicate — DPP must be semantically
+    * invisible, only the files-read change.
+    */
+  def partitionDpp(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(partitionedOrdersPath(spark, dir))
+    val dim = fact.select(col("o_month")).distinct()
+      .withColumn("yr", substring(col("o_month"), 1, 4))
+      .withColumn("q1", substring(col("o_month"), 6, 2).isin("01", "02", "03"))
+    fact.join(broadcast(dim.filter(col("yr") === "1997" && col("q1"))), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_month"))
+  }
+
   /** q_json_extract: JSON field extraction from a string column — the
     * codegen'd get_json_object path, no UDF.
     */

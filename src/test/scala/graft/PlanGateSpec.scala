@@ -79,6 +79,12 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
       s"no dynamicpruning expression in the fact scan — DPP not planned:\n$p")
   }
 
+  test("q_partition_dpp: the DECLARED key plans a dynamicpruning subquery") {
+    val p = plan(ops.Etl.partitionDpp(spark, sfDir))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"declared DPP key lost its runtime pruning subquery:\n$p")
+  }
+
   test("q_bucket_join: co-located bucketed join plans NO shuffle Exchange") {
     val p = plan(ops.Scale.bucketJoinQuery(spark, sfDir))
     // the join itself must zip buckets: no hashpartitioning Exchange may
