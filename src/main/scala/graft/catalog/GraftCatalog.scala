@@ -81,8 +81,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tables.contains(key(ident))) throw new TableAlreadyExistsException(ident)
-    val location = warehouse.resolve(key(ident).replace('.', '/'))
-    GroupFiles.reset(location) // a fresh table owns a fresh directory
+    // UNIQUE location per table INSTANCE, not per name: a renamed table
+    // keeps its directory, so a name-derived location would collide when
+    // the old name is re-created (reset would wipe the renamed table's
+    // data). The uuid suffix makes directory ownership unambiguous across
+    // any create/rename/drop sequence.
+    val location = warehouse.resolve(
+      key(ident).replace('.', '/') + "_" + java.util.UUID.randomUUID().toString.take(8))
+    GroupFiles.reset(location)
     val t = new GraftTable(key(ident), schema, location.toString)
     tables.put(key(ident), t)
     t
@@ -102,6 +108,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "only top-level ADD COLUMN is supported")
+          require(!schema.fieldNames.contains(add.fieldNames().head),
+            s"column ${add.fieldNames().head} already exists")
           StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
             add.fieldNames().head, add.dataType(), nullable = true))
         case other =>
@@ -120,11 +128,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case None => false
     }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (tables.contains(key(newIdent))) throw new TableAlreadyExistsException(newIdent)
     tables.remove(key(oldIdent)) match {
       case Some(t) => tables.put(key(newIdent), t) // location is name-independent
       case None => throw new NoSuchTableException(oldIdent)
     }
+  }
 
   // -- minimal namespace surface (flat catalog: every namespace "exists") --
   override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
@@ -159,6 +169,24 @@ case class Group(file: String, stats: Map[String, (Long, Long)]) {
   */
 object GroupFiles {
   private val MANIFEST = "manifest"
+
+  /** Per-directory commit lock: publish is atomic on disk (rename), but a
+    * commit is a read-modify-write of the manifest — two unsynchronized
+    * committers would each base their new live set on the same old one,
+    * and publish's orphan-deletion would then physically delete the loser's
+    * freshly written groups. In-process serialization closes that; cross-
+    * JVM coordination is the metadata-pointer CAS a real object-store
+    * format provides and is out of scope here (one driver owns a table).
+    */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: Path): Object =
+    locks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
+
+  /** Atomically transform the live set: read + compute + publish under the
+    * directory's commit lock. All commit paths go through this.
+    */
+  def mutate(dir: Path)(f: Seq[Group] => Seq[Group]): Unit =
+    lockFor(dir).synchronized { publish(dir, f(live(dir))) }
 
   def reset(dir: Path): Unit = { delete(dir); Files.createDirectories(dir) }
 
@@ -214,9 +242,8 @@ object GroupFiles {
     * wrong). The swap is the same atomic manifest publish as every other
     * commit, so readers see pre- or post-compaction, never a mix.
     */
-  def compact(dir: Path, targetBytes: Long): Unit = {
-    val groups = live(dir)
-    if (groups.size <= 1) return
+  def compact(dir: Path, targetBytes: Long): Unit = mutate(dir) { groups =>
+    if (groups.size <= 1) groups else {
     // bin only groups of the SAME row width together (schema evolution
     // leaves older, narrower files behind — they null-pad at read and can
     // only merge with their own generation), then pack sequentially in
@@ -236,7 +263,7 @@ object GroupFiles {
         bins.last += ((g, sz))
       }
     }
-    val out = bins.filter(_.nonEmpty).map { bin =>
+    bins.filter(_.nonEmpty).map { bin =>
       if (bin.size == 1) bin.head._1
       else {
         val members = bin.map(_._1).toSeq
@@ -267,7 +294,7 @@ object GroupFiles {
         Group(merged, stats)
       }
     }.toSeq
-    publish(dir, out)
+    }
   }
 }
 
@@ -455,16 +482,16 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     val dir = Paths.get(table.location)
     val written = messages.flatMap(_.asInstanceOf[GraftCommitMessage].groups).toSeq
     val scanned = holder.flatMap(_.planned).map(_.toSet)
-    val groups =
+    GroupFiles.mutate(dir) { liveNow =>
       if (replaceAll) scanned match {
         // copy-on-write: replace exactly the groups the operation's scan
         // planned (post runtime group filtering); untouched groups live on
-        case Some(s) => GroupFiles.live(dir).filterNot(g => s(g.file)) ++ written
+        case Some(s) => liveNow.filterNot(g => s(g.file)) ++ written
         // no scan recorded (INSERT OVERWRITE / TRUNCATE): full replace
         case None => written
       }
-      else GroupFiles.live(dir) ++ written
-    GroupFiles.publish(dir, groups)
+      else liveNow ++ written
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)

@@ -106,13 +106,17 @@ object Etl {
     // already built from THIS source dir, reuse it — repeated Bench/Verify
     // passes then time the PRUNED READ (the key's subject), not a rewrite
     val marker = new java.io.File(tmp, "_graft_source")
+    // the marker carries source dir AND a layout version: bump the version
+    // whenever the partition column/schema below changes, or a persistent
+    // tmpdir from a previous code revision would be served stale
+    val stamp = dir + "|layout-v1:o_month=yyyy-MM"
     val current = if (marker.exists())
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != dir) {
+    if (current != stamp) {
       val orders = Sources.orders(spark, dir)
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       graft.io.Sinks.writePartitioned(orders, tmp.getAbsolutePath, Seq("o_month"), 1000000L)
-      java.nio.file.Files.write(marker.toPath, dir.getBytes("UTF-8"))
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
     tmp.getAbsolutePath
   }

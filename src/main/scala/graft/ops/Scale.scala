@@ -115,8 +115,10 @@ object Scale {
       // drop the entry AND clear the leftover location before writing
       Seq("graft_b_orders", "graft_b_customer").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = java.nio.file.Paths.get(
-          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        // NOT java.net.URI: a plain path with spaces (legal in the conf)
+        // is not a valid URI and would throw before any cleanup
+        val whConf = spark.conf.get("spark.sql.warehouse.dir")
+        val wh = java.nio.file.Paths.get(whConf.stripPrefix("file:"))
         val loc = wh.resolve(t)
         if (java.nio.file.Files.exists(loc)) {
           val s = java.nio.file.Files.walk(loc)

@@ -70,6 +70,32 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(dir), "DROP TABLE must delete the table directory")
   }
 
+  test("rename keeps data; re-creating the old name cannot clobber it; rename onto existing fails") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    Seq("fb_r1", "fb_r2", "fb_r3").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_fb.default.$t"))
+    spark.sql("CREATE TABLE graft_fb.default.fb_r1 (k BIGINT)")
+    spark.sql("INSERT INTO graft_fb.default.fb_r1 SELECT id FROM range(10)")
+    spark.sql("ALTER TABLE graft_fb.default.fb_r1 RENAME TO default.fb_r2")
+    // the collision that used to destroy the renamed table's data:
+    // re-creating the old name must land in a DIFFERENT directory
+    spark.sql("CREATE TABLE graft_fb.default.fb_r1 (k BIGINT)")
+    assert(spark.table("graft_fb.default.fb_r2").count() === 10,
+      "re-creating the old name wiped the renamed table's data")
+    // rename onto an existing table must fail, not clobber
+    spark.sql("CREATE TABLE graft_fb.default.fb_r3 (k BIGINT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_fb.default.fb_r3 RENAME TO default.fb_r2")
+    }
+    assert(spark.table("graft_fb.default.fb_r2").count() === 10)
+    // duplicate ADD COLUMN is rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_fb.default.fb_r2 ADD COLUMN k BIGINT")
+    }
+    Seq("fb_r1", "fb_r2", "fb_r3").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_fb.default.$t"))
+  }
+
   test("compaction merges small groups by byte copy; content and stats survive") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
