@@ -316,6 +316,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "first A kept, in-horizon repeat dropped, post-eviction A re-emitted")
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    // static dim: user → cohort (a plain batch DataFrame, no watermark —
+    // stream-static joins are stateless, the dim is re-read per batch)
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "cohort")
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = events.toDF().join(dim, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("cohort"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    events.addData(
+      Ev(1, new Timestamp(base), 1, "view", 1.0),
+      Ev(2, new Timestamp(base + 1000), 2, "view", 1.0),
+      Ev(3, new Timestamp(base + 2000), 3, "view", 1.0)) // no dim row → dropped (inner)
+    q.processAllAvailable()
+    events.addData(Ev(4, new Timestamp(base + 3000), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows === Set((1L, "alpha"), (2L, "beta"), (4L, "alpha")),
+      "inner stream-static join must enrich matched users across batches and drop unmatched")
+  }
+
   test("generic asofJoin agrees with the specialized click↔signup query") {
     val e = graft.io.Sources.events(spark, sfDir)
     val clicks = e.filter(col("event_type") === "click")
