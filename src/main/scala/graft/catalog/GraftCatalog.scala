@@ -77,6 +77,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
 
+  /** TIME TRAVEL (`SELECT … FROM t VERSION AS OF k`): every commit keeps a
+    * numbered manifest snapshot (`manifest.v<k>`), so a versioned load is
+    * just the same table pinned to snapshot k's live set. Reads use the
+    * CURRENT schema (older, narrower groups null-pad exactly as they do on
+    * live reads). Writes through a pinned table are rejected. Snapshots
+    * expire after [[GroupFiles.RETAIN]] commits — an expired version fails
+    * loudly rather than reading a partial file set.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GraftCatalog table versions are commit numbers; got '$version'")
+    }
+    new GraftTable(t.name(), t.schema(), t.location, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -165,17 +182,29 @@ case class Group(file: String, stats: Map[String, (Long, Long)]) {
   * count header, then length-prefixed UnsafeRow payloads) + a `manifest`
   * text file naming the live groups (one per line:
   * `file<TAB>col=min:max<TAB>…`). The manifest replace is the atomic
-  * commit point (same-filesystem ATOMIC_MOVE, like io.Sinks).
+  * commit point (same-filesystem ATOMIC_MOVE, like io.Sinks). Every commit
+  * also keeps a numbered snapshot `manifest.v<k>` (the last [[RETAIN]] of
+  * them) — the TIME-TRAVEL record: a group file stays on disk until no
+  * retained snapshot references it, so `VERSION AS OF` reads of recent
+  * commits are exact. The plain `manifest` is authoritative; snapshots are
+  * read-only views of past commits.
   */
 object GroupFiles {
   private val MANIFEST = "manifest"
+
+  /** Commits retained for time travel; older snapshots (and the files only
+    * they reference) are removed on the commit that expires them.
+    */
+  val RETAIN = 10
 
   /** Per-directory commit lock: publish is atomic on disk (rename), but a
     * commit is a read-modify-write of the manifest — two unsynchronized
     * committers would each base their new live set on the same old one,
     * and publish's orphan-deletion would then physically delete the loser's
-    * freshly written groups. In-process serialization closes that; cross-
-    * JVM coordination is the metadata-pointer CAS a real object-store
+    * freshly written groups. In-process serialization closes that race; it
+    * does NOT by itself close the scan-to-commit window of a row-level
+    * operation — that is what [[commitRowLevel]]'s validation is for.
+    * Cross-JVM coordination is the metadata-pointer CAS a real object-store
     * format provides and is out of scope here (one driver owns a table).
     */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -183,44 +212,119 @@ object GroupFiles {
     locks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
 
   /** Atomically transform the live set: read + compute + publish under the
-    * directory's commit lock. All commit paths go through this.
+    * directory's commit lock. All commit paths go through this or
+    * [[commitRowLevel]].
     */
   def mutate(dir: Path)(f: Seq[Group] => Seq[Group]): Unit =
     lockFor(dir).synchronized { publish(dir, f(live(dir))) }
 
+  /** OPTIMISTIC-CONCURRENCY commit for a row-level operation (MERGE/
+    * UPDATE/DELETE): replace exactly the `scanned` groups with `written`,
+    * but FIRST validate — under the commit lock — that every scanned group
+    * is still live. A concurrent commit (another row-level op, or a
+    * compact()) that replaced any of them means this operation's rewrite
+    * was computed from rows that no longer exist: committing anyway would
+    * resurrect them as duplicates. The Iceberg-style answer is to fail the
+    * commit cleanly (written files are aborted by the caller) and let the
+    * caller re-run the operation against the new live set. Two row-level
+    * ops whose runtime-filtered scans touched DISJOINT group sets both
+    * validate and both commit.
+    */
+  def commitRowLevel(dir: Path, scanned: Set[String], written: Seq[Group]): Unit =
+    lockFor(dir).synchronized {
+      val liveNow = live(dir)
+      val stale = scanned -- liveNow.map(_.file).toSet
+      if (stale.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"row-level commit conflict: scanned groups were replaced by a concurrent " +
+        s"commit (${stale.toSeq.sorted.mkString(", ")}); re-run the operation")
+      publish(dir, liveNow.filterNot(g => scanned(g.file)) ++ written)
+    }
+
   def reset(dir: Path): Unit = { delete(dir); Files.createDirectories(dir) }
 
-  def live(dir: Path): Seq[Group] = {
-    val m = dir.resolve(MANIFEST)
+  /** Snapshot versions currently on disk, ascending. */
+  def versions(dir: Path): Seq[Long] = {
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(MANIFEST + ".v"))
+      .flatMap(n => n.stripPrefix(MANIFEST + ".v").toLongOption)
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Latest commit number (0 = never committed). */
+  def version(dir: Path): Long = versions(dir).lastOption.getOrElse(0L)
+
+  def live(dir: Path): Seq[Group] = parseManifest(dir.resolve(MANIFEST))
+
+  /** The live set as of commit `v` — fails loudly if the snapshot has
+    * expired (reading a partial file set silently would be corruption).
+    */
+  def liveAt(dir: Path, v: Long): Seq[Group] = {
+    val m = dir.resolve(s"$MANIFEST.v$v")
+    if (!Files.exists(m)) throw new IllegalArgumentException(
+      s"version $v is not retained (available: ${versions(dir).mkString(", ")})")
+    parseManifest(m)
+  }
+
+  /** Defensive parse: a stats token that does not split cleanly into
+    * `col=lo:hi` with numeric bounds is DROPPED (no stats ⇒ no pruning —
+    * conservative, never wrong), not a crash at read time.
+    */
+  private def parseManifest(m: Path): Seq[Group] = {
     if (!Files.exists(m)) return Seq.empty
     Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).map { line =>
       val parts = line.split('\t')
       val stats = parts.tail.flatMap { s =>
-        val Array(col, range) = s.split('=')
-        val Array(lo, hi) = range.split(':')
-        Some(col -> (lo.toLong, hi.toLong))
+        s.split("=", 2) match {
+          case Array(col, range) => range.split(":", 2) match {
+            case Array(lo, hi) =>
+              for (l <- lo.toLongOption; h <- hi.toLongOption) yield col -> (l, h)
+            case _ => None
+          }
+          case _ => None
+        }
       }.toMap
       Group(parts.head, stats)
     }
   }
 
-  /** Atomically publish `groups` as the new live set, then delete the
-    * group files the old manifest referenced that are no longer live
-    * (safe AFTER the swap: no reader planning against the new manifest can
-    * see them; in-flight readers on local/HDFS-style filesystems hold the
-    * open handle).
+  /** Column names containing a manifest delimiter cannot be recorded in
+    * stats without an escaping scheme; skipping them only costs pruning.
+    */
+  private def statsSafe(c: String): Boolean =
+    !c.exists(ch => ch == '=' || ch == ':' || ch == '\t' || ch == '\n' || ch == '\r')
+
+  /** Atomically publish `groups` as the new live set, snapshot it as
+    * `manifest.v<k+1>`, then expire snapshots beyond [[RETAIN]] and delete
+    * the group files no retained snapshot (nor the new live set)
+    * references. Deletion AFTER the swap is safe: no reader planning
+    * against a retained manifest can see a deleted file; in-flight readers
+    * on local/HDFS-style filesystems hold the open handle. Files never yet
+    * referenced by any manifest (in-flight writer output) are never swept.
     */
   def publish(dir: Path, groups: Seq[Group]): Unit = {
     val old = live(dir)
     val tmp = dir.resolve(MANIFEST + ".tmp")
     val lines = groups.map { g =>
-      (g.file +: g.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$c=$lo:$hi" })
+      (g.file +: g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" })
         .mkString("\t")
     }
-    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    val bytes = lines.mkString("\n").getBytes("UTF-8")
+    Files.write(tmp, bytes)
     Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
                StandardCopyOption.REPLACE_EXISTING)
-    (old.map(_.file).toSet -- groups.map(_.file).toSet)
+    // commit point passed — record the snapshot and expire old ones
+    val newV = version(dir) + 1
+    Files.write(dir.resolve(s"$MANIFEST.v$newV"), bytes)
+    val expired = versions(dir).filter(_ <= newV - RETAIN)
+    val expiredRefs = expired.flatMap(v => liveAt(dir, v).map(_.file)).toSet
+    expired.foreach(v => Files.deleteIfExists(dir.resolve(s"$MANIFEST.v$v")))
+    val retainedRefs =
+      versions(dir).flatMap(v => liveAt(dir, v).map(_.file)).toSet ++ groups.map(_.file)
+    ((old.map(_.file).toSet ++ expiredRefs) -- retainedRefs)
       .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
 
@@ -310,7 +414,8 @@ class ScanHolder {
   * files; reads stream one partition per group file, writes stream rows to
   * new group files task-side and swap the manifest on commit.
   */
-class GraftTable(tableName: String, tableSchema: StructType, val location: String)
+class GraftTable(tableName: String, tableSchema: StructType, val location: String,
+                 val pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   override def name(): String = tableName
@@ -323,15 +428,18 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
     new GraftScanBuilder(this, None)
 
   /** Plain writes (INSERT INTO …) append; INSERT OVERWRITE truncates. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty, "cannot write through a VERSION AS OF read")
     new GraftWriteBuilder(this, info.schema(), replaceAll = false, None)
+  }
 
   /** MERGE/UPDATE/DELETE: group-based copy-on-write — the operation's
     * scan reads the live groups (runtime-group-filtered down to the files
     * whose stats can match the source keys), its write replaces exactly
     * the scanned groups. The ScanHolder is the scan→write channel.
     */
-  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty, "cannot modify a VERSION AS OF read")
     () => new RowLevelOperation {
       private val holder = new ScanHolder
       override def command(): RowLevelOperation.Command = info.command()
@@ -341,6 +449,7 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
         new GraftWriteBuilder(GraftTable.this, writeInfo.schema(),
                               replaceAll = true, Some(holder))
     }
+  }
 }
 
 class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder]) extends ScanBuilder {
@@ -359,8 +468,12 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder])
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
   // the live set is pinned at PLAN time: a concurrent commit during
-  // execution cannot change which groups this scan reads
-  private var groups: Seq[Group] = GroupFiles.live(Paths.get(table.location))
+  // execution cannot change which groups this scan reads; a VERSION AS OF
+  // table pins instead to its snapshot's live set (time travel)
+  private var groups: Seq[Group] = table.pinnedVersion match {
+    case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
+    case None => GroupFiles.live(Paths.get(table.location))
+  }
 
   override def readSchema(): StructType = table.schema()
   override def toBatch: Batch = this
@@ -481,16 +594,20 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
     val written = messages.flatMap(_.asInstanceOf[GraftCommitMessage].groups).toSeq
-    val scanned = holder.flatMap(_.planned).map(_.toSet)
-    GroupFiles.mutate(dir) { liveNow =>
-      if (replaceAll) scanned match {
-        // copy-on-write: replace exactly the groups the operation's scan
-        // planned (post runtime group filtering); untouched groups live on
-        case Some(s) => liveNow.filterNot(g => s(g.file)) ++ written
-        // no scan recorded (INSERT OVERWRITE / TRUNCATE): full replace
-        case None => written
-      }
-      else liveNow ++ written
+    (replaceAll, holder) match {
+      // row-level op (MERGE/UPDATE/DELETE): copy-on-write replace of
+      // exactly the groups the operation's scan planned (post runtime
+      // group filtering), validated against the live set so a concurrent
+      // commit that replaced a scanned group fails this one cleanly
+      // instead of resurrecting its rows. A holder whose scan never
+      // reached planInputPartitions (e.g. AQE empty-relation propagation)
+      // scanned NOTHING — full-replace here would silently truncate the
+      // table, so it replaces the empty set instead.
+      case (true, Some(h)) =>
+        GroupFiles.commitRowLevel(dir, h.planned.getOrElse(Seq.empty).toSet, written)
+      // true INSERT OVERWRITE / TRUNCATE (no row-level scan exists)
+      case (true, None) => GroupFiles.mutate(dir)(_ => written)
+      case (false, _) => GroupFiles.mutate(dir)(_ ++ written)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

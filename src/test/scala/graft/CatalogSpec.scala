@@ -53,16 +53,19 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "manifest does not list exactly the on-disk groups")
 
     // copy-on-write MERGE: every live group is rewritten — the post-state
-    // file set must be disjoint from the pre-state set (immutable groups)
+    // LIVE set must be disjoint from the pre-state set (immutable groups;
+    // the replaced files stay on disk while retained snapshots reference
+    // them — that is the time-travel record, not an orphan leak)
     spark.sql(
       """MERGE INTO graft_fb.default.fb_t t
         |USING (SELECT id AS k, 'upd' AS v FROM range(0, 100, 2)) s
         |ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    val after = groups()
+    val after = graft.catalog.GroupFiles.live(dir).map(_.file).toSet
     assert(after.nonEmpty && after.intersect(before).isEmpty,
       s"MERGE must replace groups copy-on-write: before=$before after=$after")
+    assert(after.subsetOf(groups()), "live groups missing from disk")
     assert(spark.table("graft_fb.default.fb_t").count() === 100)
     assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_t WHERE v = 'upd'")
       .head().getLong(0) === 50)
@@ -122,10 +125,14 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(after.size === 1, s"unbounded target must compact to one group, got ${after.size}")
     // merged stats span the full key range
     assert(after.head.stats("k") === ((0L, 499L)))
-    // no orphan files
+    // no orphan files: everything on disk is referenced by some RETAINED
+    // snapshot (the pre-compaction groups stay until their snapshots expire)
     val onDisk = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
-    assert(onDisk === after.map(_.file).toSet)
+    val referenced = graft.catalog.GroupFiles.versions(dir)
+      .flatMap(v => graft.catalog.GroupFiles.liveAt(dir, v).map(_.file)).toSet
+    assert(onDisk === referenced)
+    assert(after.map(_.file).toSet.subsetOf(onDisk))
     // identical content through the normal read path
     assert(spark.sql(
       "SELECT CAST(SUM(k) AS BIGINT) s, COUNT(*) n, COUNT(DISTINCT v) d FROM graft_fb.default.fb_c")
@@ -203,7 +210,7 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
         |ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    val after = groups()
+    val after = graft.catalog.GroupFiles.live(dir).map(_.file).toSet
     assert(lowGroups.subsetOf(after),
       s"groups outside the MERGE key range were rewritten: low=$lowGroups after=$after")
     assert(highGroups.intersect(after).isEmpty,
@@ -215,5 +222,141 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_rgf WHERE v='low'")
       .head().getLong(0) === 100)
     spark.sql("DROP TABLE graft_fb.default.fb_rgf")
+  }
+
+  test("time travel: VERSION AS OF reads the pre-MERGE snapshot byte-identically") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_tt")
+    spark.sql("CREATE TABLE graft_fb.default.fb_tt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_tt SELECT id, 'orig' FROM range(20)")
+    val beforeMerge = spark.table("graft_fb.default.fb_tt")
+      .collect().map(_.toString).sorted.toSeq
+    spark.sql(
+      """MERGE INTO graft_fb.default.fb_tt t
+        |USING (SELECT id AS k, 'upd' AS v FROM range(0, 30, 2)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // current read reflects the MERGE; VERSION AS OF 1 is the old world
+    assert(spark.table("graft_fb.default.fb_tt").count() === 25)
+    val v1 = spark.sql("SELECT * FROM graft_fb.default.fb_tt VERSION AS OF 1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(v1 === beforeMerge, "VERSION AS OF 1 must equal the pre-MERGE read")
+    // writes through a pinned read are rejected
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_fb.default.fb_tt VERSION AS OF 1 VALUES (99, 'x')")
+    }
+    // an unknown / expired version fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_fb.default.fb_tt VERSION AS OF 999").collect()
+    }
+    spark.sql("DROP TABLE graft_fb.default.fb_tt")
+  }
+
+  test("snapshot retention: only RETAIN versions kept; expired files are swept") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.catalog.GroupFiles
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_ret")
+    spark.sql("CREATE TABLE graft_fb.default.fb_ret (k BIGINT)")
+    val n = GroupFiles.RETAIN + 3
+    // INSERT OVERWRITE each round: every commit fully replaces the live
+    // set, so each expired snapshot's files become deletable exactly when
+    // the snapshot does
+    (1 to n).foreach { i =>
+      spark.sql(s"INSERT OVERWRITE graft_fb.default.fb_ret SELECT id FROM range($i)")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_ret")).asInstanceOf[graft.catalog.GraftTable].location)
+    val vs = GroupFiles.versions(dir)
+    assert(vs.size === GroupFiles.RETAIN && vs.last === n.toLong,
+      s"expected the last ${GroupFiles.RETAIN} of $n commits, got $vs")
+    intercept[IllegalArgumentException] { GroupFiles.liveAt(dir, vs.head - 1) }
+    // every on-disk group is referenced by a retained snapshot — the files
+    // of expired snapshots were swept
+    val onDisk = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val referenced = vs.flatMap(v => GroupFiles.liveAt(dir, v).map(_.file)).toSet
+    assert(onDisk === referenced)
+    // oldest retained version still reads correctly
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_fb.default.fb_ret VERSION AS OF ${vs.head}")
+      .head().getLong(0) === (vs.head))
+    spark.sql("DROP TABLE graft_fb.default.fb_ret")
+  }
+
+  test("optimistic concurrency: disjoint row-level commits pass; stale scan fails then retries") {
+    import java.nio.file.Files
+    import graft.catalog.{Group, GroupFiles}
+    val dir = Files.createTempDirectory("graft_occ")
+    def mkGroup(name: String): Group = {
+      // minimal valid group file: 1-field header, zero rows
+      val out = new java.io.DataOutputStream(Files.newOutputStream(dir.resolve(name)))
+      out.writeInt(1); out.close()
+      Group(name, Map.empty)
+    }
+    try {
+      val (a, b) = (mkGroup("a.rows"), mkGroup("b.rows"))
+      GroupFiles.publish(dir, Seq(a, b))
+      // two ops scanned DISJOINT groups: both commits validate and land
+      GroupFiles.commitRowLevel(dir, Set("a.rows"), Seq(mkGroup("a2.rows")))
+      GroupFiles.commitRowLevel(dir, Set("b.rows"), Seq(mkGroup("b2.rows")))
+      assert(GroupFiles.live(dir).map(_.file).toSet === Set("a2.rows", "b2.rows"))
+      // an op that scanned a group a concurrent commit replaced must fail…
+      val w = mkGroup("c.rows")
+      intercept[java.util.ConcurrentModificationException] {
+        GroupFiles.commitRowLevel(dir, Set("a.rows"), Seq(w))
+      }
+      assert(GroupFiles.live(dir).map(_.file).toSet === Set("a2.rows", "b2.rows"),
+        "failed commit must not change the live set")
+      // …and succeed after re-scanning the current live set (the retry)
+      GroupFiles.commitRowLevel(dir, Set("a2.rows"), Seq(w))
+      assert(GroupFiles.live(dir).map(_.file).toSet === Set("b2.rows", "c.rows"))
+    } finally GroupFiles.delete(dir)
+  }
+
+  test("row-level commit whose scan never planned replaces nothing (no silent truncate)") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_nt")
+    spark.sql("CREATE TABLE graft_fb.default.fb_nt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_nt SELECT id, 'keep' FROM range(10)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_nt")).asInstanceOf[graft.catalog.GraftTable]
+    // simulate the AQE empty-relation shape: a row-level write whose scan
+    // was never executed (holder.planned == None) commits zero rows — the
+    // table must be untouched, NOT truncated
+    val holder = new graft.catalog.ScanHolder
+    val write = new graft.catalog.GraftBatchWrite(
+      tbl, tbl.schema(), replaceAll = true, Some(holder))
+    write.commit(Array.empty)
+    assert(spark.table("graft_fb.default.fb_nt").count() === 10,
+      "unplanned row-level commit truncated the table")
+    spark.sql("DROP TABLE graft_fb.default.fb_nt")
+  }
+
+  test("manifest stats: unsafe column names are skipped, malformed tokens parse defensively") {
+    import java.nio.file.Files
+    import graft.catalog.{Group, GroupFiles}
+    val dir = Files.createTempDirectory("graft_esc")
+    try {
+      val out = new java.io.DataOutputStream(Files.newOutputStream(dir.resolve("g.rows")))
+      out.writeInt(1); out.close()
+      // a column name carrying every manifest delimiter: stats must be
+      // skipped at write (no pruning), NOT corrupt the manifest
+      GroupFiles.publish(dir, Seq(Group("g.rows",
+        Map("a=b:c" -> (1L, 2L), "ok" -> (3L, 4L)))))
+      val round = GroupFiles.live(dir)
+      assert(round.map(_.file) === Seq("g.rows"))
+      assert(round.head.stats === Map("ok" -> (3L, 4L)))
+      // hand-corrupted stats tokens: dropped, never a crash
+      Files.write(dir.resolve("manifest"),
+        "g.rows\tbroken\tx=1\ty=1:zz\tok=5:6".getBytes("UTF-8"))
+      assert(GroupFiles.live(dir).head.stats === Map("ok" -> (5L, 6L)))
+    } finally GroupFiles.delete(dir)
   }
 }
