@@ -89,6 +89,7 @@ object SparkEntry {
     "q_token_count" -> Text.tokenCountQuery,
     "q_doc_fingerprint" -> Text.fingerprintQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
+    "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
@@ -250,6 +251,42 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_dedup_lsh_candidates oracle: the same banded-MinHash candidate
+    * generation over the FULL corpus — signature = 8 min-md5-string
+    * components (verbatim the q_dedup_minhash construction), 4 bands of 2
+    * components each, candidates = docs equal on any band key, est_j =
+    * matching components / 8. The banding join is an equi-join in DuckDB
+    * exactly as in Spark, so both engines do subquadratic candidate
+    * generation — the gate proves the SCALE path end-to-end, not just its
+    * quadratic ground truth.
+    */
+  private def lshOracle: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:'||s)) AS m$i").mkString(",\n    ")
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_idx, m${2 * b}||'|'||m${2 * b + 1} AS band_key FROM sig"
+    }.mkString(" UNION ALL\n  ")
+    val matches = (0 until 8).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1.0 ELSE 0.0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+       |  FROM t),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY 1),
+       |banded AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_bands,
+       |  round(($matches) / 8.0, 6) AS est_j
+       |FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q_dedup_simhash oracle: 16-bit SimHash from md5 hex nibbles — bit b
     * = sign of Σ_tokens ±1 per bit (b%4) of hex digit 1+b/4 (nibble via
     * ascii arithmetic), Hamming via bit_count(xor).
@@ -279,6 +316,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+
+    "q_dedup_lsh_candidates" -> lshOracle,
 
     "q_dedup_simhash" -> simhashOracle,
 
@@ -441,8 +480,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
-      // 3-gram shingle Jaccard; round-6 before the threshold on both sides
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      // 3-gram shingle Jaccard; round-6 before the threshold on both
+      // sides; BOUNDED doc slice (the exact all-pairs form is ground
+      // truth only — q_dedup_lsh_candidates is the full-corpus scale path)
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
         |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s

@@ -129,14 +129,53 @@ object Text {
   /** q_dedup_ngram: exact 3-gram-shingle Jaccard near-dup pairs at
     * threshold 0.5 (round-6 on both sides BEFORE the threshold test so the
     * boundary cannot flip between engines). This exact-pairwise form is the
-    * declared ground truth; MinHash-LSH (MinHash.scala) is the subquadratic
-    * scale path tolerance-tested against it.
+    * declared GROUND TRUTH and is therefore quadratic by semantics — the
+    * declared input is BOUNDED to a deterministic doc slice (the
+    * q_dedup_minhash pattern) so no declared key is all-pairs over an
+    * unbounded corpus. The subquadratic 100 TB path is the banded LSH form
+    * (dedupLshQuery / MinHash.candidatePairs) — run THAT on a full corpus.
     */
   def dedupNgramQuery(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Sources.documents(spark, dir), "doc_id", "text", 3)
+    ngramJaccardPairs(Sources.documents(spark, dir).filter(col("doc_id") < 100),
+                      "doc_id", "text", 3)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** q_dedup_lsh_candidates: the SUBQUADRATIC dedup path itself under the
+    * oracle gate — banded MinHash-LSH candidate generation over the FULL
+    * corpus using the PORTABLE md5 signature (MinHash.md5Signature, k=8;
+    * 4 bands × 2 rows). A document's signature is split into bands; docs
+    * sharing any band key meet in a hash EQUI-join on (band_idx, band_key)
+    * — never an all-pairs comparison — and the full signatures then score
+    * each candidate (est_j = matching components / 8). This is the plan
+    * shape that holds at 100 TB: shuffle keys are (band_idx, 2×md5) pairs,
+    * candidate work is proportional to collisions, and the quadratic exact
+    * forms (q_dedup_ngram, q_sim_neardup) exist only as bounded ground
+    * truth. MinHash.candidatePairs is the faster in-engine xxhash64 twin
+    * of the same shape.
+    */
+  def dedupLshQuery(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8; val rows = 2; val nBands = k / rows
+    val sigs = Sources.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("doc_id"), MinHash.md5Signature(col("ss"), k).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+          struct(b.as("band_idx"),
+                 concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))
+                   .as("band_key")))).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band_idx"), col("b.band_key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"),
+           r6(max(MinHash.estimateCol(col("x.sig"), col("y.sig")))).as("est_j"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** q_repetition_ratio: Gopher-style within-document repetition signal —
     * 1 − distinct/total tokens per doc. Pure array column math (no

@@ -59,4 +59,25 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.length === 5, s"all 5 planted dupes must be found, got ${pairs.length}")
     assert(pairs.forall(_.getDouble(2) === 1.0))
   }
+
+  test("dedupLshQuery: candidates come from band equality, scored by the full signature") {
+    val cands = Text.dedupLshQuery(spark, sfDir).collect()
+    assert(cands.nonEmpty, "the corpus must produce LSH candidates")
+    cands.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val bands = r.getLong(2); val est = r.getDouble(3)
+      assert(a < b, "pair order must be canonical")
+      assert(bands >= 1 && bands <= 4, s"n_bands out of range: $bands")
+      assert(est >= 0.0 && est <= 1.0, s"est_j out of range: $est")
+      // a shared band = 2 matching signature components, so the signature
+      // estimate must see at least those (bands are disjoint slices)
+      assert(est >= bands * 2.0 / 8.0 - 1e-9,
+        s"pair ($a,$b): $bands matching bands but est_j=$est")
+    }
+    // candidate generation is an equi-join: the physical plan must not
+    // contain a nested-loop or cartesian product
+    val plan = Text.dedupLshQuery(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate join must be an equi-join")
+  }
 }
