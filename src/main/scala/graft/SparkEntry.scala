@@ -40,6 +40,7 @@ object SparkEntry {
     "q_exists_subquery" -> Relational.existsSubquery,
     "q_lateral_join" -> Relational.lateralJoin,
     "q_window_time_range" -> Windows.windowTimeRange,
+    "q_window_time_range_hours" -> Windows.windowTimeRangeHours,
     "q_bucket_join" -> Scale.bucketJoinQuery,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
@@ -1122,6 +1123,18 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, od_us""".stripMargin,
+
+    "q_window_time_range_hours" ->
+      // sub-day (microsecond) order key: the 6-hour bound discriminates
+      // rows hours apart, pinning frame inclusion the day-granular key
+      // can't; frame aggregates are exact integers
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
+        |  CAST(SUM(event_id) OVER w AS BIGINT) AS sum_eid_6h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT event_id, user_id,

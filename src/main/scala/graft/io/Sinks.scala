@@ -1,7 +1,7 @@
 package graft.io
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Writers (SURVEY.md §2 A/E API-only rows).
   *
@@ -119,4 +119,33 @@ object Sinks {
       try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  /** The session warehouse directory as a local filesystem path. Spark
+    * usually reports `spark.sql.warehouse.dir` as a `file:` URI with
+    * percent-encoded characters (e.g. `%20` for a space) — those must be
+    * URI-decoded or the computed path doesn't exist and any cleanup
+    * silently no-ops. A plain path (spaces legal, not a valid URI) is
+    * taken verbatim.
+    */
+  def warehousePath(spark: SparkSession): Path =
+    warehousePath(spark.conf.get("spark.sql.warehouse.dir"))
+
+  /** Conf-string form (the conf is static — tests exercise this directly). */
+  def warehousePath(conf: String): Path =
+    if (conf.startsWith("file:"))
+      try Paths.get(new java.net.URI(conf))
+      catch { case _: Exception => Paths.get(conf.stripPrefix("file:")) }
+    else Paths.get(conf)
+
+  /** Drop a managed table AND clear its leftover warehouse location. A
+    * previous JVM's warehouse directory survives while the in-memory
+    * session catalog does not, so a bare `saveAsTable` after restart fails
+    * with LOCATION_ALREADY_EXISTS — this is the one audited place that
+    * driver-side filesystem hygiene lives (callers must not hand-roll
+    * directory deletion in query paths).
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteRecursively(warehousePath(spark).resolve(table))
+  }
 }

@@ -199,8 +199,13 @@ object Joins {
     * filtered, matching the join's no-output-row behavior.
     */
   def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    // NULL dates never satisfy the oracle's literal d1 < d2 comparison but
+    // would count as "earlier than everything" in an ascending window
+    // (NULLS FIRST) — drop them up front so the rewrite is equivalent to
+    // the join form for ANY input, not just null-free synthetic data
     val perDate = Sources.orders(spark, dir)
       .select(col("o_custkey").as("custkey"), col("o_orderdate").as("d"))
+      .filter(col("d").isNotNull)
       .groupBy(col("custkey"), col("d"))
       .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window

@@ -113,20 +113,9 @@ object Scale {
       // a PREVIOUS JVM's warehouse directory survives while the in-memory
       // catalog does not — saveAsTable then fails LOCATION_ALREADY_EXISTS;
       // drop the entry AND clear the leftover location before writing
-      Seq("graft_b_orders", "graft_b_customer").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        // NOT java.net.URI: a plain path with spaces (legal in the conf)
-        // is not a valid URI and would throw before any cleanup
-        val whConf = spark.conf.get("spark.sql.warehouse.dir")
-        val wh = java.nio.file.Paths.get(whConf.stripPrefix("file:"))
-        val loc = wh.resolve(t)
-        if (java.nio.file.Files.exists(loc)) {
-          val s = java.nio.file.Files.walk(loc)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally s.close()
-        }
-      }
+      // (Sinks owns the path parsing: file: URIs are percent-DECODED)
+      Seq("graft_b_orders", "graft_b_customer")
+        .foreach(graft.io.Sinks.dropTableAndLocation(spark, _))
       writeBucketed(
         graft.io.Sources.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
         "graft_b_orders", Seq("o_custkey"), 8, Seq("o_custkey"))

@@ -96,8 +96,15 @@ object Streaming {
     * shuffle on user_id, no per-row lookup, no range join blowup. Ties
     * (click_ts == signup_ts) match because kind orders signups first.
     */
-  def asofClickSignup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Sources.events(spark, dir).withColumn("us", us(col("ts")))
+  def asofClickSignup(spark: SparkSession, dir: String): DataFrame =
+    asofOnEvents(Sources.events(spark, dir))
+
+  /** The batch as-of core over ANY events frame (event_id, user_id, ts,
+    * event_type) — factored out so the streaming twin (asofStream) can be
+    * equivalence-tested against the batch semantics on identical rows.
+    */
+  def asofOnEvents(events: DataFrame): DataFrame = {
+    val e = events.withColumn("us", us(col("ts")))
     val signups = e.filter(col("event_type") === "signup")
       .select(col("user_id"), col("us"), lit(0).as("kind"), lit(null).cast("long").as("event_id"))
     val clicks = e.filter(col("event_type") === "click")

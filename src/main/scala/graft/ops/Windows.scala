@@ -84,6 +84,26 @@ object Windows {
         |ORDER BY o_custkey, od_us""".stripMargin)
   }
 
+  /** q_window_time_range_hours: the INTERVAL range frame over SUB-DAY
+    * timestamps — events carry microsecond-granular event times, so the
+    * 6-hour frame bound actually discriminates between rows hours apart
+    * (the day-granular q_window_time_range can't distinguish an off-by-
+    * hours frame boundary; this key pins the inclusion semantics where it
+    * matters). Frame aggregates are exact integers (count + event_id sum)
+    * so no float-summation order can diverge between engines.
+    */
+  def windowTimeRangeHours(spark: SparkSession, dir: String): DataFrame = {
+    Sources.events(spark, dir).createOrReplaceTempView("wtrh_events")
+    spark.sql(
+      """SELECT event_id, user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
+        |  CAST(SUM(event_id) OVER w AS BIGINT) AS sum_eid_6h
+        |FROM wtrh_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** q_window_ntile: distribution window functions — quartile bucketing
     * (ntile), percent_rank and cume_dist per market segment. The rank
     * divisions are exact integer-derived doubles ((rank-1)/(n-1), k/n) —

@@ -169,4 +169,33 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(rows("dup_composite_key") === expected)
   }
 
+  test("warehousePath decodes file: URIs (percent-encoding) and takes plain paths verbatim") {
+    import graft.io.Sinks
+    // the form Spark itself reports: a file: URI with %20 for spaces —
+    // the decoded path is what exists on disk
+    assert(Sinks.warehousePath("file:/tmp/graft%20wh%20test").toString
+      === "/tmp/graft wh test")
+    // a plain path with spaces is legal conf but not a valid URI — must
+    // be taken verbatim, not rejected
+    assert(Sinks.warehousePath("/tmp/graft wh plain").toString === "/tmp/graft wh plain")
+    // the session form resolves to an existing directory for this JVM
+    assert(java.nio.file.Files.exists(Sinks.warehousePath(spark).getParent))
+  }
+
+  test("dropTableAndLocation clears a leftover location so saveAsTable succeeds after 'restart'") {
+    import java.nio.file.Files
+    import graft.io.Sinks
+    val loc = Sinks.warehousePath(spark).resolve("graft_stale_t")
+    // simulate a previous JVM's leftover: a directory at the managed
+    // location with no catalog entry
+    Files.createDirectories(loc)
+    Files.write(loc.resolve("junk"), "x".getBytes)
+    Sinks.dropTableAndLocation(spark, "graft_stale_t")
+    assert(!Files.exists(loc), "stale location must be cleared")
+    spark.range(5).write.saveAsTable("graft_stale_t")
+    assert(spark.table("graft_stale_t").count() === 5)
+    Sinks.dropTableAndLocation(spark, "graft_stale_t")
+    assert(!spark.catalog.tableExists("graft_stale_t") && !Files.exists(loc))
+  }
+
 }

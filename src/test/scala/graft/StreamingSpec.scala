@@ -230,6 +230,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "click after the expired signup must not match")
   }
 
+  test("asofStream: late within-horizon signup is picked up; output equals batch twin on the same rows") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    def t(s: Int) = new Timestamp(base + s * 1000L)
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = Streaming.asofStream(events.toDF, horizonMs = 3600000L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // batch 1: u1 signup@1000 and click@2000 (pairs with 1000); an
+    // unrelated u2 view@5000 pushes the max seen event time forward so the
+    // next signup is genuinely LATE (behind max event time) yet inside the
+    // 1-hour watermark horizon
+    events.addData(Ev(1, t(1000), 1, "signup", 0),
+                   Ev(2, t(2000), 1, "click", 0),
+                   Ev(3, t(5000), 2, "view", 0))
+    q.processAllAvailable()
+    // batch 2: the late signup@2500 — state must advance to it
+    events.addData(Ev(4, t(2500), 1, "signup", 0))
+    q.processAllAvailable()
+    // batch 3: click@3000 must pair with the LATE 2500 signup, not 1000
+    events.addData(Ev(5, t(3000), 1, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the batch twin over the SAME five rows (asofOnEvents = the core of
+    // asofClickSignup) must produce the identical pairing
+    import spark.implicits._
+    val staticEvents = Seq(
+      Ev(1, t(1000), 1, "signup", 0), Ev(2, t(2000), 1, "click", 0),
+      Ev(3, t(5000), 2, "view", 0), Ev(4, t(2500), 1, "signup", 0),
+      Ev(5, t(3000), 1, "click", 0)).toDF
+    val batch = Streaming.asofOnEvents(staticEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+    assert(streamed.map(x => (x._1, x._4)) ===
+      Set((2L, t(1000).getTime * 1000), (5L, t(2500).getTime * 1000)))
+  }
+
   test("applyCdcStream maintains the upsert post-state across micro-batches") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
