@@ -101,6 +101,9 @@ object SparkEntry {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
+    "q_pack_tokens" -> Pipeline.packTokensQuery,
+    "q_decontaminate" -> Pipeline.decontaminateQuery,
+    "q_mixture_weights" -> Pipeline.mixtureWeightsQuery,
     "q_sim_users" -> Similarity.userSimilarityQuery,
     "q_join_skew" -> Scale.skewJoinQuery,
     "q_text_levenshtein" -> Functions.levenshteinQuery,
@@ -401,6 +404,49 @@ object SparkEntry {
 
     "q_pipeline_corpus" -> pipelineOracle,
 
+    "q_pack_tokens" ->
+      // exact integer cumulative sums + integer division: pack_id is the
+      // pack each doc STARTS in under a 2048-token budget, per language
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      // 5-gram shingles; eval set = doc_id % 100 = 0; per-train-doc count
+      // of distinct shingles shared with ANY eval doc ((doc_id, s) is
+      // distinct by construction, so count(*) is the distinct count)
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 5 THEN []
+        |    ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 100 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_weights" ->
+      // T* = min(n_l / share_l); take = floor(share * T*); identical IEEE
+      // double ops in both engines (shares CAST to DOUBLE — DuckDB decimal
+      // literals must not enter the arithmetic)
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n_docs,
+        |  CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+        |                 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END AS DOUBLE) AS share
+        |  FROM n),
+        |t AS (SELECT min(CAST(n_docs AS DOUBLE) / share) AS tstar FROM s)
+        |SELECT lang, n_docs, share,
+        |  CAST(floor(share * tstar) AS BIGINT) AS take_n,
+        |  round(CAST(floor(share * tstar) AS BIGINT) / CAST(n_docs AS DOUBLE), 6) AS rate
+        |FROM s, t ORDER BY lang""".stripMargin,
+
     "q_sim_users" ->
       // sparse behavioral cosine: integer partial sums are exact, only the
       // final ratio is floating — identical arithmetic in both engines
@@ -508,7 +554,8 @@ object SparkEntry {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+        |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |    AND substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
         |    AND substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) t
         |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 

@@ -74,4 +74,86 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
   }
+
+  /** q_pack_tokens: SEQUENCE PACKING — assign documents to fixed
+    * token-budget packs (context windows) by cumulative token count in
+    * deterministic doc_id order, one packing stream per language. The
+    * rule is pure window arithmetic: pack_id = (cumsum − n_tokens) div B
+    * (the pack a document STARTS in; exact integer division on exact
+    * integer counts, so both engines agree bit-for-bit).
+    *
+    * Scale shape: packing is inherently sequential per stream — the
+    * parallelism unit is the partition key, never a global sort. Here
+    * that key is lang; at 100 TB it is (lang, shard) with shard =
+    * hash-bucketed doc ranges, giving thousands of independent packing
+    * streams and a window that never crosses shards.
+    */
+  def packTokensQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_decontaminate: BENCHMARK DECONTAMINATION — flag training documents
+    * sharing 5-gram shingles with an evaluation set (stand-in: doc_id
+    * divisible by 100; in production, the benchmark corpus). n_shared
+    * counts the distinct eval-overlapping shingles per train doc.
+    *
+    * Scale shape: an equi-join on the shingle string — never an all-pairs
+    * document comparison — and the eval side is BROADCAST: benchmark sets
+    * are small by nature (memorization targets, not corpora), so the
+    * train side streams map-side with zero shuffle of the 100 TB corpus.
+    */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Sources.documents(spark, dir)
+      .select(col("doc_id"),
+              explode(array_distinct(Text.shingles(col("text"), 5))).as("s"))
+    val evalSh = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(evalSh), Seq("s"))
+      // (doc_id, s) is already distinct (per-doc array_distinct), so the
+      // per-doc row count IS the distinct shared-shingle count
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_mixture_weights: CORPUS MIXTURE WEIGHTING — given target language
+    * shares, the largest corpus honoring every target is
+    * T* = min over languages of (available_l / share_l); language l then
+    * contributes take_n = floor(share_l · T*) documents at sampling rate
+    * take_n / available_l. This is the planning step of every mixture-
+    * controlled training run (how much of each source to sample).
+    * Determinism: counts are exact; the double ops (ratio, min, product,
+    * floor, final rate) are the same IEEE operations in the same order in
+    * both engines, and the published rate is round-6.
+    */
+  def mixtureWeightsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val share = when(col("lang") === "en", 0.40)
+      .when(col("lang") === "de", 0.15).when(col("lang") === "es", 0.15)
+      .when(col("lang") === "fr", 0.15).when(col("lang") === "zh", 0.15)
+      .otherwise(0.0)
+    val counts = Sources.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", share)
+    // T* over the per-language aggregate via a GLOBAL window (the frame is
+    // the one tiny post-agg partition — languages, not rows), not a scalar
+    // cross join: keeps the plan join-free and inside the PlanGate
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    counts
+      .withColumn("tstar",
+        min(col("n_docs").cast("double") / col("share")).over(whole))
+      .withColumn("take_n", floor(col("share") * col("tstar")).cast("long"))
+      .select(col("lang"), col("n_docs"), col("share"), col("take_n"),
+              r6(col("take_n").cast("double") / col("n_docs").cast("double")).as("rate"))
+      .orderBy(col("lang"))
+  }
 }

@@ -98,8 +98,15 @@ object Similarity {
     */
   def simPairsQuery(spark: SparkSession, dir: String): DataFrame =
     simPairsExact(
-      Scale.sampleByMd5(Sources.embeddings(spark, dir), "vec_id",
-                        (0 to 7).map(_.toHexString)),
+      // ABSOLUTE slice bound (vec_id < 2000) on top of the md5-digit
+      // half-sample: exact all-pairs mining is quadratic by semantics, so
+      // the declared gate's work must stay CONSTANT as the corpus grows
+      // (at sf ≤ 0.1 the bound is a no-op; at 10× it caps the slice
+      // instead of quadrupling the pair count 100×). The unbounded scale
+      // path is nearDupPairs (sign-LSH banding).
+      Scale.sampleByMd5(
+        Sources.embeddings(spark, dir).filter(col("vec_id") < 2000), "vec_id",
+        (0 to 7).map(_.toHexString)),
       threshold = 0.45)
 
   /** Exact threshold pair mining as a BLOCK-REPLICATED EQUI-JOIN: the

