@@ -64,6 +64,7 @@ object SparkEntry {
     "q_json_extract" -> Etl.jsonExtract,
     "q_partition_prune" -> Etl.partitionPrune,
     "q_orc_roundtrip" -> Etl.orcRoundtrip,
+    "q_xml_roundtrip" -> Etl.xmlRoundtrip,
     "q_partition_dpp" -> Etl.partitionDpp,
     // §2 E mutation verbs as dataflow
     "q_upsert_merge" -> Merge.upsertMerge,
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> Text.fingerprintQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
+    "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
@@ -123,6 +125,8 @@ object SparkEntry {
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
     "q_funnel" -> Analytics.funnel,
+    "q_outlier_zscore" -> Analytics.outlierZscore,
+    "q_zorder_layout" -> Scale.zorderLayoutQuery,
     "q_agg_filtered" -> Relational.aggFiltered,
     "q_date_spine" -> Relational.dateSpine,
     "q_join_nullsafe" -> Joins.joinNullSafe,
@@ -264,13 +268,18 @@ object SparkEntry {
     * generation — the gate proves the SCALE path end-to-end, not just its
     * quadratic ground truth.
     */
-  private def lshOracle: String = {
+  /** Shared CTE prefix of the two banded-LSH oracles: signatures → bands
+    * → candidate pairs → `scored(id_a, id_b, n_bands, est_j)`. Kept as one
+    * string so q_dedup_lsh_candidates and q_dedup_clusters stay in
+    * lockstep with Text.lshScoredCandidates.
+    */
+  private def lshScoredCtes: String = {
     val mins = (0 until 8).map(i => s"min(md5('$i:'||s)) AS m$i").mkString(",\n    ")
     val bands = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_idx, m${2 * b}||'|'||m${2 * b + 1} AS band_key FROM sig"
     }.mkString(" UNION ALL\n  ")
     val matches = (0 until 8).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1.0 ELSE 0.0 END").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
        |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
@@ -284,11 +293,53 @@ object SparkEntry {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, n_bands,
-       |  round(($matches) / 8.0, 6) AS est_j
-       |FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id_a, id_b, n_bands,
+       |    round(($matches) / 8.0, 6) AS est_j
+       |  FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b)""".stripMargin
+  }
+
+  private def lshOracle: String =
+    s"""WITH $lshScoredCtes
+       |SELECT id_a, id_b, n_bands, est_j FROM scored
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** q_dedup_clusters oracle: the identical LSH pairs at est_j >= 0.5
+    * become symmetric edges; a recursive CTE propagates every reachable
+    * node id and MIN(label) per node is the component id — the same
+    * fixpoint Graph.connectedComponents reaches by min-label iteration.
+    * est_j is a multiple of 1/8, so the 0.5 threshold is exact in both
+    * engines.
+    */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM scored WHERE est_j >= 0.5
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM scored WHERE est_j >= 0.5),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, MIN(label) AS cluster_id,
+       |  CAST(id = MIN(label) AS INT) AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** q_zorder_layout oracle: the identical Morton interleave as integer
+    * bit math — term 2i is bit i of x, term 2i+1 is bit i of y — then the
+    * same per-256-wide-range rollup. Shifts/masks/adds agree exactly in
+    * both engines.
+    */
+  private def zorderOracle: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((x >> $i) & 1) * ${1L << (2 * i)}",
+      s"((y >> $i) & 1) * ${1L << (2 * i + 1)}"))
+    s"""WITH xy AS (SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y FROM orders),
+       |z AS (SELECT x, y, ${terms.mkString(" + ")} AS z FROM xy)
+       |SELECT z >> 8 AS z_range, COUNT(*) AS n, MIN(z) AS z_min, MAX(z) AS z_max,
+       |  MIN(x) AS x_min, MAX(x) AS x_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q_dedup_simhash oracle: 16-bit SimHash from md5 hex nibbles — bit b
@@ -322,6 +373,8 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_lsh_candidates" -> lshOracle,
+
+    "q_dedup_clusters" -> clustersOracle,
 
     "q_dedup_simhash" -> simhashOracle,
 
@@ -771,6 +824,31 @@ object SparkEntry {
         |  COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders WHERE o_orderkey % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_xml_roundtrip" ->
+      // the oracle reads PARQUET directly: the XML roundtrip must be lossless
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(DISTINCT p_type) AS n_types
+        |FROM part WHERE p_partkey % 4 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zorder_layout" -> zorderOracle,
+
+    "q_outlier_zscore" ->
+      // exact moments first (n, Σx, Σx² as decimals), THEN one identical
+      // IEEE expression tree in both engines — the |z|>2 boundary cannot
+      // flip (see Analytics.outlierZscore)
+      """WITH stats AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM customer GROUP BY 1)
+        |SELECT c_custkey, c.c_mktsegment,
+        |  round((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z
+        |FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+        |WHERE abs((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 2
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_partition_dpp" ->
       // DPP must be semantically invisible: the oracle applies the

@@ -32,6 +32,36 @@ object Analytics {
       .orderBy(col("cohort_us"), col("week_us"))
   }
 
+  /** q_outlier_zscore: per-segment account-balance outliers (|z| > 2) —
+    * the anomaly gate a data-quality pipeline runs before training ingest.
+    * Scale shape: ONE aggregate over the table (5 segment rows) broadcast
+    * back onto it — never a window sort of the full table.
+    *
+    * Determinism: IEEE summation order differs between engines, so the
+    * moments are computed EXACTLY first — n, Σx as DECIMAL(18,2), Σx² as
+    * the exact decimal product sum — and only then finalized to double.
+    * From identical (n, s1, s2) both engines run the identical IEEE
+    * expression tree for mean/variance/z, so even the |z| > 2 boundary
+    * cannot flip. (Σx² unscaled stays under 2^53 through sf0.1; see
+    * Det.asOut's bound note.)
+    */
+  def outlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{money, r6}
+    val c = Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val stats = c.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(money(col("c_acctbal"))).cast("double").as("s1"),
+           sum(money(col("c_acctbal")) * money(col("c_acctbal"))).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    c.join(broadcast(stats), Seq("c_mktsegment"))
+      .withColumn("z", (col("c_acctbal") - mean) / sd)
+      .filter(abs(col("z")) > 2.0)
+      .select(col("c_custkey"), col("c_mktsegment"), r6(col("z")).as("z"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q_funnel: strictly-ordered view → click → purchase conversion. One
     * conditional-min aggregate per user collapses the event stream to
     * first-occurrence timestamps; the funnel counts are NULL-safe integer

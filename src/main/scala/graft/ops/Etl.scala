@@ -93,6 +93,30 @@ object Etl {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q_xml_roundtrip: XML bulk load — Spark 4's built-in XML source (the
+    * spark-xml lineage merged upstream). A part slice is written as
+    * row-tagged XML, read back with the explicit schema (no inference
+    * pass), and aggregated; the declared result must equal the same
+    * aggregate straight off parquet, proving the roundtrip lossless —
+    * entity escaping included. XML is the remaining feed format of
+    * document/EDI-era ingest pipelines; at scale the source splits by row
+    * tag like any text source.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft_xml_roundtrip")
+    Sources.part(spark, dir).filter(col("p_partkey") % 4 === 0)
+      .write.mode("overwrite")
+      .option("rootTag", "parts").option("rowTag", "part")
+      .xml(tmp.getAbsolutePath)
+    spark.read.option("rowTag", "part").schema(Schemas.part)
+      .xml(tmp.getAbsolutePath)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("p_retailprice")).as("sum_price"),
+           countDistinct(col("p_type")).as("n_types"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Hive-layout scratch table for the partition-pruning surface: orders
     * written partitioned by order month (`o_month=yyyy-MM/` directories)
     * via Sinks.writePartitioned. Overwritten in place on every call (same

@@ -131,6 +131,42 @@ object Scale {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Z-order (Morton) value of two long columns: the low `bits` bits of
+    * each are interleaved (x in even positions, y in odd). Sorting or
+    * range-partitioning a table by this value clusters rows that are close
+    * in BOTH dimensions into the same files, so per-file min/max stats
+    * prune scans filtered on EITHER column — the multi-dimensional layout
+    * trick behind Delta/Iceberg OPTIMIZE ZORDER, here as a plain codegen'd
+    * column expression usable with writePartitioned/writeBucketed/sortBy.
+    * Pure integer bit math (shifts, masks, adds) — engine-portable and
+    * exactly reproducible.
+    */
+  def zorder2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      (shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** q_zorder_layout: the z-order clustering key under the oracle gate —
+    * orders mapped to a 16-bit Morton code over (o_custkey mod 256,
+    * o_orderkey mod 256), then rolled up per 256-wide z-range exactly as a
+    * layout job would assign rows to files. The declared result pins the
+    * interleave itself (min/max z per range + row count); the locality
+    * property (a predicate on either source dimension touches few
+    * z-ranges) is asserted in ScaleSpec.
+    */
+  def zorderLayoutQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.io.Sources.orders(spark, dir)
+      .select((col("o_custkey") % 256).as("x"), (col("o_orderkey") % 256).as("y"))
+      .withColumn("z", zorder2(col("x"), col("y"), 8))
+    o.groupBy(shiftright(col("z"), 8).as("z_range"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+           min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+      .orderBy(col("z_range"))
+  }
+
   def skewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.moneySum
     val o = graft.io.Sources.orders(spark, dir)

@@ -155,7 +155,14 @@ object Text {
     * truth. MinHash.candidatePairs is the faster in-engine xxhash64 twin
     * of the same shape.
     */
-  def dedupLshQuery(spark: SparkSession, dir: String): DataFrame = {
+  def dedupLshQuery(spark: SparkSession, dir: String): DataFrame =
+    lshScoredCandidates(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** The scored banded-LSH candidate frame (id_a, id_b, n_bands, est_j),
+    * unsorted — shared by q_dedup_lsh_candidates (declared as-is) and
+    * q_dedup_clusters (est_j-thresholded pairs become component edges).
+    */
+  def lshScoredCandidates(spark: SparkSession, dir: String): DataFrame = {
     val k = 8; val rows = 2; val nBands = k / rows
     val sigs = Sources.documents(spark, dir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
@@ -174,7 +181,25 @@ object Text {
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"),
            r6(max(MinHash.estimateCol(col("x.sig"), col("y.sig")))).as("est_j"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q_dedup_clusters: the FINAL stage of the scale dedup pipeline —
+    * LSH candidate pairs at est_j >= 0.5 become undirected edges, and
+    * connected components (Graph.connectedComponents, iterative min-label
+    * propagation — one hash join per round, no driver-side row data) turn
+    * them into duplicate clusters. cluster_id = the minimum doc_id of the
+    * cluster; is_canonical marks the one document a training pipeline
+    * keeps. With q_dedup_lsh_candidates this puts pairs → clusters →
+    * keep-one ALL under the oracle gate: est_j is a multiple of 1/8, so
+    * the 0.5 threshold can never flip between engines, and the oracle
+    * computes the identical components via a recursive CTE.
+    */
+  def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshScoredCandidates(spark, dir).filter(col("est_j") >= 0.5)
+    Graph.connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+              (col("id") === col("component")).cast("int").as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** q_repetition_ratio: Gopher-style within-document repetition signal —

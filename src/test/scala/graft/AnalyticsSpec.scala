@@ -23,4 +23,13 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(v >= vc && vc >= full && full >= 0)
     assert(v > 0)
   }
+
+  test("outlier z-scores: flagged rows really deviate, both tails, small fraction") {
+    val out = Analytics.outlierZscore(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(math.abs(r.getDouble(2)) > 2.0))
+    val total = graft.io.Sources.customer(spark, sfDir).count()
+    // Chebyshev: at most 1/4 of any distribution is beyond 2 sigma
+    assert(out.length.toDouble / total <= 0.25)
+  }
 }

@@ -198,4 +198,19 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(!spark.catalog.tableExists("graft_stale_t") && !Files.exists(loc))
   }
 
+  test("XML roundtrip equals the same aggregate straight off parquet") {
+    import graft.Det.moneySum
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val viaXml = graft.ops.Etl.xmlRoundtrip(spark, sfDir).collect()
+    val direct = graft.io.Sources.part(spark, sfDir)
+      .filter(col("p_partkey") % 4 === 0)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("p_retailprice")).as("sum_price"),
+           countDistinct(col("p_type")).as("n_types"))
+      .orderBy(col("p_brand")).collect()
+    assert(viaXml.toSeq === direct.toSeq)
+    assert(viaXml.nonEmpty)
+  }
+
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Graph, Text}
+
+class GraphSpec extends AnyFunSuite with SparkFixture {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two separate components get their own min-id labels") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a path graph converges to one component (diameter > 1 round)") {
+    // 0-1-2-...-9 as a chain: min label must travel 9 hops
+    val got = components((0L until 9L).map(i => (i, i + 1)))
+    assert(got.size === 10)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("edge direction and duplicate edges are irrelevant") {
+    val got = components(Seq((5L, 3L), (3L, 5L), (5L, 3L), (3L, 4L)))
+    assert(got === Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("cycles converge") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L)))
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("dedup clusters: every cluster has exactly one canonical doc = its min id") {
+    val res = Text.dedupClustersQuery(spark, sfDir).collect()
+    assert(res.nonEmpty, "sf data must contain near-dup clusters")
+    val byCluster = res.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getLong(0))
+      assert(ids.min === cid, s"cluster id must be the min member id ($cid vs ${ids.min})")
+      assert(members.count(_.getInt(2) == 1) === 1, s"cluster $cid needs exactly one canonical")
+      assert(members.filter(_.getInt(2) == 1).head.getLong(0) === cid)
+      assert(ids.length >= 2, s"cluster $cid should have >= 2 members (edges imply pairs)")
+    }
+  }
+
+  test("clusters are consistent with the thresholded LSH pairs") {
+    // every est_j >= 0.5 pair must land in the same cluster
+    val pairs = Text.lshScoredCandidates(spark, sfDir)
+      .filter(col("est_j") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = Text.dedupClustersQuery(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+}

@@ -111,4 +111,34 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       .count(_ == "Exchange hashpartitioning")
     assert(exchanges === 1, s"aggregate should reuse the co-partitioning:\n$p")
   }
+
+  test("zorder2 matches a reference bit-interleave") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Scale.zorder2(col("x"), col("y"), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y, 4), s"interleave mismatch at ($x,$y)")
+    }
+    // bijective on the 4-bit grid
+    assert(got.values.toSet.size === pts.size)
+  }
+
+  test("z-order locality: a 1-dim predicate touches few z-ranges") {
+    import spark.implicits._
+    val pts = (for (x <- 0L until 256L; y <- 0L until 256L by 8) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Scale.zorder2(col("x"), col("y"), 8).as("z"))
+    // files of 256 consecutive z values; x in [0,16) must hit a small
+    // fraction of them (the clustering property layout jobs rely on),
+    // while under a plain x-major sort the SAME predicate would hit the
+    // ranges proportional to its selectivity times ALL y values
+    val hit = pts.filter(col("x") < 16)
+      .select(shiftright(col("z"), 8).as("zr")).distinct().count()
+    val total = pts.select(shiftright(col("z"), 8).as("zr")).distinct().count()
+    assert(hit.toDouble / total <= 0.20, s"x<16 hit $hit of $total z-ranges")
+  }
 }
