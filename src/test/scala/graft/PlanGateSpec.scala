@@ -96,6 +96,37 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
       s"join-key shuffle under the bucketed join — bucket co-location lost:\n$p")
   }
 
+  test("runtime bloom filter: selective dim filter injects might_contain into the fact scan side") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB the runtime bloom filter is the row-level sibling of DPP:
+    // a selective dimension filter becomes a bloom probe on the fact's
+    // join key BEFORE the shuffle, cutting shuffled bytes by the dim's
+    // selectivity. Local thresholds are tuned so the optimizer exercises
+    // the same rule it would at scale (the app-side scan threshold is
+    // 10 GB by default — far above test data).
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val o = graft.io.Sources.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val l = graft.io.Sources.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      val p = plan(j)
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected on the probe side:\n$p")
+      assert(j.collect()(0).getLong(0) > 0)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("every lineitem scan prunes its ReadSchema") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (unprunedLineitem(plan(fn(spark, sfDir)))) Some(name) else None
