@@ -238,12 +238,15 @@ object SparkEntry {
        |FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q_dedup_minhash oracle: min-md5-string MinHash, k=8 — component i is
-    * min(md5('i:' || shingle)); est = matching components / 8. Shingle
-    * construction is verbatim the q_dedup_ngram oracle's.
+  /** q_dedup_minhash oracle: min-md5-substring MinHash, k=8 — component i
+    * is min(substr(md5('g:' || shingle), (i%4)*8+1, 8)) with g = i/4 (one
+    * md5 yields four 32-bit components — see MinHash.md5Signature); est =
+    * matching components / 8. Shingle construction is verbatim the
+    * q_dedup_ngram oracle's.
     */
   private def minhashOracle: String = {
-    val mins = (0 until 8).map(i => s"min(md5('$i:'||s)) AS m$i").mkString(",\n    ")
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 4}:'||s), ${(i % 4) * 8 + 1}, 8)) AS m$i").mkString(",\n    ")
     val matches = (0 until 8).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1.0 ELSE 0.0 END").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 40),
        |sh AS (
@@ -274,7 +277,8 @@ object SparkEntry {
     * lockstep with Text.lshScoredCandidates.
     */
   private def lshScoredCtes: String = {
-    val mins = (0 until 8).map(i => s"min(md5('$i:'||s)) AS m$i").mkString(",\n    ")
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 4}:'||s), ${(i % 4) * 8 + 1}, 8)) AS m$i").mkString(",\n    ")
     val bands = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_idx, m${2 * b}||'|'||m${2 * b + 1} AS band_key FROM sig"
     }.mkString(" UNION ALL\n  ")

@@ -62,16 +62,42 @@ object MinHash {
     def outputEncoder: Encoder[Array[Long]] = implicitly(org.apache.spark.sql.Encoders.kryo[Array[Long]])
   }
 
-  /** Engine-PORTABLE MinHash signature: component i is the lexicographic
-    * MIN over shingles of md5("i:" ++ shingle). md5 and string ordering
-    * agree across every engine (xxhash64 is Spark-specific), so this form
-    * is oracle-declarable (q_dedup_minhash); `signatureCol` above is the
-    * faster in-engine sketch. Same estimator: P(component match) =
-    * Jaccard, so matching-fraction estimates similarity.
+  /** Engine-PORTABLE MinHash signature: each md5 call yields FOUR 32-bit
+    * components (8 hex chars each), so k components cost only ceil(k/4)
+    * md5 calls per shingle — component i is the lexicographic MIN over
+    * shingles of substr(md5("g:" ++ shingle), (i%4)*8+1, 8) with g = i/4.
+    * md5, substr and lowercase-hex string ordering agree across every
+    * engine (xxhash64 is Spark-specific), so this form is
+    * oracle-declarable (q_dedup_minhash / q_dedup_lsh_candidates /
+    * q_dedup_clusters); `signatureCol` above is the faster in-engine
+    * sketch. Estimator: P(component match) = Jaccard + n/2^32 truncation
+    * bias (negligible). A previous form spent k md5 calls per shingle —
+    * 4x the hashing and 4x the signature bytes through the banding
+    * shuffle for no extra fidelity.
+    *
+    * Build it in TWO projections via md5Hashes → md5SignatureFromHashes
+    * so the per-shingle hash array is computed once, not once per
+    * component.
     */
   def md5Signature(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    md5SignatureFromHashes(md5Hashes(shingleArr, k), k)
+
+  /** Per-shingle concatenated md5 group hashes: 32·ceil(k/4) lowercase hex
+    * chars per shingle. Stage this as its own projection, then feed
+    * md5SignatureFromHashes.
+    */
+  def md5Hashes(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val groups = (k + 3) / 4
+    transform(shingleArr, s =>
+      concat((0 until groups).map(g => md5(concat(lit(s"$g:"), s))): _*))
+  }
+
+  /** Signature from the staged hash array: component i = min over shingles
+    * of hex window [i*8+1, i*8+8].
+    */
+  def md5SignatureFromHashes(hcat: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     array((0 until k).map(i =>
-      array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s))))): _*)
+      array_min(transform(hcat, h => substring(h, i * 8 + 1, 8)))): _*)
 
   /** Jaccard estimate from two signatures: fraction of agreeing slots. */
   def estimateCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -167,7 +167,9 @@ object Text {
     val sigs = Sources.documents(spark, dir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
       .filter(size(col("ss")) > 0)
-      .select(col("doc_id"), MinHash.md5Signature(col("ss"), k).as("sig"))
+      // two-stage build: hash array once, then slice the k components
+      .select(col("doc_id"), MinHash.md5Hashes(col("ss"), k).as("hs"))
+      .select(col("doc_id"), MinHash.md5SignatureFromHashes(col("hs"), k).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
           struct(b.as("band_idx"),
@@ -245,7 +247,7 @@ object Text {
       .orderBy(col("lang"))
   }
 
-  /** q_dedup_minhash: PORTABLE MinHash (min-md5-string components,
+  /** q_dedup_minhash: PORTABLE MinHash (min-md5-substring components,
     * MinHash.md5Signature, k=8) — the estimated Jaccard for every pair of
     * a deterministic doc slice (doc_id < 40; docs with no 3-gram shingles
     * drop out on both engines). Completes the declared dedup family with
@@ -257,7 +259,8 @@ object Text {
     val sigs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
       .filter(size(col("ss")) > 0)
-      .select(col("doc_id"), MinHash.md5Signature(col("ss"), 8).as("sig"))
+      .select(col("doc_id"), MinHash.md5Hashes(col("ss"), 8).as("hs"))
+      .select(col("doc_id"), MinHash.md5SignatureFromHashes(col("hs"), 8).as("sig"))
     Scale.allPairsBlocked(sigs, "doc_id")
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
         r6(aggregate(zip_with(col("sig_a"), col("sig_b"),
