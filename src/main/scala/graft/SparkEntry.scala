@@ -84,6 +84,7 @@ object SparkEntry {
     "q_dedup_exact" -> Text.dedupExact,
     "q_text_stats" -> Text.textStats,
     "q_tfidf_topterms" -> Text.tfidfTopTerms,
+    "q_bm25" -> Text.bm25Query,
     "q_sim_cosine_topk" -> Similarity.cosineTopK,
     "q_knn_majority" -> Similarity.knnMajority,
     "q_lang_id" -> Text.langIdQuery,
@@ -379,6 +380,28 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> lshOracle,
 
     "q_dedup_clusters" -> clustersOracle,
+
+    "q_bm25" ->
+      // every literal forced to DOUBLE (…e0) so DuckDB's decimal literal
+      // arithmetic can't diverge from Spark's double tree; ranking on the
+      // ROUNDED score with doc_id tiebreak (see Text.bm25Query)
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        |  WHERE tok IN ('join', 'window', 'hash') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    SUM(ln(1e0 + (n - df + 0.5e0) / (df + 0.5e0))
+        |        * (tf * 2.2e0)
+        |        / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * l.dl / (CAST(sumdl AS DOUBLE) / n)))) AS score
+        |  FROM tf t JOIN dl l USING (doc_id) JOIN df USING (tok) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dedup_simhash" -> simhashOracle,
 

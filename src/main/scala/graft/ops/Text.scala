@@ -204,6 +204,40 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q_bm25: BM25 relevance (k1=1.2, b=0.75, Lucene's always-positive
+    * idf = ln(1 + (N−df+0.5)/(df+0.5))) of a fixed 3-term query over the
+    * corpus — the retrieval scorer on top of the tf/df machinery tf-idf
+    * already pins. Scale shape: tf is one explode filtered to the query
+    * terms BEFORE the shuffle (shuffled rows ∝ query-term hits, not
+    * corpus tokens); df and the (N, Σdl) stats are tiny broadcasts.
+    * Determinism: tf/dl/N/df are exact integers, every literal is a
+    * double in BOTH engines (…e0 in the oracle), so both run the same
+    * IEEE tree; ln may differ 1 ulp between libms — absorbed by round-6,
+    * and ranking is on the ROUNDED score with doc_id tiebreak.
+    */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("join", "window", "hash")
+    val docs = Sources.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+    tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(r6(sum(w)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** q_repetition_ratio: Gopher-style within-document repetition signal —
     * 1 − distinct/total tokens per doc. Pure array column math (no
     * explode, no shuffle beyond the final sort): the filter a training

@@ -148,6 +148,23 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(selfPairs.length === 2 && selfPairs.forall(_.getDouble(0) === 1.0))
   }
 
+  test("bm25: 20 docs, positive descending scores, every hit contains a query term") {
+    import org.apache.spark.sql.functions._
+    val rows = Text.bm25Query(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val withTerm = Sources.documents(spark, sfDir)
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .filter(array_contains(split(col("text"), " "), "join") ||
+              array_contains(split(col("text"), " "), "window") ||
+              array_contains(split(col("text"), " "), "hash"))
+      .count()
+    assert(withTerm === 20L)
+  }
+
   test("dedupSimhashQuery: hamming in [0,16]; identical token sets are 0 apart") {
     val rows = Text.dedupSimhashQuery(spark, sfDir).collect()
     assert(rows.nonEmpty)
