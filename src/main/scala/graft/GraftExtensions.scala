@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JaroWinklerSimilarity}
 
 /** SparkSessionExtensions entry point — the engine's `install_extension`
   * analogue (postpy extensions.install_extension [unverified, SURVEY §0]):
@@ -28,7 +28,10 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("cosine_similarity"),
      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("jaro_winkler"),
+     new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+     (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
 
   /** Register on an already-running session (spark.udf-style, but native —
     * the expression stays codegen-able, unlike a Scala UDF).

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_sim_users" -> Similarity.userSimilarityQuery,
     "q_join_skew" -> Scale.skewJoinQuery,
     "q_text_levenshtein" -> Functions.levenshteinQuery,
+    "q_text_jaro" -> Functions.jaroQuery,
     "q_try_cast" -> Functions.tryCastQuery,
     "q_agg_bitwise" -> Relational.aggBitwise,
     "q_sample_hash" -> ((s: SparkSession, dir: String) =>
@@ -380,6 +381,17 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> lshOracle,
 
     "q_dedup_clusters" -> clustersOracle,
+
+    "q_text_jaro" ->
+      // graft's native expression is bit-identical to DuckDB's
+      // jaro_winkler_similarity (verified over this exact pair set);
+      // round-6 guards the threshold
+      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  round(jaro_winkler_similarity(a.tok, b.tok), 6) AS jw
+        |FROM v a JOIN v b ON a.tok < b.tok
+        |WHERE round(jaro_winkler_similarity(a.tok, b.tok), 6) >= 0.6
+        |ORDER BY tok_a, tok_b""".stripMargin,
 
     "q_bm25" ->
       // every literal forced to DOUBLE (…e0) so DuckDB's decimal literal

@@ -126,6 +126,36 @@ object Functions {
               levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("dist"))
       .orderBy(col("c_custkey"))
 
+  /** Jaro-Winkler similarity as a Column — the native codegen'd
+    * expression (graft.functions.JaroWinklerSimilarity), also SQL-callable
+    * as jaro_winkler(...) once GraftExtensions is installed.
+    */
+  def jaroWinkler(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.JaroWinklerSimilarity(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** q_text_jaro: fuzzy vocabulary matching — Jaro-Winkler over every
+    * pair of DISTINCT corpus tokens at similarity ≥ 0.6. The vocabulary
+    * is corpus-size-INDEPENDENT (a fixed generator lexicon), so the pair
+    * set stays tiny at any SF — the operator itself (the codegen'd
+    * expression, bit-identical to DuckDB's jaro_winkler_similarity over
+    * this pair set) is what's under the gate, applied per-pair with no
+    * all-pairs blowup risk. The filter is on the ROUNDED value.
+    */
+  def jaroQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val vocab = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    // block-replicated equi-join (no BNLJ plan), pairs with tok_a < tok_b
+    Scale.allPairsBlocked(vocab, "tok", blocks = 4)
+      .select(col("tok_a"), col("tok_b"),
+              r6(jaroWinkler(col("tok_a"), col("tok_b"))).as("jw"))
+      .filter(col("jw") >= 0.6)
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
   /** q_try_cast: ANSI-safe casting of dirty data — try_cast yields NULL
     * instead of failing the job (the 100 TB ingest posture: quarantine,
     * never crash). Both engines share TRY_CAST semantics.

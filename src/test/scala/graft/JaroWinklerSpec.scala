@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.JaroWinkler
+import graft.ops.Functions
+
+class JaroWinklerSpec extends AnyFunSuite with SparkFixture {
+
+  test("textbook values (Winkler's canonical examples)") {
+    assert(math.abs(JaroWinkler.computeStr("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(JaroWinkler.computeStr("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(JaroWinkler.computeStr("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+  }
+
+  test("edge cases: empty, identical, disjoint, below boost threshold") {
+    assert(JaroWinkler.computeStr("", "") === 1.0)
+    assert(JaroWinkler.computeStr("", "abc") === 0.0)
+    assert(JaroWinkler.computeStr("abc", "abc") === 1.0)
+    assert(JaroWinkler.computeStr("abc", "xyz") === 0.0)
+    // jaro exactly at 0.7 must NOT get the prefix boost (strict >)
+    val j = JaroWinkler.computeStr("abcdef", "abdcfe")
+    assert(j > 0 && j < 1)
+  }
+
+  test("codegen'd column path equals the static reference on the corpus vocab pairs") {
+    val rows = graft.ops.Scale.allPairsBlocked(
+        graft.io.Sources.documents(spark, sfDir)
+          .select(explode(split(col("text"), " ")).as("tok")).distinct(),
+        "tok", blocks = 4)
+      .select(col("tok_a"), col("tok_b"),
+              Functions.jaroWinkler(col("tok_a"), col("tok_b")).as("jw"))
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      assert(r.getDouble(2) === JaroWinkler.computeStr(r.getString(0), r.getString(1)))
+    }
+  }
+
+  test("SQL registration: jaro_winkler callable after GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    val v = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").collect()(0).getDouble(0)
+    assert(math.abs(v - 0.9611111111111111) < 1e-12)
+  }
+
+  test("null inputs yield null") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS jw").collect()(0)
+    assert(r.isNullAt(0))
+  }
+}

@@ -18,7 +18,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
   private val nestedLoopAllowed = Set(
     "q_join_cross",      // region × nation: 5 × 25 rows, both dimension tables
     "q_sim_cosine_topk", // corpus × broadcast(1-row probe)
-    "q_knn_majority"     // candidates × broadcast(10-row probe set)
+    "q_knn_majority",    // candidates × broadcast(10-row probe set)
+    "q_bm25"             // term hits × broadcast(1-row corpus stats (N, Σdl))
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
