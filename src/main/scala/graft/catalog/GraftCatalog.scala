@@ -256,6 +256,17 @@ object GroupFiles {
   /** Latest commit number (0 = never committed). */
   def version(dir: Path): Long = versions(dir).lastOption.getOrElse(0L)
 
+  /** Snapshot history, newest first — the DESCRIBE HISTORY analogue:
+    * (version, committed-at epoch millis from the snapshot file's mtime,
+    * live group-file count at that version). Only RETAIN-ed snapshots
+    * appear (expired ones are gone by design — same contract as liveAt).
+    */
+  def history(dir: Path): Seq[(Long, Long, Int)] =
+    versions(dir).sorted(Ordering[Long].reverse).map { v =>
+      (v, Files.getLastModifiedTime(dir.resolve(s"$MANIFEST.v$v")).toMillis,
+       liveAt(dir, v).size)
+    }
+
   def live(dir: Path): Seq[Group] = parseManifest(dir.resolve(MANIFEST))
 
   /** The live set as of commit `v` — fails loudly if the snapshot has

@@ -37,10 +37,13 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // symmetrize + dedupe once; every round re-reads this frame
+    // symmetrize + dedupe once; every round re-reads this frame. A NULL
+    // endpoint is dropped (it denotes "no edge", not a node — and the
+    // recursive-CTE oracle would never reach it through a NULL join key).
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()

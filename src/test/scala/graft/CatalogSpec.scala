@@ -288,6 +288,31 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_ret")
   }
 
+  test("history: newest-first retained snapshots with nondecreasing commit times and right group counts") {
+    import java.nio.file.Paths
+    import graft.catalog.GroupFiles
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_hist")
+    spark.sql("CREATE TABLE graft_fb.default.fb_hist (k BIGINT)")
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft_fb.default.fb_hist SELECT id FROM range($i)")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_hist")).asInstanceOf[graft.catalog.GraftTable].location)
+    val h = GroupFiles.history(dir)
+    assert(h.map(_._1) === Seq(3L, 2L, 1L), "newest first")
+    // appends accumulate group files: each INSERT adds its own group(s)
+    assert(h.map(_._3).reverse === h.map(_._3).reverse.sorted, "group counts nondecreasing over appends")
+    assert(h.last._3 >= 1)
+    // commit timestamps never decrease going forward in time
+    assert(h.map(_._2).reverse === h.map(_._2).reverse.sorted)
+    // history agrees with liveAt on every retained version
+    h.foreach { case (v, _, n) => assert(GroupFiles.liveAt(dir, v).size === n) }
+    spark.sql("DROP TABLE graft_fb.default.fb_hist")
+  }
+
   test("optimistic concurrency: disjoint row-level commits pass; stale scan fails then retries") {
     import java.nio.file.Files
     import graft.catalog.{Group, GroupFiles}

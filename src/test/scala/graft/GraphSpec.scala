@@ -34,6 +34,16 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("NULL edge endpoints are dropped, empty edge set yields empty result") {
+    import spark.implicits._
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
+      .toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+    assert(Graph.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
+  }
+
   test("dedup clusters: every cluster has exactly one canonical doc = its min id") {
     val res = Text.dedupClustersQuery(spark, sfDir).collect()
     assert(res.nonEmpty, "sf data must contain near-dup clusters")
