@@ -51,6 +51,27 @@ object Multimodal {
       struct(col("source").as("source"), lit("application/octet-stream").as("mime"),
              col("n_chars").as("bytes")).as("meta"))
 
+  /** Real file-system media ingestion: Spark's binaryFile source reads a
+    * directory tree of opaque files as (path, modificationTime, length,
+    * content BINARY) rows — the actual 100 TB media-lake entry point
+    * (each file becomes one row; splits are per-file, so partition count
+    * tracks file count and `pathGlobFilter` prunes by extension at
+    * listing time, before any byte is read). The result feeds the same
+    * content-addressed dedup / decode-kernel plumbing as syntheticMedia:
+    * media_id = xxhash64(path) (deterministic from the lake layout),
+    * metadata carried alongside the payload exactly like `mediaSchema`.
+    */
+  def readMediaDir(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
+        col("content"),
+        struct(col("path").as("source"), lit("application/octet-stream").as("mime"),
+               col("length").as("bytes")).as("meta"))
+
   /** STUB decode kernel =========================================== STUB
     * A real implementation would JNI/FFI into an image/audio codec here,
     * one partition at a time, reusing a decoder instance per partition

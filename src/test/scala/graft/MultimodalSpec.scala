@@ -53,4 +53,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("binaryFile ingestion: glob prunes at listing, payloads intact, dedup collapses copies") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_media")
+    Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.png"), Array[Byte](1, 2, 3, 4)) // duplicate content
+    Files.write(dir.resolve("c.png"), Array[Byte](9, 9))
+    Files.write(dir.resolve("notes.txt"), "not media".getBytes)
+    val media = Multimodal.readMediaDir(spark, dir.toString, "*.png")
+    val rows = media.collect()
+    assert(rows.length === 3, "glob must exclude the .txt at listing time")
+    assert(rows.forall(_.getAs[String]("kind") == "png"))
+    // payload bytes survive byte-for-byte
+    val contents = rows.map(_.getAs[Array[Byte]]("content").toSeq).sortBy(_.length)
+    assert(contents.count(_ == Seq[Byte](1, 2, 3, 4)) === 2)
+    assert(contents.count(_ == Seq[Byte](9, 9)) === 1)
+    // content-addressed dedup keeps one row per distinct payload
+    val kept = Multimodal.dedupMedia(media).collect()
+    assert(kept.length === 2)
+    // meta carries true file length
+    assert(rows.forall(r => r.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Long]("bytes") == r.getAs[Array[Byte]]("content").length.toLong))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
 }
