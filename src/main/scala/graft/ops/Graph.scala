@@ -37,13 +37,18 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // symmetrize + dedupe once; every round re-reads this frame. A NULL
+    // Materialize the (possibly expensive) edge DAG ONCE before
+    // symmetrizing — union(e, e.swapped) over an uncheckpointed frame
+    // evaluates the upstream plan in both branches (exchange reuse only
+    // recovers the shuffle stages, not the map-side work). A NULL
     // endpoint is dropped (it denotes "no edge", not a node — and the
     // recursive-CTE oracle would never reach it through a NULL join key).
-    val sym = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
