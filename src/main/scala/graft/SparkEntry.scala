@@ -103,6 +103,7 @@ object SparkEntry {
       graft.io.Sources.customer(s, dir),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_sim_neardup" -> Similarity.simPairsQuery,
+    "q_vector_stats" -> Similarity.vectorStatsQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -381,6 +382,19 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> lshOracle,
 
     "q_dedup_clusters" -> clustersOracle,
+
+    "q_vector_stats" ->
+      // dim is 0-based on both sides (Spark posexplode pos; DuckDB i-1);
+      // float32 -> double casts exact; min/max order-free; mean round-6
+      """WITH e AS (
+        |  SELECT unnest(list_transform(range(1, len(embedding)+1),
+        |    i -> {'dim': i-1, 'x': embedding[i]})) AS s
+        |  FROM embeddings)
+        |SELECT CAST(s.dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  round(AVG(CAST(s.x AS DOUBLE)), 6) AS mean,
+        |  MIN(CAST(s.x AS DOUBLE)) AS min_x,
+        |  MAX(CAST(s.x AS DOUBLE)) AS max_x
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_jaro" ->
       // graft's native expression is bit-identical to DuckDB's

@@ -301,4 +301,25 @@ object Similarity {
       when(contrib >= 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
   }
+
+  /** q_vector_stats: per-dimension embedding statistics (count, mean,
+    * min, max) — the normalization/whitening stats a training pipeline
+    * computes before standardizing an embedding column, and the quickest
+    * detector of dead or exploding dimensions. One posexplode + one
+    * groupBy on the (tiny-cardinality) dimension index; partial aggs
+    * carry all the reduction, so shuffled rows = dims × partitions — flat
+    * in corpus size. Determinism: float32 → double casts are exact and
+    * min/max are order-free; only the mean needs round-6 (double
+    * summation order differs between engines).
+    */
+  def vectorStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    Sources.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("x"))).as("mean"),
+           min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .orderBy(col("dim"))
+  }
 }
