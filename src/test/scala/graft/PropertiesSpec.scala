@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.ops.{Merge, Similarity, Streaming, Text}
 
 /** ScalaCheck algebraic properties (SURVEY §5.2.3). Small generated
@@ -171,6 +171,49 @@ object PropertiesSpec extends Properties("graft") {
       val compacted = after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty
       spark.sql("DROP TABLE graft_prop.default.p_rt")
       before && compacted
+    }
+
+  private val word: Gen[String] = Gen.chooseNum(0, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("jaroWinkler: symmetric, in [0,1], 1 iff equal (non-empty)") =
+    forAll(word, word) { (a, b) =>
+      import graft.functions.JaroWinkler.computeStr
+      val ab = computeStr(a, b); val ba = computeStr(b, a)
+      val range = ab >= 0.0 && ab <= 1.0
+      val sym = ab == ba
+      val ident = if (a == b) computeStr(a, b) == 1.0
+                  else if (a.nonEmpty && b.nonEmpty) true
+                  else ab == 0.0 // one side empty, other not
+      range && sym && ident
+    }
+
+  private val edgeList: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+
+  property("connectedComponents == union-find reference on random graphs") =
+    forAll(edgeList) { edges =>
+      val nonLoop = edges.filter { case (a, b) => a != b }
+      (nonLoop.nonEmpty) ==> {
+        val got = graft.ops.Graph.connectedComponents(
+            nonLoop.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        nonLoop.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = nonLoop.flatMap(e => Seq(e._1, e._2)).distinct
+        val refComp = nodes.groupBy(find).flatMap { case (_, ms) =>
+          val root = ms.min; ms.map(_ -> root)
+        }.toMap
+        got == refComp
+      }
     }
 
 }
