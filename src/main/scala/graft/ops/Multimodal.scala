@@ -139,6 +139,24 @@ object Multimodal {
            sum(col("meta.bytes")).as("sum_bytes"))
       .orderBy(col("kind"))
 
+  /** Resize PLANNING (the real, declarative half of image resize): fit
+    * each media's decoded (width, height) into a target box preserving
+    * aspect ratio — scale = min(box/w, box/h) capped at 1 (never
+    * upscale), output dims = round(dim·scale) clamped to >= 1. Pure
+    * column math over the features table; the pixel resampling itself
+    * belongs in the partition-batched decode kernel (decodeFeatures) and
+    * is codec-blocked in this environment like the decoders. A training
+    * pipeline runs exactly this split: plan dims declaratively (joinable,
+    * auditable), resample inside the batch kernel.
+    */
+  def resizePlan(features: DataFrame, box: Int): DataFrame = {
+    val scale = least(lit(1.0), least(lit(box) / col("width"), lit(box) / col("height")))
+    features
+      .withColumn("scale", scale)
+      .withColumn("out_width", greatest(lit(1), round(col("width") * col("scale")).cast("int")))
+      .withColumn("out_height", greatest(lit(1), round(col("height") * col("scale")).cast("int")))
+  }
+
   /** Vision-token budget per media row (pure column math over decoded
     * dimensions): ceil(w/p)·ceil(h/p) patches per frame × frames — the
     * packing/costing primitive a multimodal training pipeline runs before

@@ -53,6 +53,27 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("resizePlan: aspect ratio preserved, never upscales, fits the box, dims >= 1") {
+    import spark.implicits._
+    val feats = Seq((1L, 2048, 1024), (2L, 100, 300), (3L, 50, 50), (4L, 1, 10000))
+      .toDF("media_id", "width", "height")
+    val planned = Multimodal.resizePlan(feats, 512).collect()
+    planned.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      val s = r.getAs[Double]("scale")
+      assert(s <= 1.0 && s > 0.0, "never upscale")
+      assert(ow <= 512 || w <= 512, s"width fits the box or was already smaller: $ow")
+      assert(oh <= 512 || h <= 512)
+      assert(ow >= 1 && oh >= 1)
+      // aspect ratio preserved within rounding
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) <= 1.0)
+    }
+    // the small image is untouched
+    val small = planned.find(_.getLong(0) == 3L).get
+    assert(small.getAs[Int]("out_width") === 50 && small.getAs[Int]("out_height") === 50)
+  }
+
   test("binaryFile ingestion: glob prunes at listing, payloads intact, dedup collapses copies") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_media")
