@@ -900,7 +900,8 @@ object SparkEntry {
         |SELECT c_custkey, c.c_mktsegment,
         |  round((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z
         |FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
-        |WHERE abs((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 2
+        |WHERE n > 1 AND (s2 - s1*s1/n)/(n-1) > 0
+        |  AND abs((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 2
         |ORDER BY c_custkey""".stripMargin,
 
     "q_partition_dpp" ->

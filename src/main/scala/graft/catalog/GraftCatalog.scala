@@ -315,21 +315,45 @@ object GroupFiles {
     * on local/HDFS-style filesystems hold the open handle. Files never yet
     * referenced by any manifest (in-flight writer output) are never swept.
     */
+  /** Atomic small-file write: tmp + ATOMIC_MOVE. Snapshots MUST go
+    * through this too — history()/VERSION AS OF readers parse snapshot
+    * files outside the commit lock, and a plain Files.write would let
+    * them observe a half-written (silently truncated) live set.
+    */
+  private def writeAtomic(dir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = dir.resolve(name + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def publish(dir: Path, groups: Seq[Group]): Unit = {
     val old = live(dir)
-    val tmp = dir.resolve(MANIFEST + ".tmp")
+    // Heal a crash that landed between the live-manifest swap and its
+    // snapshot write: if the CURRENT live manifest is not byte-identical
+    // to the latest retained snapshot, record it first — otherwise this
+    // commit would reuse that snapshot number for DIFFERENT content and
+    // VERSION AS OF would time-travel to the wrong state.
+    val liveManifest = dir.resolve(MANIFEST)
+    if (Files.exists(liveManifest)) {
+      val liveBytes = Files.readAllBytes(liveManifest)
+      val healNeeded = versions(dir).lastOption match {
+        case None => liveBytes.nonEmpty
+        case Some(v) => !java.util.Arrays.equals(
+          liveBytes, Files.readAllBytes(dir.resolve(s"$MANIFEST.v$v")))
+      }
+      if (healNeeded) writeAtomic(dir, s"$MANIFEST.v${version(dir) + 1}", liveBytes)
+    }
     val lines = groups.map { g =>
       (g.file +: g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo:$hi" })
         .mkString("\t")
     }
     val bytes = lines.mkString("\n").getBytes("UTF-8")
-    Files.write(tmp, bytes)
-    Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
+    writeAtomic(dir, MANIFEST, bytes)
     // commit point passed — record the snapshot and expire old ones
     val newV = version(dir) + 1
-    Files.write(dir.resolve(s"$MANIFEST.v$newV"), bytes)
+    writeAtomic(dir, s"$MANIFEST.v$newV", bytes)
     val expired = versions(dir).filter(_ <= newV - RETAIN)
     val expiredRefs = expired.flatMap(v => liveAt(dir, v).map(_.file)).toSet
     expired.foreach(v => Files.deleteIfExists(dir.resolve(s"$MANIFEST.v$v")))

@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * string-matching verb of record linkage / entity resolution (the
   * Postgres fuzzystrmatch analogue; postpy users reach it in-database).
   *
-  * Textbook definition, verified BIT-IDENTICAL to DuckDB 1.0's
-  * jaro_winkler_similarity over the full corpus vocabulary pair set:
+  * Textbook definition over UTF-8 BYTES (DuckDB's comparison unit —
+  * verified on supplementary-plane inputs), BIT-IDENTICAL to DuckDB
+  * 1.0's jaro_winkler_similarity over the full corpus vocabulary pair
+  * set and the non-BMP pinned cases in JaroWinklerSpec:
   * match window = max(len)/2 − 1; transpositions = half the out-of-order
   * matches; jaro = (m/l1 + m/l2 + (m−t)/m)/3; Winkler boost only above
   * 0.7: jw = j + min(prefix,4)·0.1·(1−j). Identical-ordered double
@@ -49,11 +51,22 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Static entry for both the interpreted eval and generated code. */
+  /** Static entry for both the interpreted eval and generated code.
+    * Operates directly on the UTF-8 BYTES — DuckDB's
+    * jaro_winkler_similarity is byte-based (verified on
+    * supplementary-plane inputs: 'a💩b'↔'ab' = 0.5555…, the byte
+    * interpretation, not the 0.6111… code-point one), and bytes also
+    * avoid decoding the UTF8String at all.
+    */
   def compute(a: UTF8String, b: UTF8String): Double =
-    computeStr(a.toString, b.toString)
+    computeBytes(a.getBytes, b.getBytes)
 
-  def computeStr(s1: String, s2: String): Double = {
+  /** Test/reference entry on JVM strings (encodes to UTF-8 first). */
+  def computeStr(s1: String, s2: String): Double =
+    computeBytes(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                 s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def computeBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0 && l2 == 0) return 1.0
     if (l1 == 0 || l2 == 0) return 0.0
@@ -68,7 +81,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -76,13 +89,13 @@ object JaroWinkler {
       i += 1
     }
     if (m == 0) return 0.0
-    // transpositions: matched chars of s1 in order vs matched chars of s2
+    // transpositions: matched bytes of s1 in order vs matched bytes of s2
     var t = 0; var k = 0
     i = 0
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -92,7 +105,7 @@ object JaroWinkler {
     if (jaro > 0.7) {
       var p = 0
       val maxP = math.min(4, math.min(l1, l2))
-      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      while (p < maxP && s1(p) == s2(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
   }

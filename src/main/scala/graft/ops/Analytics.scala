@@ -54,9 +54,14 @@ object Analytics {
            sum(money(col("c_acctbal"))).cast("double").as("s1"),
            sum(money(col("c_acctbal")) * money(col("c_acctbal"))).cast("double").as("s2"))
     val mean = col("s1") / col("n")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+    // degenerate-segment guard: n=1 (variance undefined) or zero variance
+    // would make z a 0/0 — Spark yields NULL there while DuckDB yields
+    // NaN (which it orders ABOVE any threshold), so without this filter
+    // the two engines disagree on exactly those rows
     c.join(broadcast(stats), Seq("c_mktsegment"))
-      .withColumn("z", (col("c_acctbal") - mean) / sd)
+      .filter(col("n") > 1 && variance > 0.0)
+      .withColumn("z", (col("c_acctbal") - mean) / sqrt(variance))
       .filter(abs(col("z")) > 2.0)
       .select(col("c_custkey"), col("c_mktsegment"), r6(col("z")).as("z"))
       .orderBy(col("c_custkey"))

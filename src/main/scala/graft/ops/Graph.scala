@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * per-round action is a scalar changed-count). Lineage is truncated every
   * round with localCheckpoint so the plan stays O(1) deep regardless of
   * iteration count; on a real cluster with preemptible executors use
-  * reliable checkpoint() instead.
+  * reliable checkpoint() instead. Superseded per-round checkpoint blocks
+  * are dropped by reference: once a round's frame goes unreferenced,
+  * Spark's ContextCleaner reclaims its blocks asynchronously (driver-GC
+  * triggered), so storage stays bounded by the live frame, not the round
+  * count.
   *
   * Scale shape: rounds = component DIAMETER, and near-dup clusters are
   * shallow (dozens of members, diameter a few hops), so 3-5 rounds settle

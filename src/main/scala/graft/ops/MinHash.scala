@@ -75,9 +75,13 @@ object MinHash {
     * 4x the hashing and 4x the signature bytes through the banding
     * shuffle for no extra fidelity.
     *
-    * Build it in TWO projections via md5Hashes → md5SignatureFromHashes
-    * so the per-shingle hash array is computed once, not once per
-    * component.
+    * PERF TRAP: this one-shot composition inlines the hash-array subtree
+    * into ALL k components of a single projection (higher-order functions
+    * are CodegenFallback, so no subexpression elimination rescues it) —
+    * fine for bounded/test inputs, but production paths MUST stage the
+    * two projections themselves: .select(md5Hashes(...).as("hs"))
+    * .select(md5SignatureFromHashes(col("hs"), k)) — as
+    * Text.lshScoredCandidates and Text.dedupMinhashQuery do.
     */
   def md5Signature(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     md5SignatureFromHashes(md5Hashes(shingleArr, k), k)

@@ -13,6 +13,15 @@ class JaroWinklerSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(JaroWinkler.computeStr("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
   }
 
+  test("non-BMP inputs match DuckDB's byte-based semantics (pinned values)") {
+    // values measured from DuckDB 1.0 jaro_winkler_similarity — byte
+    // interpretation, NOT code points (code-point JW would give 0.6111…,
+    // 0.85, 0.925 respectively)
+    assert(math.abs(JaroWinkler.computeStr("a💩b", "ab") - 0.5555555555555555) < 1e-12)
+    assert(math.abs(JaroWinkler.computeStr("💩💩", "💩") - 0.9) < 1e-12)
+    assert(math.abs(JaroWinkler.computeStr("x😀yz", "xyz") - 0.4920634920634921) < 1e-12)
+  }
+
   test("edge cases: empty, identical, disjoint, below boost threshold") {
     assert(JaroWinkler.computeStr("", "") === 1.0)
     assert(JaroWinkler.computeStr("", "abc") === 0.0)
