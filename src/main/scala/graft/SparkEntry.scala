@@ -92,6 +92,7 @@ object SparkEntry {
     "q_token_count" -> Text.tokenCountQuery,
     "q_doc_fingerprint" -> Text.fingerprintQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
+    "q_dedup_prefix" -> Text.dedupPrefixQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
@@ -651,6 +652,29 @@ object SparkEntry {
         |    round(CAST(common AS DOUBLE)/(x.sz + y.sz - common), 6) AS jaccard
         |  FROM common JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_prefix" ->
+      // FULL-corpus exact 3-gram Jaccard at t=0.7. The Spark side runs
+      // prefix filtering (rarest-shingle join keys); the oracle is the
+      // naive all-pairs form — if the filter ever dropped or invented a
+      // pair, this twin hash-mismatches. Threshold is the division-free
+      // integer-exact form (common >= 0.7*union) on both engines.
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, common, x.sz + y.sz - common AS un
+        |  FROM common JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, round(CAST(common AS DOUBLE)/un, 6) AS jaccard
+        |FROM j WHERE CAST(common AS DOUBLE) >= 0.7e0 * un
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_neardup" ->
       // deterministic md5-digit half-slice on BOTH sides (mirrors

@@ -142,6 +142,21 @@ object Text {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q_dedup_prefix: EXACT 3-gram Jaccard near-dup pairs at t=0.7 over the
+    * FULL corpus — no slice bound, because prefix filtering
+    * (prefixJaccardPairs) makes the exact join subquadratic in practice:
+    * join keys are each document's RAREST shingles only, so candidate
+    * work tracks true near-dups, not shared-common-shingle noise. This
+    * closes the gap the bounded q_dedup_ngram leaves: the exact path
+    * itself now has a declared full-corpus form, alongside the approximate
+    * full-corpus q_dedup_lsh_candidates. The oracle twin is the naive
+    * all-pairs form (affordable in DuckDB at verify SFs) — any pair the
+    * prefix filter wrongly dropped or invented hash-mismatches the gate.
+    */
+  def dedupPrefixQuery(spark: SparkSession, dir: String): DataFrame =
+    prefixJaccardPairs(Sources.documents(spark, dir), "doc_id", "text", 3, 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q_dedup_lsh_candidates: the SUBQUADRATIC dedup path itself under the
     * oracle gate — banded MinHash-LSH candidate generation over the FULL
     * corpus using the PORTABLE md5 signature (MinHash.md5Signature, k=8;
@@ -441,5 +456,62 @@ object Text {
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .select(col("id_a"), col("id_b"), col("common"), col("sz_a"), col("sz_b"), col("jaccard"))
+  }
+
+  /** EXACT n-gram Jaccard join at threshold `t` via PREFIX FILTERING — the
+    * scale-safe exact form (AllPairs / PPJoin family, Bayardo et al. WWW'07;
+    * Vernica et al. SIGMOD'10 give the MapReduce shape this follows).
+    *
+    * Principle: order every document's distinct shingles by a single GLOBAL
+    * total order (document frequency ascending, hash tiebreak — rarest
+    * first). If J(A,B) >= t then |A∩B| >= t·max(|A|,|B|), so A and B MUST
+    * share at least one shingle within each one's first
+    * p(x) = |x| − ceil(t·|x|) + 1 shingles. Joining only those prefix
+    * shingles finds every qualifying pair — exactly — while the join keys
+    * are by construction the RAREST shingles in the corpus, so candidate
+    * fan-out is tamed where the naive shared-shingle join (Σ df² over ALL
+    * shingles) explodes. A length filter (t·max <= min, sets can't qualify
+    * across a big size gap) prunes candidates inside the join condition,
+    * and the exact Jaccard is then verified on the candidates only.
+    *
+    * Scale shape: five linear passes — df count, prefix rank (window by
+    * doc), prefix equi-join, candidate distinct, verification join back to
+    * the full (id → hashed-shingle array) sets. Every shuffle is on an id
+    * or a hash; nothing is all-pairs. FP hygiene: prefix lengths and the
+    * length filter take a 1e-9 slack so binary-double fuzz in t·|x| can
+    * only lengthen a prefix (extra candidates), never drop a true pair;
+    * the final threshold is the division-free integer-exact form
+    * common >= t·(union), identical IEEE arithmetic in any engine.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 3, t: Double = 0.7): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("id"), transform(col("ss"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("sz"))
+    val ex = docs.select(col("id"), col("sz"), explode(col("hs")).as("h"))
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pos = row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("h")))
+    val prefixLen = col("sz") - ceil(lit(t) * col("sz") - 1e-9) + 1
+    val prefix = ex.join(freq, "h")
+      .withColumn("pos", pos)
+      .filter(col("pos") <= prefixLen)
+      .select(col("id"), col("sz"), col("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(t) * greatest(col("a.sz"), col("b.sz")) - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = docs.select(col("id"), col("hs"), col("sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("un", col("sz_a") + col("sz_b") - col("common"))
+      .filter(col("common").cast("double") >= lit(t) * col("un").cast("double"))
+      .select(col("id_a"), col("id_b"),
+              r6(col("common").cast("double") / col("un").cast("double")).as("jaccard"))
   }
 }

@@ -99,6 +99,25 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getDouble(2) > 0.4999995 && r.getDouble(2) <= 1.0))
   }
 
+  test("prefixJaccardPairs equals the naive all-pairs ground truth at t=0.7") {
+    // exactness of the prefix filter: same pairs, same jaccard values as
+    // the quadratic shared-shingle join thresholded at t
+    val naive = Text.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .filter(col("common").cast("double") >= lit(0.7) * (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .select(col("id_a"), col("id_b"), graft.Det.r6(col("jaccard")).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Text.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref === naive)
+    assert(pref.nonEmpty)
+  }
+
+  test("prefixJaccardPairs: prefix join never plans a cartesian/BNLJ") {
+    val p = plan(Text.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.7))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+           s"prefix self-join must stay an equi-join:\n$p")
+  }
+
   test("fingerprintQuery: distinct fingerprints equal distinct texts") {
     val nTexts = Sources.documents(spark, sfDir).select("text").distinct.count()
     val nFps = Text.fingerprintQuery(spark, sfDir).select("fp").distinct.count()
