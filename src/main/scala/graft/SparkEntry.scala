@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_prefix" -> Text.dedupPrefixQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_clusters" -> Text.dedupClustersQuery,
+    "q_pagerank" -> Graph.pageRankQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
@@ -334,6 +335,34 @@ object SparkEntry {
        |  CAST(id = MIN(label) AS INT) AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q_pagerank oracle: the identical 5 fixed PageRank rounds UNROLLED as
+    * chained CTEs (pr0..pr5) — the simplified formulation needs no
+    * recursion, no per-round scalar, and runs the same IEEE-double tree
+    * as the Spark loop; round-6 on output only absorbs summation-order
+    * ulp drift (the q_bm25 pattern).
+    */
+  private def pagerankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.id, 0.15e0 + 0.85e0 * coalesce(s.c, 0.0e0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r / d.outdeg) AS c
+         |    FROM pr${i - 1} p JOIN e ON e.src = p.id JOIN deg d ON d.src = p.id
+         |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |pr0 AS (SELECT id, 1.0e0 AS r FROM nodes),
+       |$iters
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+       |  CAST(id // 2 AS BIGINT) AS key, round(r, 6) AS pr
+       |FROM pr5 ORDER BY kind, key""".stripMargin
+  }
+
   /** q_zorder_layout oracle: the identical Morton interleave as integer
     * bit math — term 2i is bit i of x, term 2i+1 is bit i of y — then the
     * same per-256-wide-range rollup. Shifts/masks/adds agree exactly in
@@ -383,6 +412,8 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> lshOracle,
 
     "q_dedup_clusters" -> clustersOracle,
+
+    "q_pagerank" -> pagerankOracle,
 
     "q_vector_stats" ->
       // dim is 0-based on both sides (Spark posexplode pos; DuckDB i-1);

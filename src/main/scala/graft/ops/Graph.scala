@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Det._
+import graft.io.Sources
 
 /** Distributed connected components over a DataFrame edge list — the
   * missing last stage of the dedup story: LSH candidate PAIRS become
@@ -77,5 +79,76 @@ object Graph {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Fixed-iteration PageRank over a directed edge list — the classic
+    * simplified formulation (the one in the public Spark examples and the
+    * original Hadoop formulation): r_0(v) = 1.0;
+    * r_{t+1}(v) = (1−d) + d · Σ_{u→v} r_t(u)/outdeg(u).
+    * No dangling-mass redistribution and no 1/N normalization, which keeps
+    * every step a pure dataflow (no per-round driver scalar) and makes the
+    * recursion expressible verbatim in plain SQL for the oracle twin.
+    *
+    * A FIXED iteration count (not convergence detection) is deliberate:
+    * the result is a deterministic function of the edge list, so it can
+    * sit under the hash-match gate; production callers who want a
+    * tolerance loop can wrap it (each extra round is one join + one agg).
+    *
+    * Scale shape per round: edges ⋈ ranks on src (one hash shuffle on the
+    * SAME key every round — co-partitioning is reused), groupBy dst (one
+    * shuffle), left join back to the node set. Edges and nodes are
+    * materialized once (localCheckpoint); each round's frame is
+    * checkpoint-truncated so the plan stays O(1) deep. Rank error vs the
+    * true eigenvector decays as d^t; 5 rounds is the planning-score
+    * regime, not web-graph convergence.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+                (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** q_pagerank: PageRank over the customer↔supplier trade graph —
+    * an edge per DISTINCT (customer, supplier) trading pair from
+    * orders ⋈ lineitem, symmetrized so rank flows both ways (popular
+    * suppliers lift the customers who buy from them and vice versa).
+    * Node ids are made disjoint arithmetically (customer 2k, supplier
+    * 2k+1 — engine-portable, no string keys through the shuffles).
+    * 5 rounds, d = 0.85, round-6 on output only: both engines iterate
+    * the same IEEE-double tree and the final rounding absorbs ulp-level
+    * summation-order drift (the q_bm25 determinism pattern).
+    */
+  def pageRankQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Sources.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Sources.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    pageRank(sym, "src", "dst", iterations = 5, damping = 0.85)
+      .select(when(col("id") % 2 === 0, "c").otherwise("s").as("kind"),
+              floor(col("id") / 2).cast("long").as("key"),
+              r6(col("rank")).as("pr"))
+      .orderBy(col("kind"), col("key"))
   }
 }

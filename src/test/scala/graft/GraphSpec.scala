@@ -44,6 +44,37 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(Graph.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
   }
 
+  test("pageRank: hand-computed 2-round values on a 3-node graph") {
+    import spark.implicits._
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1; outdeg: 1->2, 2->1, 3->1; r0 = 1
+    // r1(1) = .15 + .85*r0(3)        = 1.0
+    // r1(2) = .15 + .85*(r0(1)/2)    = 0.575
+    // r1(3) = .15 + .85*(r0(1)/2 + r0(2)) = 1.425
+    // r2(1) = .15 + .85*1.425        = 1.36125
+    // r2(2) = .15 + .85*0.5          = 0.575
+    // r2(3) = .15 + .85*(0.5 + 0.575) = 1.06375
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.36125) < 1e-12)
+    assert(math.abs(got(2L) - 0.575) < 1e-12)
+    assert(math.abs(got(3L) - 1.06375) < 1e-12)
+  }
+
+  test("pageRank: sink nodes keep baseline rank; every node gets a row") {
+    import spark.implicits._
+    // star into node 9 (a sink), plus isolated-pair 20->21
+    val edges = (1L to 4L).map(i => (i, 9L)) ++ Seq((20L, 21L))
+    val got = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 7)
+    // sources have no in-edges -> rank settles at 1-d = 0.15
+    (1L to 4L).foreach(i => assert(math.abs(got(i) - 0.15) < 1e-12))
+    // the sink accumulates: .15 + .85*4*.15 = 0.66 at fixpoint (from round 2)
+    assert(math.abs(got(9L) - 0.66) < 1e-12)
+    assert(math.abs(got(21L) - (0.15 + 0.85 * 0.15)) < 1e-12)
+  }
+
   test("dedup clusters: every cluster has exactly one canonical doc = its min id") {
     val res = Text.dedupClustersQuery(spark, sfDir).collect()
     assert(res.nonEmpty, "sf data must contain near-dup clusters")
