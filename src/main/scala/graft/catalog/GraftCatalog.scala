@@ -450,7 +450,8 @@ class ScanHolder {
   * new group files task-side and swap the manifest on commit.
   */
 class GraftTable(tableName: String, tableSchema: StructType, val location: String,
-                 val pinnedVersion: Option[Long] = None)
+                 val pinnedVersion: Option[Long] = None,
+                 val pinnedGroups: Option[Seq[Group]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   override def name(): String = tableName
@@ -465,6 +466,7 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
   /** Plain writes (INSERT INTO …) append; INSERT OVERWRITE truncates. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write through a VERSION AS OF read")
+    require(pinnedGroups.isEmpty, "cannot write through a pinned-file-set read")
     new GraftWriteBuilder(this, info.schema(), replaceAll = false, None)
   }
 
@@ -475,6 +477,7 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
     */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, "cannot modify a VERSION AS OF read")
+    require(pinnedGroups.isEmpty, "cannot modify a pinned-file-set read")
     () => new RowLevelOperation {
       private val holder = new ScanHolder
       override def command(): RowLevelOperation.Command = info.command()
@@ -504,11 +507,13 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder])
 
   // the live set is pinned at PLAN time: a concurrent commit during
   // execution cannot change which groups this scan reads; a VERSION AS OF
-  // table pins instead to its snapshot's live set (time travel)
-  private var groups: Seq[Group] = table.pinnedVersion match {
-    case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
-    case None => GroupFiles.live(Paths.get(table.location))
-  }
+  // table pins instead to its snapshot's live set (time travel), and a
+  // pinned-file-set table (ChangeFeed) to exactly the groups it was given
+  private var groups: Seq[Group] = table.pinnedGroups.getOrElse(
+    table.pinnedVersion match {
+      case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
+      case None => GroupFiles.live(Paths.get(table.location))
+    })
 
   override def readSchema(): StructType = table.schema()
   override def toBatch: Batch = this

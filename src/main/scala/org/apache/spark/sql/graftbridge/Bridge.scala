@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an arbitrary DSv2 [[Table]] instance (no catalog
+    * registration needed) — the doorway ChangeFeed uses to scan a pinned
+    * file subset. DataSourceV2Relation + Dataset.ofRows are private[sql];
+    * this shim is the supported pattern for reaching them.
+    */
+  def v2Rows(spark: org.apache.spark.sql.SparkSession,
+             table: org.apache.spark.sql.connector.catalog.Table): org.apache.spark.sql.DataFrame = {
+    val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(table, None, None)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], rel)
+  }
 }

@@ -253,6 +253,40 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_tt")
   }
 
+  test("change feed: MERGE surfaces exactly its inserts and delete+insert update pairs") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_cdf")
+    spark.sql("CREATE TABLE graft_fb.default.fb_cdf (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_cdf SELECT id, 'orig' FROM range(20)")
+    // v1 = the 20 'orig' rows; the MERGE updates k in {0,2,...,18} (10 rows)
+    // and inserts k in {20,22,...,28} (5 rows) -> v2
+    spark.sql(
+      """MERGE INTO graft_fb.default.fb_cdf t
+        |USING (SELECT id AS k, 'upd' AS v FROM range(0, 30, 2)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val feed = graft.catalog.ChangeFeed
+      .tableChanges(spark, "graft_fb.default.fb_cdf", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val inserts = feed.filter(_._3 == "insert").map(t => (t._1, t._2)).sorted.toSeq
+    val deletes = feed.filter(_._3 == "delete").map(t => (t._1, t._2)).sorted.toSeq
+    // updates appear as delete(old)+insert(new); brand-new keys as inserts
+    assert(deletes === (0L until 20L by 2).map(k => (k, "orig")).toSeq)
+    assert(inserts === ((0L until 20L by 2).map(k => (k, "upd")) ++
+                        (20L until 30L by 2).map(k => (k, "upd"))).sorted.toSeq)
+    // untouched odd-k rows are ABSENT even though copy-on-write rewrote
+    // their groups — the file-diff + exceptAll refinement cancels them
+    assert(!feed.exists { case (k, v, _) => k % 2 == 1 })
+    // empty window = empty feed; unretained version fails loudly
+    assert(graft.catalog.ChangeFeed
+      .tableChanges(spark, "graft_fb.default.fb_cdf", 2, 2).count() === 0)
+    intercept[IllegalArgumentException] {
+      graft.catalog.ChangeFeed.tableChanges(spark, "graft_fb.default.fb_cdf", 1, 999)
+    }
+    spark.sql("DROP TABLE graft_fb.default.fb_cdf")
+  }
+
   test("snapshot retention: only RETAIN versions kept; expired files are swept") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
