@@ -130,6 +130,7 @@ object SparkEntry {
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
     "q_funnel" -> Analytics.funnel,
+    "q_event_bigrams" -> Analytics.eventBigrams,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
     "q_agg_filtered" -> Relational.aggFiltered,
@@ -1155,6 +1156,20 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_bigrams" ->
+      // per-user lag ordered by (ts, event_id) — event_id is unique, so
+      // ts ties cannot reorder between engines; pct = exact integer ratio
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |t2 AS (SELECT prev_type, next_type FROM tr WHERE prev_type IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_total FROM t2)
+        |SELECT prev_type, next_type, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS pct
+        |FROM t2, tot GROUP BY prev_type, next_type, n_total
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "q_funnel" ->
       """WITH f AS (

@@ -85,4 +85,34 @@ object Analytics {
       count(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"), 1))
         .as("n_full_funnel"))
   }
+
+  /** q_event_bigrams: the event-TRANSITION matrix — for every user's
+    * time-ordered stream, each consecutive (previous, next) event-type
+    * pair, counted globally with its share of all transitions. The
+    * sequence-mining primitive behind Markov session models, "what do
+    * users do after X" questions, and anomalous-flow detection.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (per-user
+    * streams are short and bounded), then a partial-agg'd rollup over at
+    * most |event_types|² transition rows. Determinism: ordering within a
+    * user is (ts, event_id) — event_id is unique, so ties in ts cannot
+    * reorder between engines; pct is an exact integer ratio rounded-6.
+    */
+  def eventBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val transitions = Sources.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val total = transitions.agg(count(lit(1)).as("n_total"))
+    transitions
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("prev_type"), col("next_type"), col("n"),
+              r6(col("n").cast("double") / col("n_total").cast("double")).as("pct"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
 }

@@ -24,6 +24,16 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(v > 0)
   }
 
+  test("event bigrams: transition count conservation and pct sums to 1") {
+    val rows = Analytics.eventBigrams(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // each user with k events contributes exactly k-1 transitions
+    val e = graft.io.Sources.events(spark, sfDir)
+    val expected = e.count() - e.select("user_id").distinct.count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
   test("outlier z-scores: flagged rows really deviate, both tails, small fraction") {
     val out = Analytics.outlierZscore(spark, sfDir).collect()
     assert(out.nonEmpty)
