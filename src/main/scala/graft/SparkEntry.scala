@@ -114,6 +114,7 @@ object SparkEntry {
     "q_join_skew" -> Scale.skewJoinQuery,
     "q_text_levenshtein" -> Functions.levenshteinQuery,
     "q_text_jaro" -> Functions.jaroQuery,
+    "q_fuzzy_match" -> Functions.fuzzyMatchQuery,
     "q_try_cast" -> Functions.tryCastQuery,
     "q_agg_bitwise" -> Relational.aggBitwise,
     "q_sample_hash" -> ((s: SparkSession, dir: String) =>
@@ -439,6 +440,22 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.tok < b.tok
         |WHERE round(jaro_winkler_similarity(a.tok, b.tok), 6) >= 0.6
         |ORDER BY tok_a, tok_b""".stripMargin,
+
+    "q_fuzzy_match" ->
+      // best Jaro-Winkler match per probe; jw is bit-identical between
+      // engines so (jw DESC, p_partkey) picks the same winner; round-6
+      // only on output
+      """WITH probes(probe) AS (VALUES ('smal ring'), ('red widgit'), ('blu bolt'),
+        |  ('hot gier'), ('small gizmmo'), ('cold platte'), ('large anvill'), ('small ring')),
+        |scored AS (
+        |  SELECT probe, p_partkey, p_name,
+        |    jaro_winkler_similarity(probe, p_name) AS jw
+        |  FROM probes CROSS JOIN part),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe ORDER BY jw DESC, p_partkey) AS rn
+        |  FROM scored)
+        |SELECT probe, p_partkey AS best_key, p_name AS best_name, round(jw, 6) AS score
+        |FROM best WHERE rn = 1 ORDER BY probe""".stripMargin,
 
     "q_bm25" ->
       // every literal forced to DOUBLE (…e0) so DuckDB's decimal literal

@@ -156,6 +156,35 @@ object Functions {
       .orderBy(col("tok_a"), col("tok_b"))
   }
 
+  /** q_fuzzy_match: entity resolution against a master table — each dirty
+    * probe string finds its best Jaro-Winkler match among part names (the
+    * fuzzystrmatch lookup postpy users run in Postgres, relocated to the
+    * cluster). The probe side is a broadcast literal frame; scoring is the
+    * native codegen'd JaroWinklerSimilarity expression over one pass of
+    * the master table; the argmax is max-of-struct (jw, then SMALLER key
+    * wins ties via negated key) — partial-aggregable, so the match
+    * reduces map-side and shuffles only |probes| rows. Ties are safe
+    * cross-engine because jw is bit-identical to DuckDB's
+    * jaro_winkler_similarity and the tiebreak is an integer key.
+    */
+  def fuzzyMatchQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import spark.implicits._
+    val probes = Seq("smal ring", "red widgit", "blu bolt", "hot gier",
+                     "small gizmmo", "cold platte", "large anvill", "small ring")
+      .toDF("probe")
+    Sources.part(spark, dir).select(col("p_partkey"), col("p_name"))
+      .crossJoin(broadcast(probes))
+      .select(col("probe"), col("p_partkey"), col("p_name"),
+              jaroWinkler(col("probe"), col("p_name")).as("jw"))
+      .groupBy(col("probe"))
+      .agg(max(struct(col("jw"), (-col("p_partkey")).as("nk"),
+                      col("p_partkey"), col("p_name"))).as("best"))
+      .select(col("probe"), col("best.p_partkey").as("best_key"),
+              col("best.p_name").as("best_name"), r6(col("best.jw")).as("score"))
+      .orderBy(col("probe"))
+  }
+
   /** q_try_cast: ANSI-safe casting of dirty data — try_cast yields NULL
     * instead of failing the job (the 100 TB ingest posture: quarantine,
     * never crash). Both engines share TRY_CAST semantics.

@@ -22,6 +22,15 @@ class JaroWinklerSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(JaroWinkler.computeStr("x😀yz", "xyz") - 0.4920634920634921) < 1e-12)
   }
 
+  test("fuzzyMatchQuery: exact probe scores 1.0; every probe matches something close") {
+    val rows = graft.ops.Functions.fuzzyMatchQuery(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val exact = rows.find(_.getString(0) == "small ring").get
+    assert(exact.getString(2) === "small ring" && exact.getDouble(3) === 1.0)
+    // typo probes still land close to their intended names
+    assert(rows.forall(_.getDouble(3) >= 0.8))
+  }
+
   test("edge cases: empty, identical, disjoint, below boost threshold") {
     assert(JaroWinkler.computeStr("", "") === 1.0)
     assert(JaroWinkler.computeStr("", "abc") === 0.0)
