@@ -96,14 +96,21 @@ object Graph {
     *
     * Scale shape per round: edges ⋈ ranks on src (one hash shuffle on the
     * SAME key every round — co-partitioning is reused), groupBy dst (one
-    * shuffle), left join back to the node set. Edges and nodes are
-    * materialized once (localCheckpoint); each round's frame is
-    * checkpoint-truncated so the plan stays O(1) deep. Rank error vs the
-    * true eigenvector decays as d^t; 5 rounds is the planning-score
-    * regime, not web-graph convergence.
+    * shuffle), left join back to the node set. Edges, degrees and nodes
+    * are materialized ONCE (localCheckpoint — each is referenced every
+    * round); the rounds themselves stay LAZY: each round references the
+    * previous ranks exactly once, so the composed plan is linear in
+    * `iterations` and the whole computation runs as one pipelined job —
+    * no per-round materialization barrier (connectedComponents needs one
+    * because its convergence count is a per-round ACTION; a fixed-round
+    * loop has none). For long loops on huge graphs set `checkpointEvery`
+    * to bound lineage/optimizer growth. Rank error vs the true
+    * eigenvector decays as d^t; 5 rounds is the planning-score regime,
+    * not web-graph convergence.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 5, damping: Double = 0.85,
+               checkpointEvery: Int = 0): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -113,7 +120,7 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .join(deg, Seq("src"))
@@ -123,7 +130,8 @@ object Graph {
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
                 (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

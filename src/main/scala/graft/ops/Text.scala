@@ -485,11 +485,15 @@ object Text {
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          w: Int = 3, t: Double = 0.7): DataFrame = {
+    // materialize the hashed shingle sets ONCE: this subtree otherwise
+    // evaluates four times (df-count branch, prefix branch, both
+    // verification joins) — shingling is the dominant per-row cost
     val docs = df
       .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("ss"))
       .filter(size(col("ss")) > 0)
       .select(col("id"), transform(col("ss"), s => xxhash64(s)).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("sz"))
+      .localCheckpoint()
     val ex = docs.select(col("id"), col("sz"), explode(col("hs")).as("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val pos = row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("h")))
