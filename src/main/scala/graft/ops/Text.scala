@@ -182,9 +182,13 @@ object Text {
     val sigs = Sources.documents(spark, dir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
       .filter(size(col("ss")) > 0)
-      // two-stage build: hash array once, then slice the k components
+      // two-stage build: hash array once, then slice the k components;
+      // materialize ONCE — the banding frame self-joins (x and y sides),
+      // and without this the shingle+md5 chain (the dominant per-row
+      // cost, CodegenFallback HOFs) runs twice
       .select(col("doc_id"), MinHash.md5Hashes(col("ss"), k).as("hs"))
       .select(col("doc_id"), MinHash.md5SignatureFromHashes(col("hs"), k).as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
           struct(b.as("band_idx"),
