@@ -91,6 +91,7 @@ object SparkEntry {
     "q_quality_score" -> Text.qualityQuery,
     "q_token_count" -> Text.tokenCountQuery,
     "q_doc_fingerprint" -> Text.fingerprintQuery,
+    "q_chunk_docs" -> Text.chunkDocsQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_dedup_prefix" -> Text.dedupPrefixQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
@@ -681,6 +682,19 @@ object SparkEntry {
       // explicit whitespace class — Java \s and RE2 \s differ on \x0B
       """SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      // window=32/stride=24 token chunks; 1-based inclusive list slicing
+      // on both engines takes the same 32 elements; short final chunk
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n,
+        |  greatest(CAST(floor((len(toks) - 32 + 23) / 24.0) AS BIGINT) + 1, 1) AS n_chunks
+        |  FROM t),
+        |c AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks, n FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+        |  CAST(least(n - chunk_idx*24, 32) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_dedup_ngram" ->
       // 3-gram shingle Jaccard; round-6 before the threshold on both

@@ -223,6 +223,44 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q_chunk_docs: split every document into fixed-size token windows
+    * with stride — the chunking primitive of RAG indexing and pretraining
+    * sequence prep (overlap = window − stride keeps boundary context).
+    * Chunk starts are 0, stride, 2·stride, …; the LAST window may be
+    * short (whatever tokens remain) and a doc shorter than one window is
+    * a single chunk. Pure per-row generator: transform(sequence) → slice
+    * → explode — zero shuffles before the output sort, embarrassingly
+    * parallel at any corpus size.
+    */
+  def chunkDocsQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Sources.documents(spark, dir), "doc_id", "text",
+              window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunker itself: (id, chunk_idx, chunk_text, n_tokens) rows. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        // number of chunks: 1 + ceil(max(n - window, 0) / stride), via
+        // floor((n - window + stride - 1) / stride) + 1 (Column./ is true
+        // division, so floor() it back to the integer count)
+        greatest(
+          floor((size(col("toks")) - window + (stride - 1)).cast("double") / stride)
+            .cast("long") + 1,
+          lit(1L)).cast("int").as("n_chunks"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n_chunks") - 1), i =>
+          struct(i.cast("long").as("chunk_idx"),
+                 concat_ws(" ", slice(col("toks"), i * stride + 1, lit(window)))
+                   .as("chunk_text"),
+                 least(size(col("toks")) - i * stride, lit(window)).cast("long")
+                   .as("n_tokens")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
+  }
+
   /** q_bm25: BM25 relevance (k1=1.2, b=0.75, Lucene's always-positive
     * idf = ln(1 + (N−df+0.5)/(df+0.5))) of a fixed 3-term query over the
     * corpus — the retrieval scorer on top of the tf/df machinery tf-idf

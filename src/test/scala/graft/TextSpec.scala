@@ -99,6 +99,27 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getDouble(2) > 0.4999995 && r.getDouble(2) <= 1.0))
   }
 
+  test("chunkDocs: chunks reconstruct the doc; stride overlap; short-doc single chunk") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+                 (2L, "a b c")).toDF("id", "txt")
+    val rows = Text.chunkDocs(df, "id", "txt", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    // 100 tokens -> ceil((100-32)/24)+1 = 4 chunks starting 0,24,48,72
+    assert(d1.length === 4)
+    assert(d1.map(_.getLong(3)).toSeq === Seq(32L, 32L, 32L, 28L))
+    // consecutive chunks overlap by window - stride = 8 tokens
+    val c0 = d1(0).getString(2).split(" "); val c1 = d1(1).getString(2).split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    // dropping each chunk's first (window-stride) tokens after chunk 0
+    // reconstructs the doc exactly
+    val rebuilt = d1(0).getString(2) +: d1.tail.map(_.getString(2).split(" ").drop(8).mkString(" "))
+    assert(rebuilt.mkString(" ") === (1 to 100).map(i => s"t$i").mkString(" "))
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2(0).getString(2) === "a b c" && d2(0).getLong(3) === 3L)
+  }
+
   test("prefixJaccardPairs equals the naive all-pairs ground truth at t=0.7") {
     // exactness of the prefix filter: same pairs, same jaccard values as
     // the quadratic shared-shingle join thresholded at t
