@@ -133,6 +133,7 @@ object SparkEntry {
     "q_retention_cohort" -> Analytics.retentionCohort,
     "q_funnel" -> Analytics.funnel,
     "q_event_bigrams" -> Analytics.eventBigrams,
+    "q_sessionize" -> Analytics.sessionize,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
     "q_agg_filtered" -> Relational.aggFiltered,
@@ -1187,6 +1188,28 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      // 30-minute-gap sessions: lag flags session starts, running sum
+      // numbers them; epoch-microsecond arithmetic and an exact decimal
+      // money sum keep both engines identical
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |labeled AS (
+        |  SELECT user_id, us, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  max(us) - min(us) AS duration_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM labeled GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_event_bigrams" ->
       // per-user lag ordered by (ts, event_id) — event_id is unique, so

@@ -86,6 +86,36 @@ object Analytics {
         .as("n_full_funnel"))
   }
 
+  /** q_sessionize: assign SESSION IDS to raw events — a gap of more than
+    * 30 minutes between a user's consecutive events starts a new session
+    * (the batch sibling of the streaming session window: that one
+    * AGGREGATES per session, this one LABELS every event, which is what
+    * sessionized exports and per-session feature joins need). The
+    * classic two-window form: lag finds gap starts, a running sum of
+    * gap-start flags numbers the sessions; per-session stats roll up
+    * after. Both windows share ONE partitioning (user_id) — one shuffle
+    * total, per-user state bounded by the user's own events.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val labeled = Sources.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+              unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > gapUs || lag(col("us"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    labeled.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           (max(col("us")) - min(col("us"))).as("duration_us"),
+           moneySum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** q_event_bigrams: the event-TRANSITION matrix — for every user's
     * time-ordered stream, each consecutive (previous, next) event-type
     * pair, counted globally with its share of all transitions. The

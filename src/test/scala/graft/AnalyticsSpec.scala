@@ -24,6 +24,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(v > 0)
   }
 
+  test("sessionize: events conserved; session indices contiguous from 1 per user") {
+    val rows = Analytics.sessionize(spark, sfDir).collect()
+    val total = graft.io.Sources.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val idxs = ss.map(_.getLong(1)).sorted.toSeq
+      assert(idxs === (1L to idxs.length.toLong))
+    }
+    assert(rows.forall(_.getLong(3) >= 0L))
+  }
+
   test("event bigrams: transition count conservation and pct sums to 1") {
     val rows = Analytics.eventBigrams(spark, sfDir).collect()
     assert(rows.nonEmpty)
