@@ -57,7 +57,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = "graft"
   private var warehouse: Path =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft_catalog")
-  private val tables = new TrieMap[String, GraftTable]()
+  // the table registry is keyed by WAREHOUSE, not held per instance:
+  // Spark re-instantiates catalog plugins in cloned sessions (streaming
+  // micro-batches run in one; spark.newSession() makes another), and an
+  // instance-held map would make tables vanish there. Same-warehouse
+  // instances sharing one registry is exactly the semantics an external
+  // metastore would give.
+  private def tables: TrieMap[String, GraftTable] =
+    GraftCatalog.registryFor(warehouse.toAbsolutePath.toString)
 
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
@@ -165,6 +172,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                metadata: util.Map[String, String]): Unit = ()
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = ()
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = true
+}
+
+object GraftCatalog {
+  private val registries = new TrieMap[String, TrieMap[String, GraftTable]]()
+  private def registryFor(warehouse: String): TrieMap[String, GraftTable] =
+    registries.getOrElseUpdate(warehouse, new TrieMap[String, GraftTable]())
 }
 
 /** One live group file plus its pruning stats: per-column (min, max) for

@@ -343,6 +343,39 @@ object Streaming {
       }
       .start()
 
+  /** Continuous CDC apply into a TRANSACTIONAL GraftCatalog table — the
+    * scale form of [[applyCdcStream]]: instead of rewriting a whole
+    * parquet directory per micro-batch, each batch is ONE executable
+    * MERGE INTO, which the catalog commits copy-on-write on exactly the
+    * group files whose key ranges can match (runtime group filtering).
+    * Every micro-batch therefore becomes a numbered snapshot: time
+    * travel sees each batch boundary, and ChangeFeed.tableChanges
+    * between two batch versions is precisely what that window of the
+    * stream changed — a streaming pipeline whose every increment is
+    * auditable. Last-writer-wins within a batch via `seqCol` descending,
+    * as in the directory variant.
+    */
+  def applyCdcStreamCatalog(stage: DataFrame, table: String, pk: Seq[String],
+                            seqCol: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stage.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark0 = batch.sparkSession
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val view = s"__cdc_catalog_src_$batchId"
+        latest.createOrReplaceTempView(view)
+        try {
+          val on = pk.map(k => s"t.$k = s.$k").mkString(" AND ")
+          spark0.sql(s"""MERGE INTO $table t USING $view s ON $on
+                        |WHEN MATCHED THEN UPDATE SET *
+                        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        } finally spark0.catalog.dropTempView(view)
+        ()
+      }
+      .start()
+
   /** Stream-stream time-interval join (the streaming twin of
     * intervalJoin): same-user event pairs within 30 minutes. BOTH sides
     * carry watermarks and the join condition bounds event time in both

@@ -297,6 +297,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(after2 === Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
   }
 
+  test("applyCdcStreamCatalog: each micro-batch is a snapshot; the change feed audits it") {
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_cdc")
+    spark.sql("CREATE TABLE graft_fb.default.fb_cdc (user_id BIGINT, value DOUBLE, us BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_cat").toString
+    val q = Streaming.applyCdcStreamCatalog(
+      events.toDF.select(col("user_id"), col("value"),
+                         unix_micros(col("ts")).as("us")),
+      "graft_fb.default.fb_cdc", Seq("user_id"), "us", s"$ckpt/ckpt")
+    try {
+      // batch 1: two keys + an in-batch duplicate (later us wins for user 1)
+      events.addData(
+        Ev(1, new Timestamp(base), 1, "u", 10.0),
+        Ev(2, new Timestamp(base + 1000), 1, "u", 11.0),
+        Ev(3, new Timestamp(base + 500), 2, "u", 20.0))
+      q.processAllAvailable()
+      val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+        .asInstanceOf[graft.catalog.GraftCatalog]
+      val dir = java.nio.file.Paths.get(cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), "fb_cdc"))
+        .asInstanceOf[graft.catalog.GraftTable].location)
+      val v1 = graft.catalog.GroupFiles.version(dir)
+      def state() = spark.table("graft_fb.default.fb_cdc").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(state() === Map(1L -> 11.0, 2L -> 20.0))
+      // batch 2: update user 2, insert user 3
+      events.addData(Ev(4, new Timestamp(base + 2000), 2, "u", 21.0),
+                     Ev(5, new Timestamp(base + 2500), 3, "u", 30.0))
+      q.processAllAvailable()
+      val v2 = graft.catalog.GroupFiles.version(dir)
+      assert(v2 > v1, "the second micro-batch must commit its own snapshot")
+      assert(state() === Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+      // time travel still sees the batch-1 state
+      val old = spark.sql(s"SELECT * FROM graft_fb.default.fb_cdc VERSION AS OF $v1")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(old === Map(1L -> 11.0, 2L -> 20.0))
+      // and the change feed over the batch-2 window is exactly its merge
+      val feed = graft.catalog.ChangeFeed
+        .tableChanges(spark, "graft_fb.default.fb_cdc", v1, v2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3))).toSet
+      assert(feed === Set((2L, 20.0, "delete"), (2L, 21.0, "insert"), (3L, 30.0, "insert")))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE graft_fb.default.fb_cdc")
+    }
+  }
+
   test("streaming dedup drops repeated content within the horizon") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
