@@ -19,7 +19,9 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_join_cross",      // region × nation: 5 × 25 rows, both dimension tables
     "q_sim_cosine_topk", // corpus × broadcast(1-row probe)
     "q_knn_majority",    // candidates × broadcast(10-row probe set)
-    "q_bm25"             // term hits × broadcast(1-row corpus stats (N, Σdl))
+    "q_bm25",            // term hits × broadcast(1-row corpus stats (N, Σdl))
+    "q_event_bigrams",   // transition counts × broadcast(1-row grand total)
+    "q_fuzzy_match"      // master table × broadcast(8-row probe list)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
