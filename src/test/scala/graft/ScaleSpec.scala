@@ -141,4 +141,43 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     val total = pts.select(shiftright(col("z"), 8).as("zr")).distinct().count()
     assert(hit.toDouble / total <= 0.20, s"x<16 hit $hit of $total z-ranges")
   }
+
+  test("OPTIMIZE ZORDER end-to-end: z-laid-out catalog groups prune on BOTH dimensions") {
+    // the full layout story: the same rows land in a GraftCatalog table
+    // twice — hash-scattered vs range-partitioned by z — and the
+    // manifest's per-group (min,max) stats are what a point predicate
+    // prunes against. Scattered groups all straddle the full x and y
+    // ranges (no group prunable); z-ordered groups localize BOTH
+    // dimensions at once, so most groups are provably skippable for a
+    // point lookup on either column — file skipping from layout alone.
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Scale.zorder2(col("x"), col("y"), 6).as("z"))
+    def groupsOf(table: String, layout: org.apache.spark.sql.DataFrame) = {
+      spark.sql(s"DROP TABLE IF EXISTS graft_fb.default.$table")
+      spark.sql(s"CREATE TABLE graft_fb.default.$table (x BIGINT, y BIGINT, z BIGINT)")
+      layout.createOrReplaceTempView(s"${table}_src")
+      spark.sql(s"INSERT INTO graft_fb.default.$table SELECT x, y, z FROM ${table}_src")
+      val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+        .asInstanceOf[graft.catalog.GraftCatalog]
+      val dir = java.nio.file.Paths.get(cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), table))
+        .asInstanceOf[graft.catalog.GraftTable].location)
+      graft.catalog.GroupFiles.live(dir)
+    }
+    val scattered = groupsOf("fb_scatter", pts.repartition(16, col("y")))
+    val zordered = groupsOf("fb_zorder", pts.repartitionByRange(16, col("z")))
+    assert(scattered.size >= 8 && zordered.size >= 8, "need a multi-group layout")
+    def hits(gs: Seq[graft.catalog.Group], c: String, v: Long) =
+      gs.count(_.mayContain(c, v)).toDouble / gs.size
+    // hash-scattered: every group straddles the x range -> nothing prunes
+    assert(hits(scattered, "x", 7) === 1.0)
+    // z-ordered: a point on x OR y prunes most groups via manifest stats
+    assert(hits(zordered, "x", 7) <= 0.5, s"x=7 hit ${hits(zordered, "x", 7)}")
+    assert(hits(zordered, "y", 7) <= 0.5, s"y=7 hit ${hits(zordered, "y", 7)}")
+    spark.sql("DROP TABLE graft_fb.default.fb_scatter")
+    spark.sql("DROP TABLE graft_fb.default.fb_zorder")
+  }
 }
