@@ -347,8 +347,12 @@ object SparkEntry {
     */
   private def pagerankOracle: String = {
     val iters = (1 to 5).map { i =>
+      // base constant spelled (1.0e0 - 0.85e0), NOT 0.15e0: Spark's side
+      // computes lit(1.0 - damping) = 0x1.3333333333334p-3, one ulp OFF
+      // the decimal literal 0.15 — the subtraction is the identical IEEE
+      // op in both engines, a literal is not
       s"""pr$i AS (
-         |  SELECT n.id, 0.15e0 + 0.85e0 * coalesce(s.c, 0.0e0) AS r
+         |  SELECT n.id, (1.0e0 - 0.85e0) + 0.85e0 * coalesce(s.c, 0.0e0) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, sum(p.r / d.outdeg) AS c
          |    FROM pr${i - 1} p JOIN e ON e.src = p.id JOIN deg d ON d.src = p.id

@@ -46,13 +46,19 @@ object ChangeFeed {
     }
     val ident = Identifier.of(parts.tail.dropRight(1), parts.last)
     val base = cat.loadTable(ident).asInstanceOf[GraftTable]
+    require(!base.schema().fieldNames.contains("_change_type"),
+      s"$qualifiedName already has a _change_type column; the feed's " +
+      "metadata column would silently destroy it")
     val dir = Paths.get(base.location)
     val from = GroupFiles.liveAt(dir, fromVersion).map(g => g.file -> g).toMap
     val to = GroupFiles.liveAt(dir, toVersion).map(g => g.file -> g).toMap
 
+    // each side feeds BOTH exceptAll branches — materialize once so the
+    // changed files are read once, not twice
     def read(groups: Seq[Group]): DataFrame =
       Bridge.v2Rows(spark, new GraftTable(base.name(), base.schema(), base.location,
                                           pinnedGroups = Some(groups)))
+        .localCheckpoint()
 
     val added = read((to -- from.keySet).values.toSeq.sortBy(_.file))
     val removed = read((from -- to.keySet).values.toSeq.sortBy(_.file))

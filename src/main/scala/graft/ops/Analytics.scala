@@ -102,7 +102,7 @@ object Analytics {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val gapUs = 30L * 60 * 1000 * 1000
     val labeled = Sources.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+      .select(col("user_id"), col("event_id"), col("value"),
               unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("new_session",
         when(col("us") - lag(col("us"), 1).over(byUser) > gapUs || lag(col("us"), 1).over(byUser).isNull, 1L)

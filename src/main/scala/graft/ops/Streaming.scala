@@ -360,18 +360,28 @@ object Streaming {
     stage.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark0 = batch.sparkSession
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val view = s"__cdc_catalog_src_$batchId"
-        latest.createOrReplaceTempView(view)
-        try {
-          val on = pk.map(k => s"t.$k = s.$k").mkString(" AND ")
-          spark0.sql(s"""MERGE INTO $table t USING $view s ON $on
-                        |WHEN MATCHED THEN UPDATE SET *
-                        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-        } finally spark0.catalog.dropTempView(view)
+        // an EMPTY batch (recovery batch 0, idle-source ticks) must not
+        // commit: a burst of no-op snapshots would push real batch
+        // boundaries out of RETAIN-bounded retention and break the
+        // ChangeFeed audit contract
+        if (!batch.isEmpty) {
+          val spark0 = batch.sparkSession
+          val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val view = s"__cdc_catalog_src_$batchId"
+          latest.createOrReplaceTempView(view)
+          try {
+            // backtick-quote every identifier — pk/table names are caller
+            // data, not trusted SQL fragments
+            def q(id: String) = s"`${id.replace("`", "``")}`"
+            val qualified = table.split('.').map(q).mkString(".")
+            val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+            spark0.sql(s"""MERGE INTO $qualified t USING ${q(view)} s ON $on
+                          |WHEN MATCHED THEN UPDATE SET *
+                          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          } finally spark0.catalog.dropTempView(view)
+        }
         ()
       }
       .start()
