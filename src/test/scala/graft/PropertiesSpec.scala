@@ -188,6 +188,27 @@ object PropertiesSpec extends Properties("graft") {
       range && sym && ident
     }
 
+  property("prefix filter == brute-force Jaccard pairs on random corpora") =
+    forAll(texts, Gen.oneOf(0.3, 0.5, 0.7)) { (docs, t) =>
+      val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "txt")
+      val got = Text.prefixJaccardPairs(df, "id", "txt", w = 2, t = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // driver-side brute force over raw 2-gram shingle sets
+      def sh(s: String): Set[String] = {
+        val toks = s.split(" ")
+        if (toks.length < 2) Set.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.zipWithIndex.map { case (s, i) => i.toLong -> sh(s) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size
+        if inter.toDouble >= t * (sa.size + sb.size - inter).toDouble
+      } yield (ia, ib)).toSet
+      got == want
+    }
+
   private val edgeList: Gen[List[(Long, Long)]] =
     Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
 
