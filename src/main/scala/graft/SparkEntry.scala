@@ -111,6 +111,7 @@ object SparkEntry {
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
     "q_mixture_weights" -> Pipeline.mixtureWeightsQuery,
+    "q_mixture_sample" -> Pipeline.mixtureSampleQuery,
     "q_sim_users" -> Similarity.userSimilarityQuery,
     "q_join_skew" -> Scale.skewJoinQuery,
     "q_text_levenshtein" -> Functions.levenshteinQuery,
@@ -608,6 +609,28 @@ object SparkEntry {
         |  CAST(floor(share * tstar) AS BIGINT) AS take_n,
         |  round(CAST(floor(share * tstar) AS BIGINT) / CAST(n_docs AS DOUBLE), 6) AS rate
         |FROM s, t ORDER BY lang""".stripMargin,
+
+    "q_mixture_sample" -> {
+      // deterministic uniform = first 4 md5 hex nibbles of doc_id (ascii
+      // decode, the simhash-oracle pattern) / 65536 — exact dyadic, so
+      // u < rate can never flip between engines
+      def nib(p: Int) =
+        s"(ascii(substr(h, $p, 1)) - CASE WHEN ascii(substr(h, $p, 1)) <= 57 THEN 48 ELSE 87 END)"
+      val hex4 = s"${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}"
+      s"""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |s AS (SELECT lang, n_docs,
+         |  CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+         |                 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END AS DOUBLE) AS share
+         |  FROM n),
+         |t AS (SELECT min(CAST(n_docs AS DOUBLE) / share) AS tstar FROM s),
+         |r AS (SELECT lang,
+         |  round(CAST(floor(share * tstar) AS BIGINT) / CAST(n_docs AS DOUBLE), 6) AS rate
+         |  FROM s, t),
+         |d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |u AS (SELECT doc_id, lang, CAST($hex4 AS DOUBLE) / 65536.0e0 AS u FROM d)
+         |SELECT u.doc_id, u.lang FROM u JOIN r ON u.lang = r.lang
+         |WHERE u.u < r.rate ORDER BY u.doc_id""".stripMargin
+    },
 
     "q_sim_users" ->
       // sparse behavioral cosine: integer partial sums are exact, only the

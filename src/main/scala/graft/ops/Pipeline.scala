@@ -156,4 +156,28 @@ object Pipeline {
               r6(col("take_n").cast("double") / col("n_docs").cast("double")).as("rate"))
       .orderBy(col("lang"))
   }
+
+  /** q_mixture_sample: APPLY the mixture plan — the sampling step
+    * q_mixture_weights only plans. Each document draws a deterministic
+    * uniform from its id (first 4 hex digits of md5(doc_id) / 16⁴ — a
+    * dyadic rational, exact in a double on any engine) and survives iff
+    * u < its language's planned rate. Engine-portable (the q_sample_hash
+    * md5 principle at 1/65536 granularity), referentially stable (the
+    * same doc survives in every engine and every run), and
+    * embarrassingly parallel: the per-language rate frame is a broadcast
+    * hash join, the draw is pure column math — no shuffle before the
+    * output sort. Statistical semantics: kept-per-lang ≈ take_n
+    * (binomial), not exact-k — exact-k needs a per-lang top-k by hash
+    * (a sort); rate sampling is the 100 TB form.
+    */
+  def mixtureSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rates = mixtureWeightsQuery(spark, dir).select(col("lang"), col("rate"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    Sources.documents(spark, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }

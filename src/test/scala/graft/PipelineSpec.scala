@@ -93,4 +93,19 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         s"${r.getString(0)}: realized $realized vs target ${r.getDouble(2)}")
     }
   }
+
+  test("mixture sample: deterministic membership; per-lang kept ≈ rate · n (binomial)") {
+    val sampled = Pipeline.mixtureSampleQuery(spark, sfDir)
+    val again = Pipeline.mixtureSampleQuery(spark, sfDir)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Pipeline.mixtureWeightsQuery(spark, sfDir).collect().foreach { r =>
+      val (lang, n, rate) = (r.getString(0), r.getLong(1), r.getDouble(4))
+      val expect = rate * n
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept.getOrElse(lang, 0L) - expect) <= 4 * sd + 1,
+        s"$lang kept ${kept.getOrElse(lang, 0L)} vs expected $expect (sd $sd)")
+    }
+  }
 }
