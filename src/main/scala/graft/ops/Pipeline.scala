@@ -60,6 +60,16 @@ object Pipeline {
     * pass) → per-language survivor stats. Same stage order as
     * prepareCorpus; the approximate MinHash stage is swapped for the exact
     * pair miner so every stage is DuckDB-checkable end-to-end.
+    *
+    * Miner choice, MEASURED (round 6b): the naive shared-shingle join
+    * beats Text.prefixJaccardPairs here at both sf0.1 (2.6 vs ~3.9 s) and
+    * sf1 (4.7 s, only 1.8x at 10x data) because the EXACT-DEDUP stage
+    * ahead of it collapses duplicated content first — the miner's input
+    * is distinct documents, and on this corpus their shingle co-occurrence
+    * is dup-cluster-dominated. Swap in prefixJaccardPairs (semantics
+    * proven identical: TextSpec equivalence + the PropertiesSpec
+    * brute-force property) when distinct-content volume makes the
+    * all-shingle self-join dominate.
     */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
