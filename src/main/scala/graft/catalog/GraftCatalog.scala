@@ -608,14 +608,26 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder])
           else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
             row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               expectedFields - numFields))
-        override def next(): Boolean =
-          try {
-            val len = in.readInt()
-            val bytes = new Array[Byte](len)
-            in.readFully(bytes)
-            row.pointTo(bytes, len)
-            true
-          } catch { case _: EOFException => false }
+        // EOF is only legal at a ROW BOUNDARY (the length-prefix read).
+        // A torn file — truncated mid-row by disk corruption or a
+        // non-atomic copy — must fail LOUDLY: catching EOF from
+        // readFully too would silently drop the tail rows, the
+        // worst-case failure mode for a table format.
+        override def next(): Boolean = {
+          val len =
+            try in.readInt()
+            catch { case _: EOFException => return false }
+          require(len >= 0 && len <= (1 << 30),
+            s"group file $path: corrupt row length $len")
+          val bytes = new Array[Byte](len)
+          try in.readFully(bytes)
+          catch {
+            case e: EOFException => throw new java.io.IOException(
+              s"torn group file $path: row of $len bytes truncated mid-read", e)
+          }
+          row.pointTo(bytes, len)
+          true
+        }
         override def get(): InternalRow = if (pad == null) row else pad
         override def close(): Unit = in.close()
       }

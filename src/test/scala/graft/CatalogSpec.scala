@@ -287,6 +287,32 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_cdf")
   }
 
+  test("a torn group file fails loudly instead of silently dropping tail rows") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_torn")
+    spark.sql("CREATE TABLE graft_fb.default.fb_torn (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_torn SELECT id, repeat('x', 50) FROM range(1000)")
+    assert(spark.table("graft_fb.default.fb_torn").count() === 1000)
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_torn")).asInstanceOf[graft.catalog.GraftTable].location)
+    // truncate the largest group file mid-row (drop the last 7 bytes)
+    val rows = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".rows")).maxBy(Files.size)
+    Files.write(rows, Files.readAllBytes(rows).dropRight(7))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.table("graft_fb.default.fb_torn").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("torn group file")),
+      s"expected a loud torn-file error, got: ${messages(e).mkString(" | ")}")
+    spark.sql("DROP TABLE graft_fb.default.fb_torn")
+  }
+
   test("snapshot retention: only RETAIN versions kept; expired files are swept") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
