@@ -202,6 +202,93 @@ case class Group(file: String, stats: Map[String, (Long, Long)]) {
   * commits are exact. The plain `manifest` is authoritative; snapshots are
   * read-only views of past commits.
   */
+/** Tri-state evaluation of a DSv2 predicate against a group's (min,max)
+  * stats: does it match ALL of the group's rows, NONE, or unprovable
+  * (SOME)? ALL/NONE power METADATA-ONLY DELETE (drop a fully-covered
+  * group from the manifest without opening it — the group-format
+  * analogue of partition drop); SOME forces the copy-on-write rewrite.
+  * Everything not understood is SOME — conservative, never wrong.
+  */
+private[catalog] object GroupPredicate {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  sealed trait Cov
+  case object MatchesAll extends Cov
+  case object MatchesNone extends Cov
+  case object Unknown extends Cov
+
+  def coverage(g: Group, p: V2Predicate): Cov = p.name() match {
+    case "AND" =>
+      val cs = p.children().toSeq.map {
+        case c: V2Predicate => coverage(g, c)
+        case _ => Unknown
+      }
+      if (cs.contains(MatchesNone)) MatchesNone
+      else if (cs.forall(_ == MatchesAll)) MatchesAll
+      else Unknown
+    case "OR" =>
+      val cs = p.children().toSeq.map {
+        case c: V2Predicate => coverage(g, c)
+        case _ => Unknown
+      }
+      if (cs.contains(MatchesAll)) MatchesAll
+      else if (cs.forall(_ == MatchesNone)) MatchesNone
+      else Unknown
+    case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+      colValue(p) match {
+        case Some((c, v)) => g.stats.get(c) match {
+          case Some((lo, hi)) => op match {
+            case "=" =>
+              if (lo == v && hi == v) MatchesAll
+              else if (v < lo || v > hi) MatchesNone else Unknown
+            case "<" =>
+              if (hi < v) MatchesAll else if (lo >= v) MatchesNone else Unknown
+            case "<=" =>
+              if (hi <= v) MatchesAll else if (lo > v) MatchesNone else Unknown
+            case ">" =>
+              if (lo > v) MatchesAll else if (hi <= v) MatchesNone else Unknown
+            case ">=" =>
+              if (lo >= v) MatchesAll else if (hi < v) MatchesNone else Unknown
+          }
+          case None => Unknown
+        }
+        case None => Unknown
+      }
+    case "IN" =>
+      colValues(p) match {
+        case Some((c, vs)) => g.stats.get(c) match {
+          case Some((lo, hi)) =>
+            if (lo == hi && vs.contains(lo)) MatchesAll
+            else if (vs.forall(v => v < lo || v > hi)) MatchesNone
+            else Unknown
+          case None => Unknown
+        }
+        case None => Unknown
+      }
+    case _ => Unknown
+  }
+
+  private def colValue(p: V2Predicate): Option[(String, Long)] =
+    colValues(p).collect { case (c, Seq(v)) => (c, v) }
+
+  private def colValues(p: V2Predicate): Option[(String, Seq[Long])] =
+    p.children().headOption match {
+      case scala.Some(ref: NamedReference) =>
+        val vs = p.children().tail.toSeq.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case v: java.lang.Long => v.longValue()
+              case v: java.lang.Integer => v.longValue()
+              case _ => return scala.None
+            }
+          case _ => return scala.None
+        }
+        scala.Some(ref.fieldNames().mkString("."), vs)
+      case _ => scala.None
+    }
+}
+
 object GroupFiles {
   private val MANIFEST = "manifest"
 
@@ -465,10 +552,54 @@ class ScanHolder {
 class GraftTable(tableName: String, tableSchema: StructType, val location: String,
                  val pinnedVersion: Option[Long] = None,
                  val pinnedGroups: Option[Seq[Group]] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with SupportsDeleteV2 {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** METADATA-ONLY DELETE (SupportsDeleteV2): when the manifest stats
+    * prove every live group either matches the predicate COMPLETELY or
+    * not at all, the delete is a manifest edit — fully-covered groups
+    * drop out of the live set, no data file is opened or written (the
+    * group-format analogue of DROP PARTITION; Spark's
+    * OptimizeMetadataOnlyDeleteFromTable picks this over the
+    * copy-on-write rewrite exactly when canDeleteWhere says so). Any
+    * group the stats can't decide → false → the row-level COW path runs
+    * instead. deleteWhere RE-VALIDATES under the commit lock: a
+    * concurrent commit may have added an undecidable group since
+    * canDeleteWhere looked, and dropping around it would miss rows.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinnedVersion.isEmpty && pinnedGroups.isEmpty &&
+      GroupFiles.live(Paths.get(location)).forall { g =>
+        predicatesCoverage(g, predicates) != GroupPredicate.Unknown
+      }
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GroupFiles.mutate(Paths.get(location)) { live =>
+      live.filter { g =>
+        predicatesCoverage(g, predicates) match {
+          case GroupPredicate.MatchesAll => false  // fully covered: drop
+          case GroupPredicate.MatchesNone => true  // untouched: keep
+          case GroupPredicate.Unknown => throw new IllegalStateException(
+            s"metadata-only DELETE raced a commit: group ${g.file} is no longer " +
+            "stats-decidable; re-run the DELETE (it will take the rewrite path)")
+        }
+      }
+    }
+
+  /** Predicates arrive as a conjunction. */
+  private def predicatesCoverage(
+      g: Group,
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): GroupPredicate.Cov = {
+    val cs = ps.toSeq.map(p => GroupPredicate.coverage(g, p))
+    if (cs.contains(GroupPredicate.MatchesNone)) GroupPredicate.MatchesNone
+    else if (cs.nonEmpty && cs.forall(_ == GroupPredicate.MatchesAll)) GroupPredicate.MatchesAll
+    else GroupPredicate.Unknown
+  }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE).asJava

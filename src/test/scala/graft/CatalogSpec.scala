@@ -287,6 +287,43 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_cdf")
   }
 
+  test("DELETE aligned with group stats is metadata-only; misaligned rewrites") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_mdel")
+    spark.sql("CREATE TABLE graft_fb.default.fb_mdel (k BIGINT, v STRING)")
+    // range-partitioned insert -> contiguous per-group k ranges in stats
+    spark.range(1000).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.lit("x"))
+      .repartitionByRange(4, col("k"))
+      .createOrReplaceTempView("fb_mdel_src")
+    spark.sql("INSERT INTO graft_fb.default.fb_mdel SELECT k, v FROM fb_mdel_src")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_mdel")).asInstanceOf[graft.catalog.GraftTable].location)
+    def rowsFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val live0 = graft.catalog.GroupFiles.live(dir)
+    assert(live0.size >= 2, "need multiple groups")
+    // pick a group boundary: delete everything at or below some group's hi
+    val cut = live0.flatMap(_.stats.get("k")).map(_._2).min
+    val before = rowsFiles()
+    spark.sql(s"DELETE FROM graft_fb.default.fb_mdel WHERE k <= $cut")
+    // metadata-only: rows gone, live set shrank, NO new data file written
+    assert(spark.table("graft_fb.default.fb_mdel").count() === 1000 - (cut + 1))
+    assert(graft.catalog.GroupFiles.live(dir).size < live0.size)
+    assert(rowsFiles() === before, "aligned DELETE must not write or remove data files")
+    // misaligned predicate (mid-group): falls back to the COW rewrite
+    spark.sql("DELETE FROM graft_fb.default.fb_mdel WHERE k % 2 = 1")
+    assert(spark.table("graft_fb.default.fb_mdel").count() ===
+      (cut + 1 to 999L).count(_ % 2 == 0))
+    assert(rowsFiles() != before, "mid-group DELETE must rewrite groups")
+    spark.sql("DROP TABLE graft_fb.default.fb_mdel")
+  }
+
   test("a torn group file fails loudly instead of silently dropping tail rows") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
