@@ -183,7 +183,8 @@ object GraftCatalog {
 /** One live group file plus its pruning stats: per-column (min, max) for
   * the long-typed columns, gathered by the writing task.
   */
-case class Group(file: String, stats: Map[String, (Long, Long)]) {
+case class Group(file: String, stats: Map[String, (Long, Long)],
+                 rows: Option[Long] = None) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
@@ -387,7 +388,13 @@ object GroupFiles {
     if (!Files.exists(m)) return Seq.empty
     Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).map { line =>
       val parts = line.split('\t')
-      val stats = parts.tail.flatMap { s =>
+      // "#n=<count>" is the row-count token ('#'-prefixed names are
+      // excluded from stats by statsSafe, so it can never collide);
+      // manifests written before counts existed simply have none
+      val rows = parts.tail.collectFirst {
+        case s if s.startsWith("#n=") => s.stripPrefix("#n=").toLongOption
+      }.flatten
+      val stats = parts.tail.filterNot(_.startsWith("#")).flatMap { s =>
         s.split("=", 2) match {
           case Array(col, range) => range.split(":", 2) match {
             case Array(lo, hi) =>
@@ -397,14 +404,16 @@ object GroupFiles {
           case _ => None
         }
       }.toMap
-      Group(parts.head, stats)
+      Group(parts.head, stats, rows)
     }
   }
 
   /** Column names containing a manifest delimiter cannot be recorded in
     * stats without an escaping scheme; skipping them only costs pruning.
+    * '#' prefixes are reserved for manifest metadata tokens (row counts).
     */
   private def statsSafe(c: String): Boolean =
+    !c.startsWith("#") &&
     !c.exists(ch => ch == '=' || ch == ':' || ch == '\t' || ch == '\n' || ch == '\r')
 
   /** Atomically publish `groups` as the new live set, snapshot it as
@@ -445,8 +454,10 @@ object GroupFiles {
       if (healNeeded) writeAtomic(dir, s"$MANIFEST.v${version(dir) + 1}", liveBytes)
     }
     val lines = groups.map { g =>
-      (g.file +: g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" })
+      (g.file +:
+        (g.rows.map(n => s"#n=$n").toSeq ++
+         g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
+           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }))
         .mkString("\t")
     }
     val bytes = lines.mkString("\n").getBytes("UTF-8")
@@ -530,7 +541,11 @@ object GroupFiles {
         val stats = cols.map { c =>
           c -> ((members.map(_.stats(c)._1).min, members.map(_.stats(c)._2).max))
         }.toMap
-        Group(merged, stats)
+        // merged count = sum, known only if every member's count is
+        val rows =
+          if (members.forall(_.rows.isDefined)) Some(members.flatMap(_.rows).sum)
+          else None
+        Group(merged, stats, rows)
       }
     }.toSeq
     }
@@ -634,8 +649,103 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
   }
 }
 
-class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder]) extends ScanBuilder {
-  override def build(): Scan = new GraftScan(table, holder)
+/** Scan builder with AGGREGATE PUSHDOWN: COUNT(*) / MIN / MAX with no
+  * GROUP BY and no residual filters are answered from the MANIFEST —
+  * row counts and per-group (min,max) stats — without opening a single
+  * data file (the 100 TB `SELECT count(*)` is a metadata read, as in
+  * Iceberg/Delta). Strictly conservative: every live group must carry a
+  * row count (COUNT) or stats for the column (MIN/MAX — a group can
+  * lack stats for an all-null file, a pre-ADD-COLUMN file, or a
+  * compaction that dropped the column from the merged stats, and
+  * skipping such a group could be WRONG for the compaction case, so any
+  * gap refuses the pushdown and the ordinary scan runs). Works for
+  * VERSION AS OF reads too (the pinned snapshot's manifest answers).
+  */
+class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  private var pushed: Option[(StructType, Seq[Option[Long]])] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(res) => pushed = Some(res); true
+      case None => false
+    }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames().head)
+      case _ => None
+    }
+
+  private def translate(agg: Aggregation): Option[(StructType, Seq[Option[Long]])] = {
+    if (holder.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val groups = table.pinnedGroups.getOrElse(
+      table.pinnedVersion match {
+        case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
+        case None => GroupFiles.live(Paths.get(table.location))
+      })
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Option[Long]]
+    agg.aggregateExpressions().zipWithIndex.foreach {
+      case (_: CountStar, i) =>
+        if (!groups.forall(_.rows.isDefined)) return None
+        fields += StructField(s"agg$i", LongType, nullable = false)
+        values += Some(groups.flatMap(_.rows).sum)
+      case (m: Min, i) =>
+        colOf(m.column()).filter(c => groups.nonEmpty && groups.forall(_.stats.contains(c))) match {
+          case Some(c) =>
+            fields += StructField(s"agg$i", LongType, nullable = true)
+            values += Some(groups.map(_.stats(c)._1).min)
+          case None => return None
+        }
+      case (m: Max, i) =>
+        colOf(m.column()).filter(c => groups.nonEmpty && groups.forall(_.stats.contains(c))) match {
+          case Some(c) =>
+            fields += StructField(s"agg$i", LongType, nullable = true)
+            values += Some(groups.map(_.stats(c)._2).max)
+          case None => return None
+        }
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result()))
+  }
+
+  override def build(): Scan = pushed match {
+    case Some((schema, values)) => new GraftAggScan(schema, values)
+    case None => new GraftScan(table, holder)
+  }
+}
+
+/** One-row scan serving a fully-pushed aggregation straight from
+  * manifest metadata.
+  */
+case class GraftAggPartition(values: Seq[Option[Long]]) extends InputPartition
+
+class GraftAggScan(aggSchema: StructType, values: Seq[Option[Long]]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val vs = partition.asInstanceOf[GraftAggPartition].values
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = if (done) false else { done = true; true }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            vs.map(_.map(Long.box).orNull).toArray[Any])
+        override def close(): Unit = ()
+      }
+    }
 }
 
 /** Batch scan over the live groups. SupportsRuntimeV2Filtering lets
@@ -847,6 +957,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
         .filter(_._1.dataType == org.apache.spark.sql.types.LongType).map(_._2)
       private val mins = Array.fill(longCols.length)(Long.MaxValue)
       private val maxs = Array.fill(longCols.length)(Long.MinValue)
+      private var nRows = 0L
 
       override def write(record: InternalRow): Unit = {
         if (proj == null) {
@@ -876,6 +987,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
         }
         out.writeInt(u.getSizeInBytes)
         u.writeToStream(out, copyBuffer)
+        nRows += 1
       }
       override def commit(): WriterCommitMessage =
         if (wrote) {
@@ -886,7 +998,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
               Some(writeSchema.fields(longCols(s)).name -> (mins(s), maxs(s)))
             else None // all-null column: no stats
           }.toMap
-          GraftCommitMessage(Seq(Group(fileName, stats)))
+          GraftCommitMessage(Seq(Group(fileName, stats, Some(nRows))))
         } else GraftCommitMessage(Seq.empty) // empty task: no file at all
       override def abort(): Unit = {
         if (out != null) out.close()

@@ -324,6 +324,33 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_mdel")
   }
 
+  test("COUNT/MIN/MAX are answered from the manifest: data files not even opened") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_agg")
+    spark.sql("CREATE TABLE graft_fb.default.fb_agg (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_agg SELECT id + 5, 'x' FROM range(1000)")
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), "fb_agg"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    // the nuclear proof: remove every data file — metadata-served
+    // aggregates still answer, anything needing rows fails
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".rows")).foreach(Files.delete)
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM graft_fb.default.fb_agg").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1000L, 5L, 1004L)))
+    intercept[Exception] {  // sum needs real rows -> must NOT silently lie
+      spark.sql("SELECT sum(k) FROM graft_fb.default.fb_agg").head()
+    }
+    intercept[Exception] {  // count with a residual filter must scan too
+      spark.sql("SELECT count(*) FROM graft_fb.default.fb_agg WHERE k > 10").head()
+    }
+    spark.sql("DROP TABLE graft_fb.default.fb_agg")
+  }
+
   test("a torn group file fails loudly instead of silently dropping tail rows") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -340,8 +367,10 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     val rows = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".rows")).maxBy(Files.size)
     Files.write(rows, Files.readAllBytes(rows).dropRight(7))
+    // sum(k) cannot be served from the manifest — it must open the file
+    // (count(*) alone would now be answered by the aggregate pushdown!)
     val e = intercept[org.apache.spark.SparkException] {
-      spark.table("graft_fb.default.fb_torn").count()
+      spark.sql("SELECT sum(k) FROM graft_fb.default.fb_torn").head()
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
