@@ -663,12 +663,30 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
   */
 class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
   import org.apache.spark.sql.types.{LongType, StructField}
 
   private var pushed: Option[(StructType, Seq[Option[Long]])] = None
+  private var planFilters: Array[V2Predicate] = Array.empty
+
+  /** STATIC group pruning (the partition-pruning analogue): every
+    * predicate is kept for PLAN-TIME pruning against the manifest stats
+    * (a group the tri-state evaluator proves MatchesNone is never
+    * planned, let alone opened) but reported back as residual — Spark
+    * re-applies the full predicate row-by-row, so pruning only ever has
+    * to be conservative, never exact. Complements the RUNTIME filtering
+    * GraftScan gets from joins (DPP-style) with the static case
+    * (`WHERE k < literal`).
+    */
+  override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    planFilters = predicates
+    predicates // all residual: Spark re-evaluates them on the rows
+  }
+  override def pushedPredicates(): Array[V2Predicate] = Array.empty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     translate(agg).isDefined
@@ -720,7 +738,7 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
 
   override def build(): Scan = pushed match {
     case Some((schema, values)) => new GraftAggScan(schema, values)
-    case None => new GraftScan(table, holder)
+    case None => new GraftScan(table, holder, planFilters)
   }
 }
 
@@ -753,7 +771,8 @@ class GraftAggScan(aggSchema: StructType, values: Seq[Option[Long]]) extends Sca
   * filters generally) hand us the key values that can actually match; we
   * prune whole group files on manifest min/max stats without opening them.
   */
-class GraftScan(table: GraftTable, holder: Option[ScanHolder])
+class GraftScan(table: GraftTable, holder: Option[ScanHolder],
+                planFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -762,12 +781,16 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder])
   // the live set is pinned at PLAN time: a concurrent commit during
   // execution cannot change which groups this scan reads; a VERSION AS OF
   // table pins instead to its snapshot's live set (time travel), and a
-  // pinned-file-set table (ChangeFeed) to exactly the groups it was given
+  // pinned-file-set table (ChangeFeed) to exactly the groups it was given.
+  // Static predicates prune groups the stats PROVE can't match (the
+  // residual row filter stays with Spark, so this is free and safe).
   private var groups: Seq[Group] = table.pinnedGroups.getOrElse(
     table.pinnedVersion match {
       case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
       case None => GroupFiles.live(Paths.get(table.location))
     })
+    .filterNot(g => planFilters.exists(p =>
+      GroupPredicate.coverage(g, p) == GroupPredicate.MatchesNone))
 
   override def readSchema(): StructType = table.schema()
   override def toBatch: Batch = this

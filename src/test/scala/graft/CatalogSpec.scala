@@ -324,6 +324,28 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_mdel")
   }
 
+  test("static predicate prunes groups at plan time (partition-pruning analogue)") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_sprune")
+    spark.sql("CREATE TABLE graft_fb.default.fb_sprune (k BIGINT, v STRING)")
+    spark.range(1000).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.lit("x"))
+      .repartitionByRange(4, col("k"))
+      .createOrReplaceTempView("fb_sprune_src")
+    spark.sql("INSERT INTO graft_fb.default.fb_sprune SELECT k, v FROM fb_sprune_src")
+    val all = spark.table("graft_fb.default.fb_sprune")
+    assert(all.rdd.getNumPartitions >= 4)
+    // one group's range covers k<=cut; the rest must be pruned from the PLAN
+    val filtered = spark.sql("SELECT * FROM graft_fb.default.fb_sprune WHERE k < 10")
+    assert(filtered.rdd.getNumPartitions === 1,
+      s"expected 1 surviving group, got ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() === 10)
+    // a predicate matching nothing prunes everything and still answers
+    assert(spark.sql("SELECT * FROM graft_fb.default.fb_sprune WHERE k < 0").count() === 0)
+    spark.sql("DROP TABLE graft_fb.default.fb_sprune")
+  }
+
   test("COUNT/MIN/MAX are answered from the manifest: data files not even opened") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
