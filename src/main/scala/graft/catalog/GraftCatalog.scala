@@ -617,7 +617,7 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
   }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, None)
@@ -853,8 +853,25 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
       Paths.get(table.location).resolve(g.file).toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val expectedFields = table.schema().length
+  override def createReaderFactory(): PartitionReaderFactory =
+    GroupRowsReader.factory(table.schema().length)
+
+  /** STREAMING READ of the table (readStream.table): every COMMIT is a
+    * micro-batch — offsets are snapshot versions, a batch's rows are the
+    * group files ADDED between two versions. See [[GraftMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table)
+}
+
+/** One group file per partition; only the path travels. */
+case class GraftInputPartition(path: String) extends InputPartition
+
+/** The shared row reader over one immutable group file (batch scans and
+  * the streaming source read identical bytes).
+  */
+object GroupRowsReader {
+  def factory(expectedFields: Int): PartitionReaderFactory =
     (partition: InputPartition) => {
       val path = partition.asInstanceOf[GraftInputPartition].path
       new PartitionReader[InternalRow] {
@@ -896,11 +913,48 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
         override def close(): Unit = in.close()
       }
     }
-  }
 }
 
-/** One group file per partition; only the path travels. */
-case class GraftInputPartition(path: String) extends InputPartition
+/** Version-offset streaming source over a Graft table: every commit
+  * (INSERT, MERGE micro-batch, compaction) becomes one micro-batch whose
+  * rows are the files ADDED between the two snapshot versions — the
+  * Delta-style "stream a transactional table" experience, driven by the
+  * same retained manifests that power time travel. Copy-on-write
+  * semantics apply: a MERGE's rewritten groups re-emit their carried
+  * rows (the post-image feed; for an exact delete+insert audit diff use
+  * ChangeFeed.tableChanges). An offset older than the retention window
+  * fails loudly via liveAt rather than silently skipping data.
+  */
+case class GraftStreamOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+class GraftMicroBatchStream(table: GraftTable)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private val dir = Paths.get(table.location)
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+  override def latestOffset(): Offset = GraftStreamOffset(GroupFiles.version(dir))
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    val e = end.asInstanceOf[GraftStreamOffset].v
+    if (e <= s) return Array.empty
+    val before = if (s == 0) Set.empty[String]
+                 else GroupFiles.liveAt(dir, s).map(_.file).toSet
+    GroupFiles.liveAt(dir, e).filterNot(g => before(g.file))
+      .map(g => GraftInputPartition(dir.resolve(g.file).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GroupRowsReader.factory(table.schema().length)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class GraftWriteBuilder(table: GraftTable, writeSchema: StructType, replaceAll: Boolean,
                         holder: Option[ScanHolder])

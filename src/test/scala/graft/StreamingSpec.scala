@@ -346,6 +346,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("streaming read of a catalog table: each commit becomes a micro-batch") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_streamsrc")
+    spark.sql("CREATE TABLE graft_fb.default.fb_streamsrc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_streamsrc VALUES (1, 'a'), (2, 'b')")
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = spark.readStream.table("graft_fb.default.fb_streamsrc")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      // batch 1 = everything committed before the stream started
+      assert(got() === Set(1L -> "a", 2L -> "b"))
+      // a new commit while the stream runs becomes its own batch
+      spark.sql("INSERT INTO graft_fb.default.fb_streamsrc VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(got() === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      // copy-on-write MERGE: the rewritten group re-emits its carried
+      // rows alongside the update — the documented post-image feed
+      spark.sql(
+        """MERGE INTO graft_fb.default.fb_streamsrc t
+          |USING (SELECT 2 AS k, 'b2' AS v) s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      q.processAllAvailable()
+      assert(got().contains(2L -> "b2"), s"post-image of the MERGE must arrive: ${got()}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE graft_fb.default.fb_streamsrc")
+    }
+  }
+
   test("streaming dedup drops repeated content within the horizon") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
