@@ -181,15 +181,24 @@ object GraftCatalog {
 }
 
 /** One live group file plus its pruning stats: per-column (min, max) for
-  * the long-typed columns, gathered by the writing task.
+  * the long-typed columns, gathered by the writing task; `rows` = the
+  * file's row count; `nonNull` = per-column NON-NULL count (stats cover
+  * only non-null values, so proving a predicate matches ALL of a group's
+  * rows additionally requires nonNull(col) == rows — a NULL row never
+  * satisfies any comparison).
   */
 case class Group(file: String, stats: Map[String, (Long, Long)],
-                 rows: Option[Long] = None) {
+                 rows: Option[Long] = None,
+                 nonNull: Map[String, Long] = Map.empty) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
   def mayContain(col: String, v: Long): Boolean =
     stats.get(col).forall { case (lo, hi) => v >= lo && v <= hi }
+
+  /** Provably no NULLs in `col`? (Requires both counts recorded.) */
+  def noNulls(col: String): Boolean =
+    rows.exists(n => nonNull.get(col).contains(n))
 }
 
 /** The on-disk layout: immutable `<uuid>.rows` group files (4-byte field
@@ -239,19 +248,28 @@ private[catalog] object GroupPredicate {
     case op @ ("=" | "<" | "<=" | ">" | ">=") =>
       colValue(p) match {
         case Some((c, v)) => g.stats.get(c) match {
-          case Some((lo, hi)) => op match {
-            case "=" =>
-              if (lo == v && hi == v) MatchesAll
-              else if (v < lo || v > hi) MatchesNone else Unknown
-            case "<" =>
-              if (hi < v) MatchesAll else if (lo >= v) MatchesNone else Unknown
-            case "<=" =>
-              if (hi <= v) MatchesAll else if (lo > v) MatchesNone else Unknown
-            case ">" =>
-              if (lo > v) MatchesAll else if (hi <= v) MatchesNone else Unknown
-            case ">=" =>
-              if (lo >= v) MatchesAll else if (hi < v) MatchesNone else Unknown
-          }
+          case Some((lo, hi)) =>
+            // stats cover NON-NULL values only, and a NULL row never
+            // satisfies a comparison — MatchesAll additionally requires a
+            // proof the group has no NULLs in the column (MatchesNone
+            // needs no such proof: NULL rows don't match either way)
+            val all = op match {
+              case "=" => lo == v && hi == v
+              case "<" => hi < v
+              case "<=" => hi <= v
+              case ">" => lo > v
+              case ">=" => lo >= v
+            }
+            val none = op match {
+              case "=" => v < lo || v > hi
+              case "<" => lo >= v
+              case "<=" => lo > v
+              case ">" => hi <= v
+              case ">=" => hi < v
+            }
+            if (all && g.noNulls(c)) MatchesAll
+            else if (none) MatchesNone
+            else Unknown
           case None => Unknown
         }
         case None => Unknown
@@ -260,7 +278,7 @@ private[catalog] object GroupPredicate {
       colValues(p) match {
         case Some((c, vs)) => g.stats.get(c) match {
           case Some((lo, hi)) =>
-            if (lo == hi && vs.contains(lo)) MatchesAll
+            if (lo == hi && vs.contains(lo) && g.noNulls(c)) MatchesAll
             else if (vs.forall(v => v < lo || v > hi)) MatchesNone
             else Unknown
           case None => Unknown
@@ -394,17 +412,25 @@ object GroupFiles {
       val rows = parts.tail.collectFirst {
         case s if s.startsWith("#n=") => s.stripPrefix("#n=").toLongOption
       }.flatten
-      val stats = parts.tail.filterNot(_.startsWith("#")).flatMap { s =>
+      // stats token: col=lo:hi[:nonNullCount] — the third part is the
+      // non-null count that lets MatchesAll prove NULL absence; legacy
+      // two-part tokens parse with no such proof
+      val parsed = parts.tail.filterNot(_.startsWith("#")).flatMap { s =>
         s.split("=", 2) match {
-          case Array(col, range) => range.split(":", 2) match {
+          case Array(col, range) => range.split(":", 3) match {
             case Array(lo, hi) =>
-              for (l <- lo.toLongOption; h <- hi.toLongOption) yield col -> (l, h)
+              for (l <- lo.toLongOption; h <- hi.toLongOption)
+                yield (col, (l, h), Option.empty[Long])
+            case Array(lo, hi, nn) =>
+              for (l <- lo.toLongOption; h <- hi.toLongOption)
+                yield (col, (l, h), nn.toLongOption)
             case _ => None
           }
           case _ => None
         }
-      }.toMap
-      Group(parts.head, stats, rows)
+      }
+      Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
+            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap)
     }
   }
 
@@ -457,7 +483,8 @@ object GroupFiles {
       (g.file +:
         (g.rows.map(n => s"#n=$n").toSeq ++
          g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
-           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }))
+           .map { case (c, (lo, hi)) =>
+             s"$c=$lo:$hi" + g.nonNull.get(c).map(nn => s":$nn").getOrElse("") }))
         .mkString("\t")
     }
     val bytes = lines.mkString("\n").getBytes("UTF-8")
@@ -541,11 +568,16 @@ object GroupFiles {
         val stats = cols.map { c =>
           c -> ((members.map(_.stats(c)._1).min, members.map(_.stats(c)._2).max))
         }.toMap
-        // merged count = sum, known only if every member's count is
+        // merged counts = sums, known only if every member's count is
         val rows =
           if (members.forall(_.rows.isDefined)) Some(members.flatMap(_.rows).sum)
           else None
-        Group(merged, stats, rows)
+        val nn = cols.flatMap { c =>
+          if (members.forall(_.nonNull.contains(c)))
+            Some(c -> members.map(_.nonNull(c)).sum)
+          else None
+        }.toMap
+        Group(merged, stats, rows, nn)
       }
     }.toSeq
     }
@@ -703,13 +735,18 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
       case _ => None
     }
 
+  // the manifest is parsed ONCE per builder: Spark calls
+  // supportCompletePushDown then pushAggregation (and this is plan-time
+  // pinning anyway — both must see the same snapshot)
+  private lazy val liveGroups: Seq[Group] = table.pinnedGroups.getOrElse(
+    table.pinnedVersion match {
+      case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
+      case None => GroupFiles.live(Paths.get(table.location))
+    })
+
   private def translate(agg: Aggregation): Option[(StructType, Seq[Option[Long]])] = {
     if (holder.nonEmpty || agg.groupByExpressions().nonEmpty) return None
-    val groups = table.pinnedGroups.getOrElse(
-      table.pinnedVersion match {
-        case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
-        case None => GroupFiles.live(Paths.get(table.location))
-      })
+    val groups = liveGroups
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Option[Long]]
     agg.aggregateExpressions().zipWithIndex.foreach {
@@ -806,46 +843,13 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
       .find(_.dataType == org.apache.spark.sql.types.LongType)
       .map(f => Expressions.column(f.name)).toArray
 
-  override def filter(predicates: Array[V2Predicate]): Unit =
-    groups = groups.filter(g => predicates.forall(p => mayMatch(g, p)))
-
-  /** Conservative evaluation of a runtime predicate against group stats:
-    * anything not understood keeps the group.
+  /** Runtime pruning shares the same conservative tri-state evaluator as
+    * static pruning and metadata DELETE: keep the group unless the stats
+    * PROVE no row can match.
     */
-  private def mayMatch(g: Group, p: V2Predicate): Boolean = p.name() match {
-    case "AND" =>
-      p.children().forall {
-        case c: V2Predicate => mayMatch(g, c)
-        case _ => true
-      }
-    case "IN" =>
-      colAndValues(p) match {
-        case Some((col, vs)) => vs.isEmpty || vs.exists(g.mayContain(col, _))
-        case None => true
-      }
-    case "=" =>
-      colAndValues(p) match {
-        case Some((col, Seq(v))) => g.mayContain(col, v)
-        case _ => true
-      }
-    case _ => true
-  }
-
-  private def colAndValues(p: V2Predicate): Option[(String, Seq[Long])] =
-    p.children().headOption match {
-      case Some(ref: NamedReference) =>
-        val vs = p.children().tail.toSeq.map {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value() match {
-              case v: java.lang.Long => v.longValue()
-              case v: java.lang.Integer => v.longValue()
-              case _ => return None // non-integral literal: don't prune
-            }
-          case _ => return None
-        }
-        Some(ref.fieldNames().mkString("."), vs)
-      case _ => None
-    }
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    groups = groups.filter(g => predicates.forall(p =>
+      GroupPredicate.coverage(g, p) != GroupPredicate.MatchesNone))
 
   override def planInputPartitions(): Array[InputPartition] = {
     holder.foreach(_.planned = Some(groups.map(_.file)))
@@ -889,15 +893,20 @@ object GroupRowsReader {
           else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
             row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               expectedFields - numFields))
-        // EOF is only legal at a ROW BOUNDARY (the length-prefix read).
-        // A torn file — truncated mid-row by disk corruption or a
-        // non-atomic copy — must fail LOUDLY: catching EOF from
-        // readFully too would silently drop the tail rows, the
-        // worst-case failure mode for a table format.
+        // EOF is only legal at a ROW BOUNDARY — i.e. exactly BEFORE a
+        // length prefix. A torn file (truncated mid-row OR mid-prefix by
+        // disk corruption / a non-atomic copy) must fail LOUDLY:
+        // treating any EOF as a clean end would silently drop tail rows,
+        // the worst-case failure mode for a table format. The prefix is
+        // read byte-wise because readInt() throws the SAME EOFException
+        // for "no bytes at all" (clean) and "1-3 bytes left" (torn).
         override def next(): Boolean = {
-          val len =
-            try in.readInt()
-            catch { case _: EOFException => return false }
+          val b0 = in.read()
+          if (b0 < 0) return false // clean EOF at a row boundary
+          val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+          if (b1 < 0 || b2 < 0 || b3 < 0) throw new java.io.IOException(
+            s"torn group file $path: truncated inside a row length prefix")
+          val len = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
           require(len >= 0 && len <= (1 << 30),
             s"group file $path: corrupt row length $len")
           val bytes = new Array[Byte](len)
@@ -1034,6 +1043,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
         .filter(_._1.dataType == org.apache.spark.sql.types.LongType).map(_._2)
       private val mins = Array.fill(longCols.length)(Long.MaxValue)
       private val maxs = Array.fill(longCols.length)(Long.MinValue)
+      private val nonNulls = Array.fill(longCols.length)(0L)
       private var nRows = 0L
 
       override def write(record: InternalRow): Unit = {
@@ -1059,6 +1069,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
             val v = u.getLong(i)
             if (v < mins(s)) mins(s) = v
             if (v > maxs(s)) maxs(s) = v
+            nonNulls(s) += 1
           }
           s += 1
         }
@@ -1075,7 +1086,12 @@ case class GraftWriterFactory(location: String, writeSchema: StructType)
               Some(writeSchema.fields(longCols(s)).name -> (mins(s), maxs(s)))
             else None // all-null column: no stats
           }.toMap
-          GraftCommitMessage(Seq(Group(fileName, stats, Some(nRows))))
+          val nn = longCols.indices.flatMap { s =>
+            if (mins(s) <= maxs(s))
+              Some(writeSchema.fields(longCols(s)).name -> nonNulls(s))
+            else None
+          }.toMap
+          GraftCommitMessage(Seq(Group(fileName, stats, Some(nRows), nn)))
         } else GraftCommitMessage(Seq.empty) // empty task: no file at all
       override def abort(): Unit = {
         if (out != null) out.close()

@@ -324,6 +324,21 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_mdel")
   }
 
+  test("metadata-only DELETE never drops a group holding NULLs in the predicate column") {
+    // stats cover non-null values only; a group whose range is 'fully
+    // covered' may still hold NULL rows, and NULL = 1 is not true — the
+    // delete must take the rewrite path and keep them
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_ndel")
+    spark.sql("CREATE TABLE graft_fb.default.fb_ndel (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_ndel VALUES (1, 'a'), (1, 'b'), (NULL, 'keep')")
+    spark.sql("DELETE FROM graft_fb.default.fb_ndel WHERE k = 1")
+    val left = spark.table("graft_fb.default.fb_ndel").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toSet
+    assert(left === Set(-1L -> "keep"), s"NULL row must survive, got $left")
+    spark.sql("DROP TABLE graft_fb.default.fb_ndel")
+  }
+
   test("static predicate prunes groups at plan time (partition-pruning analogue)") {
     import org.apache.spark.sql.functions.col
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
