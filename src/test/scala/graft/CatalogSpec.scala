@@ -324,6 +324,26 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_mdel")
   }
 
+  test("replaying a CDC micro-batch MERGE is content-idempotent (failure-recovery contract)") {
+    // foreachBatch re-executes a batch after a failure; the upsert MERGE
+    // must leave the same table content when fed the same batch twice
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_replay")
+    spark.sql("CREATE TABLE graft_fb.default.fb_replay (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_replay VALUES (1, 'a'), (2, 'b')")
+    def applyBatch(): Unit = spark.sql(
+      """MERGE INTO graft_fb.default.fb_replay t
+        |USING (SELECT 2 AS k, 'b2' AS v UNION ALL SELECT 3, 'c') s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    applyBatch()
+    val once = spark.table("graft_fb.default.fb_replay").collect().map(_.toString).sorted.toSeq
+    applyBatch() // the replay
+    val twice = spark.table("graft_fb.default.fb_replay").collect().map(_.toString).sorted.toSeq
+    assert(twice === once, "replayed MERGE must not duplicate or alter rows")
+    spark.sql("DROP TABLE graft_fb.default.fb_replay")
+  }
+
   test("metadata-only DELETE never drops a group holding NULLs in the predicate column") {
     // stats cover non-null values only; a group whose range is 'fully
     // covered' may still hold NULL rows, and NULL = 1 is not true — the
