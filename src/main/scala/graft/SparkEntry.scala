@@ -135,6 +135,7 @@ object SparkEntry {
     "q_funnel" -> Analytics.funnel,
     "q_event_bigrams" -> Analytics.eventBigrams,
     "q_sessionize" -> Analytics.sessionize,
+    "q_winsorize" -> Analytics.winsorize,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
     "q_agg_filtered" -> Relational.aggFiltered,
@@ -1215,6 +1216,21 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      // exact interpolated percentiles: Spark percentile() and DuckDB
+      // quantile_cont share the (n-1)*q definition; round-6 on the
+      // clipped output absorbs interpolation-order ulp drift
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v FROM customer),
+        |b AS (
+        |  SELECT c_mktsegment,
+        |    quantile_cont(v, 0.05e0) AS p05, quantile_cont(v, 0.95e0) AS p95
+        |  FROM c GROUP BY 1)
+        |SELECT c_custkey, c.c_mktsegment,
+        |  round(least(greatest(v, p05), p95), 6) AS clipped
+        |FROM c JOIN b ON c.c_mktsegment = b.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_sessionize" ->
       // 30-minute-gap sessions: lag flags session starts, running sum

@@ -86,6 +86,29 @@ object Analytics {
         .as("n_full_funnel"))
   }
 
+  /** q_winsorize: per-segment WINSORIZATION — clip account balances to
+    * the segment's [p05, p95] exact percentiles, the outlier-capping
+    * step of feature preprocessing (its gate sibling q_outlier_zscore
+    * DETECTS outliers; this one NEUTRALIZES them). Exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both the
+    * (n−1)·q linear-interpolation definition) over doubles; the bounds
+    * frame is |segments| rows broadcast back, the clip is pure column
+    * math, round-6 absorbs any 1-ulp interpolation-order drift. At
+    * 100 TB swap percentile for approx_percentile and re-tune the gate —
+    * the plan shape (tiny agg, broadcast, map-side clip) is unchanged.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val c = Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").cast("double").as("v"))
+    val bounds = c.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(v, 0.05)").as("p05"), expr("percentile(v, 0.95)").as("p95"))
+    c.join(broadcast(bounds), Seq("c_mktsegment"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+              r6(least(greatest(col("v"), col("p05")), col("p95"))).as("clipped"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q_sessionize: assign SESSION IDS to raw events — a gap of more than
     * 30 minutes between a user's consecutive events starts a new session
     * (the batch sibling of the streaming session window: that one

@@ -45,6 +45,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
   }
 
+  test("winsorize: clipped into the segment band; ~90% of rows pass through untouched") {
+    val rows = Analytics.winsorize(spark, sfDir).collect()
+    val orig = graft.io.Sources.customer(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.length === orig.size)
+    val untouched = rows.count { r =>
+      math.abs(r.getDouble(2) - orig(r.getLong(0))) < 1e-6
+    }
+    // p05/p95 clipping leaves ~90% unchanged (exact fraction depends on ties)
+    assert(untouched.toDouble / rows.length > 0.85 && untouched < rows.length,
+      s"$untouched of ${rows.length} untouched")
+    // clipped values never exceed the original extremes' band per segment
+    rows.groupBy(_.getString(1)).foreach { case (_, seg) =>
+      val cs = seg.map(_.getDouble(2))
+      assert(cs.max <= seg.map(r => orig(r.getLong(0))).max + 1e-9)
+      assert(cs.min >= seg.map(r => orig(r.getLong(0))).min - 1e-9)
+    }
+  }
+
   test("outlier z-scores: flagged rows really deviate, both tails, small fraction") {
     val out = Analytics.outlierZscore(spark, sfDir).collect()
     assert(out.nonEmpty)

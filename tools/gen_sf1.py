@@ -36,6 +36,35 @@ KEYS = {
     "nation": {},
 }
 
+def replicate_events(base):
+    """events goes through pyarrow, NOT DuckDB: the driver's events.ts is
+    timestamp[ns] with non-zero sub-microsecond components (99.9% of rows),
+    and DuckDB 1.0 truncates ns->us on read, so a DuckDB COPY silently
+    changes both the parquet logical type and the values. Sources.events
+    reads ts with a forced LONG schema + nanosAsLong, so the ns logical
+    type is load-bearing: a us file is misread 1000x off (the round-6 sf1
+    oracle run failed 11 keys exactly this way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    t = pq.read_table(f"{SRC}/events.parquet")
+    reps = []
+    for r in range(R):
+        if r == 0:
+            reps.append(t)
+            continue
+        shifted = t
+        for col, key in (("event_id", "event_id"), ("user_id", "user_id")):
+            i = shifted.column_names.index(col)
+            shifted = shifted.set_column(
+                i, col, pc.add(shifted.column(col), r * base[key]))
+        reps.append(shifted)
+    out = pa.concat_tables(reps)
+    # format version 2.6 keeps timestamp[ns] instead of coercing to us
+    pq.write_table(out, f"{DST}/events.parquet", version="2.6")
+    print(f"events: {out.num_rows} rows (pyarrow, ns-preserving)")
+
+
 def main():
     import os
     os.makedirs(DST, exist_ok=True)
@@ -49,6 +78,9 @@ def main():
         base[key] = con.execute(
             f"SELECT max({key}) + 1 FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
     for tbl, keys in KEYS.items():
+        if tbl == "events":
+            replicate_events(base)
+            continue
         src = f"'{SRC}/{tbl}.parquet'"
         if not keys:
             con.execute(f"COPY (SELECT * FROM {src}) TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
