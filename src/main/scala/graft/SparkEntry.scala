@@ -136,6 +136,7 @@ object SparkEntry {
     "q_event_bigrams" -> Analytics.eventBigrams,
     "q_sessionize" -> Analytics.sessionize,
     "q_winsorize" -> Analytics.winsorize,
+    "q_heavy_hitters" -> Sketch.heavyHittersQuery,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
     "q_agg_filtered" -> Relational.aggFiltered,
@@ -1231,6 +1232,19 @@ object SparkEntry {
         |  round(least(greatest(v, p05), p95), 6) AS clipped
         |FROM c JOIN b ON c.c_mktsegment = b.c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_heavy_hitters" ->
+      // the oracle is the plain exact form; the Spark side reaches the
+      // same answer via Misra-Gries candidates + exact recount (the
+      // sketch provably loses nothing above the 1/200 threshold), and the
+      // integer HAVING (200*cnt >= n) removes any float boundary
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT tok FROM t WHERE tok <> ''),
+        |n AS (SELECT COUNT(*) AS n FROM t2)
+        |SELECT tok, COUNT(*) AS cnt FROM t2, n
+        |GROUP BY tok, n.n HAVING COUNT(*) * 200 >= n.n
+        |ORDER BY cnt DESC, tok""".stripMargin,
 
     "q_sessionize" ->
       // 30-minute-gap sessions: lag flags session starts, running sum

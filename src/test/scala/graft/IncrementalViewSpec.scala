@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.{GroupFiles, IncrementalView}
+
+/** Pins the IncrementalView equivalence contract: chaining `refresh`
+  * across a mixed commit history (INSERT, MERGE-update, DELETE) lands on
+  * exactly `build` at the final version — the summary never touches the
+  * base table after the seed, only the change feed.
+  */
+class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
+
+  private val T = "graft_ivm.default.ivm_t"
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("refresh chain over INSERT/MERGE/DELETE equals full rebuild at every step") {
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k STRING, id BIGINT, m BIGINT)")
+    spark.sql(s"INSERT INTO $T VALUES ('a', 1, 10), ('a', 2, 20), ('b', 3, 5)")
+
+    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "ivm_t")).asInstanceOf[graft.catalog.GraftTable]
+    val dir = Paths.get(tbl.location)
+    def v(): Long = GroupFiles.versions(dir).max
+
+    val dims = Seq("k"); val sums = Seq("m")
+    val v1 = v()
+    var state = IncrementalView.build(spark, T, dims, sums).localCheckpoint()
+    assert(sorted(state) === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+
+    // commit 2: plain insert, new group
+    spark.sql(s"INSERT INTO $T VALUES ('b', 4, 7), ('c', 5, 1)")
+    val v2 = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, v1, v2).localCheckpoint()
+    assert(sorted(state) === sorted(IncrementalView.build(spark, T, dims, sums)))
+
+    // commit 3: MERGE updates one row (delete+insert pair in the feed)
+    spark.sql(
+      s"""MERGE INTO $T t USING (SELECT 2 AS id, 200 AS m) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET m = s.m""".stripMargin)
+    val v3 = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, v2, v3).localCheckpoint()
+    assert(sorted(state) === Seq(("a", 2L, 210L), ("b", 2L, 12L), ("c", 1L, 1L)))
+
+    // commit 4: DELETE empties group 'c' — its summary row must VANISH
+    spark.sql(s"DELETE FROM $T WHERE k = 'c'")
+    val v4 = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, v3, v4).localCheckpoint()
+    assert(sorted(state) === sorted(IncrementalView.build(spark, T, dims, sums)))
+    assert(!sorted(state).exists(_._1 == "c"))
+
+    // same-version refresh is the identity (no feed read at all)
+    assert(sorted(IncrementalView.refresh(spark, T, dims, sums, state, v4, v4))
+      === sorted(state))
+
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+  }
+
+  test("one refresh across a multi-commit window equals chained refreshes") {
+    val T2 = "graft_ivm.default.ivm_t2"
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $T2")
+    spark.sql(s"CREATE TABLE $T2 (k STRING, id BIGINT, m BIGINT)")
+    spark.sql(s"INSERT INTO $T2 VALUES ('a', 1, 10), ('b', 2, 20)")
+
+    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "ivm_t2")).asInstanceOf[graft.catalog.GraftTable]
+    val dir = Paths.get(tbl.location)
+    def v(): Long = GroupFiles.versions(dir).max
+
+    val dims = Seq("k"); val sums = Seq("m")
+    val v0 = v()
+    val seed = IncrementalView.build(spark, T2, dims, sums).localCheckpoint()
+
+    spark.sql(s"INSERT INTO $T2 VALUES ('a', 3, 1)")
+    spark.sql(s"DELETE FROM $T2 WHERE id = 2")
+    spark.sql(s"INSERT INTO $T2 VALUES ('c', 4, 9)")
+    val vN = v()
+
+    val oneHop = IncrementalView.refresh(spark, T2, dims, sums, seed, v0, vN)
+    assert(sorted(oneHop) === sorted(IncrementalView.build(spark, T2, dims, sums)))
+    spark.sql(s"DROP TABLE IF EXISTS $T2")
+  }
+}
