@@ -1007,8 +1007,10 @@ object SparkEntry {
 
     "q_outlier_zscore" ->
       // exact moments first (n, Σx, Σx² as decimals), THEN one identical
-      // IEEE expression tree in both engines — the |z|>2 boundary cannot
-      // flip (see Analytics.outlierZscore)
+      // IEEE expression tree in both engines — the |z|>1.7 boundary cannot
+      // flip (see Analytics.outlierZscore; 1.7 not 2 because the uniform-ish
+      // balances are bounded at |z| ~ sqrt(3), so a 2σ gate is vacuously
+      // empty at sf0.01+ — 1.7 keeps a real tail at EVERY scale factor)
       """WITH stats AS (
         |  SELECT c_mktsegment, COUNT(*) AS n,
         |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
@@ -1018,7 +1020,7 @@ object SparkEntry {
         |  round((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z
         |FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
         |WHERE n > 1 AND (s2 - s1*s1/n)/(n-1) > 0
-        |  AND abs((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 2
+        |  AND abs((c_acctbal - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 1.7
         |ORDER BY c_custkey""".stripMargin,
 
     "q_partition_dpp" ->

@@ -67,9 +67,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
   test("outlier z-scores: flagged rows really deviate, both tails, small fraction") {
     val out = Analytics.outlierZscore(spark, sfDir).collect()
     assert(out.nonEmpty)
-    out.foreach(r => assert(math.abs(r.getDouble(2)) > 2.0))
+    out.foreach(r => assert(math.abs(r.getDouble(2)) > 1.7))
     val total = graft.io.Sources.customer(spark, sfDir).count()
-    // Chebyshev: at most 1/4 of any distribution is beyond 2 sigma
-    assert(out.length.toDouble / total <= 0.25)
+    // Chebyshev: at most 1/1.7^2 ~ 35% of any distribution is beyond 1.7 sigma
+    assert(out.length.toDouble / total <= 0.35)
   }
 }
