@@ -7,7 +7,7 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -52,7 +52,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * byte-identical). This is the Iceberg copy-on-write shape: at 100 TB a
   * MERGE touching one day's keys rewrites one day's files.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path =
@@ -76,6 +76,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def name(): String = catalogName
 
+  /** FunctionCatalog surface: Spark resolves the `bucket` transform in
+    * write distributions and scan-reported partitionings against the
+    * TABLE'S OWN catalog — without this, RequiresDistributionAndOrdering
+    * on a bucket expression and KeyGroupedPartitioning both fail to
+    * resolve and the storage-partitioned join never engages.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case _ => throw new NoSuchFunctionException(ident)
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tables.keys.toArray.sorted.map { k =>
       val parts = k.split('.'); Identifier.of(parts.dropRight(1), parts.last)
@@ -98,7 +113,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"GraftCatalog table versions are commit numbers; got '$version'")
     }
-    new GraftTable(t.name(), t.schema(), t.location, pinnedVersion = Some(v))
+    new GraftTable(t.name(), t.schema(), t.location, pinnedVersion = Some(v), props = t.props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -113,7 +128,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val location = warehouse.resolve(
       key(ident).replace('.', '/') + "_" + java.util.UUID.randomUUID().toString.take(8))
     GroupFiles.reset(location)
-    val t = new GraftTable(key(ident), schema, location.toString)
+    // bucketSpec validation happens in the constructor — a bad spec fails
+    // the CREATE, not the first write
+    val t = new GraftTable(key(ident), schema, location.toString,
+                           props = properties.asScala.toMap)
     tables.put(key(ident), t)
     t
   }
@@ -141,7 +159,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"ALTER TABLE change not supported: $other")
       }
     }
-    val replaced = new GraftTable(t.name(), newSchema, t.location)
+    val replaced = new GraftTable(t.name(), newSchema, t.location, props = t.props)
     tables.put(key(ident), replaced)
     replaced
   }
@@ -187,9 +205,49 @@ object GraftCatalog {
   * rows additionally requires nonNull(col) == rows — a NULL row never
   * satisfies any comparison).
   */
+/** The `bucket(numBuckets, col)` V2 function: pmod of the RAW long (nulls
+  * to bucket 0). Deliberately transparent arithmetic, not a mixed hash —
+  * the SAME rule is applied by the row-routing writer, by Spark when it
+  * shuffles a write to satisfy the clustered distribution, and by the
+  * storage-partitioned join when it matches both sides' partition values,
+  * and any external engine can reproduce it to write co-bucketed files.
+  * `canonicalName` is the SPJ compatibility token: two scans report
+  * compatible partitionings iff this string and the argument values match.
+  */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+  override def name(): String = "bucket"
+  override def description(): String = "bucket(numBuckets, col): pmod hash bucket of a BIGINT column"
+
+  def bucketOf(v: Long, n: Int): Int = (((v % n) + n) % n).toInt
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+            inputType.fields(0).dataType == IntegerType &&
+            inputType.fields(1).dataType == LongType,
+      s"bucket expects (INT numBuckets, BIGINT col), got ${inputType.simpleString}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v = if (input.isNullAt(1)) 0L else input.getLong(1)
+        bucketOf(v, n)
+      }
+    }
+  }
+}
+
 case class Group(file: String, stats: Map[String, (Long, Long)],
                  rows: Option[Long] = None,
-                 nonNull: Map[String, Long] = Map.empty) {
+                 nonNull: Map[String, Long] = Map.empty,
+                 bucket: Option[Int] = None) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
@@ -412,6 +470,12 @@ object GroupFiles {
       val rows = parts.tail.collectFirst {
         case s if s.startsWith("#n=") => s.stripPrefix("#n=").toLongOption
       }.flatten
+      // "#b=<id>" tags the group with its hash bucket (bucketed tables
+      // route every row at write time; the scan groups files by this tag
+      // to report KeyGroupedPartitioning)
+      val bucket = parts.tail.collectFirst {
+        case s if s.startsWith("#b=") => s.stripPrefix("#b=").toIntOption
+      }.flatten
       // stats token: col=lo:hi[:nonNullCount] — the third part is the
       // non-null count that lets MatchesAll prove NULL absence; legacy
       // two-part tokens parse with no such proof
@@ -430,7 +494,7 @@ object GroupFiles {
         }
       }
       Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
-            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap)
+            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket)
     }
   }
 
@@ -482,6 +546,7 @@ object GroupFiles {
     val lines = groups.map { g =>
       (g.file +:
         (g.rows.map(n => s"#n=$n").toSeq ++
+         g.bucket.map(b => s"#b=$b").toSeq ++
          g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
            .map { case (c, (lo, hi)) =>
              s"$c=$lo:$hi" + g.nonNull.get(c).map(nn => s":$nn").getOrElse("") }))
@@ -531,7 +596,11 @@ object GroupFiles {
     }
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[(Group, Long)]]
-    groups.groupBy(fieldsOf).toSeq.sortBy(_._1).foreach { case (_, gen) =>
+    // bucketed tables additionally bin WITHIN a bucket only: a merged
+    // group keeps one unambiguous #b tag, preserving the reported
+    // KeyGroupedPartitioning across compactions
+    groups.groupBy(g => (fieldsOf(g), g.bucket)).toSeq.sortBy(_._1._1)
+      .foreach { case (_, gen) =>
       bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
       gen.foreach { g =>
         val sz = Files.size(dir.resolve(g.file))
@@ -577,7 +646,7 @@ object GroupFiles {
             Some(c -> members.map(_.nonNull(c)).sum)
           else None
         }.toMap
-        Group(merged, stats, rows, nn)
+        Group(merged, stats, rows, nn, bin.head._1.bucket)
       }
     }.toSeq
     }
@@ -598,12 +667,36 @@ class ScanHolder {
   */
 class GraftTable(tableName: String, tableSchema: StructType, val location: String,
                  val pinnedVersion: Option[Long] = None,
-                 val pinnedGroups: Option[Seq[Group]] = None)
+                 val pinnedGroups: Option[Seq[Group]] = None,
+                 val props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsDeleteV2 {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] = props.asJava
+
+  /** HASH-BUCKETED layout (`TBLPROPERTIES('bucket_by'='k','buckets'='8')`):
+    * every writer routes each row to its bucket's group file
+    * (`graft.bucket` = pmod over the raw long — nulls to bucket 0), the
+    * manifest tags groups `#b=<id>`, and the scan reports
+    * KeyGroupedPartitioning over those tags — so a join or aggregate on
+    * the bucket column over co-bucketed tables runs with ZERO Exchange
+    * (Spark's storage-partitioned join, the Iceberg SPJ analogue). At
+    * 100 TB this turns the fact-to-fact join from the dominant shuffle
+    * into a local zip of pre-sorted buckets.
+    */
+  val bucketSpec: Option[(String, Int)] =
+    props.get("bucket_by").map { c =>
+      val n = props.getOrElse("buckets",
+        throw new IllegalArgumentException("bucket_by requires buckets")).toInt
+      require(n > 0, s"buckets must be positive, got $n")
+      val f = tableSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"bucket_by column $c not in schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"bucket_by column $c must be BIGINT, got ${f.dataType.simpleString}")
+      (c, n)
+    }
 
   /** METADATA-ONLY DELETE (SupportsDeleteV2): when the manifest stats
     * prove every live group either matches the predicate COMPLETELY or
@@ -811,7 +904,8 @@ class GraftAggScan(aggSchema: StructType, values: Seq[Option[Long]]) extends Sca
 class GraftScan(table: GraftTable, holder: Option[ScanHolder],
                 planFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
@@ -851,10 +945,49 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     groups = groups.filter(g => predicates.forall(p =>
       GroupPredicate.coverage(g, p) != GroupPredicate.MatchesNone))
 
+  /** Bucketed layout is reportable iff EVERY planned group carries a
+    * bucket tag (all writes route, so normally all do; a manifest edited
+    * by an older binary degrades to per-file scanning, never to wrong
+    * answers).
+    */
+  private def bucketedLayout: Option[(String, Int)] =
+    table.bucketSpec.filter(_ => groups.forall(_.bucket.isDefined))
+
+  /** STORAGE-PARTITIONED execution: a bucketed table's scan reports
+    * KeyGroupedPartitioning over the bucket transform — with
+    * spark.sql.sources.v2.bucketing.enabled, a join of two co-bucketed
+    * tables on the bucket column (or an aggregate over it) keeps the
+    * Exchange OUT of the plan entirely; each of the N partitions zips the
+    * two sides' bucket files locally. ALL N buckets are emitted (empty
+    * ones included) so both sides of a join always present identical
+    * partition values.
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketedLayout match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          groups.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     holder.foreach(_.planned = Some(groups.map(_.file)))
-    groups.map(g => GraftInputPartition(
-      Paths.get(table.location).resolve(g.file).toString): InputPartition).toArray
+    val dir = Paths.get(table.location)
+    bucketedLayout match {
+      case Some((_, n)) =>
+        val byBucket = groups.groupBy(_.bucket.get)
+        (0 until n).map { b =>
+          GraftBucketPartition(b,
+            byBucket.getOrElse(b, Seq.empty).map(g => dir.resolve(g.file).toString)
+          ): InputPartition
+        }.toArray
+      case None =>
+        groups.map(g => GraftInputPartition(
+          dir.resolve(g.file).toString): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -871,13 +1004,50 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
 /** One group file per partition; only the path travels. */
 case class GraftInputPartition(path: String) extends InputPartition
 
+/** One BUCKET per partition (possibly several group files, possibly
+  * none). HasPartitionKey hands Spark the bucket id as the partition's
+  * key — the hook KeyGroupedPartitioning needs to line partitions up
+  * across the two sides of a storage-partitioned join.
+  */
+case class GraftBucketPartition(bucket: Int, paths: Seq[String])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 /** The shared row reader over one immutable group file (batch scans and
   * the streaming source read identical bytes).
   */
 object GroupRowsReader {
   def factory(expectedFields: Int): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val path = partition.asInstanceOf[GraftInputPartition].path
+    (partition: InputPartition) => partition match {
+      case GraftBucketPartition(_, paths) =>
+        // one bucket = its files' rows concatenated, in manifest order
+        new PartitionReader[InternalRow] {
+          private val it = paths.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = fileReader(it.next(), expectedFields)
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case GraftInputPartition(path) => fileReader(path, expectedFields)
+      case other => throw new IllegalStateException(
+        s"unexpected partition type ${other.getClass.getName}")
+    }
+
+  private def fileReader(path: String, expectedFields: Int): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
         private val in = new DataInputStream(new BufferedInputStream(
           Files.newInputStream(Paths.get(path))))
@@ -921,7 +1091,6 @@ object GroupRowsReader {
         override def get(): InternalRow = if (pad == null) row else pad
         override def close(): Unit = in.close()
       }
-    }
 }
 
 /** Version-offset streaming source over a Graft table: every commit
@@ -970,7 +1139,28 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType, replaceAll: 
     extends WriteBuilder with SupportsTruncate {
   private var truncateRequested = false
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+    // bucketed table: ask Spark to CLUSTER incoming rows by the bucket
+    // transform (resolved via the catalog's FunctionCatalog), so each
+    // write task receives whole buckets and emits one group file per
+    // bucket instead of every task touching every bucket. The row-routing
+    // writer stays correct without it; the distribution shapes file
+    // counts: tasks × buckets files would recreate the small-file problem
+    // this exists to avoid.
+    override def requiredDistribution(): Distribution = table.bucketSpec match {
+      case Some((c, n)) => Distributions.clustered(Array(Expressions.bucket(n, c)))
+      case None => Distributions.unspecified()
+    }
+    // distribution is a preference, not a gate: an unshuffled write is
+    // still correct (the writer routes rows), so never fail a write plan
+    // that cannot satisfy it
+    override def distributionStrictlyRequired(): Boolean = false
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+
     override def toBatch: BatchWrite =
       new GraftBatchWrite(table, writeSchema, replaceAll || truncateRequested, holder)
   }
@@ -981,7 +1171,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   // a standalone case class, NOT a lambda: a closure here would capture
   // this BatchWrite (and through it the non-serializable table)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(table.location, writeSchema)
+    GraftWriterFactory(table.location, writeSchema,
+      table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
@@ -1013,90 +1204,3 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
 }
 
 case class GraftCommitMessage(groups: Seq[Group]) extends WriterCommitMessage
-
-case class GraftWriterFactory(location: String, writeSchema: StructType)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      // Two layout quirks are handled here:
-      //  1. incoming rows may be GenericInternalRows whose UTF8Strings
-      //     point into REUSED reader buffers — every record is projected
-      //     to a fresh UnsafeRow so the serialized bytes are self-owned;
-      //  2. Spark's group-based row-level rewrites (MERGE/UPDATE/DELETE →
-      //     ReplaceData) PREPEND an internal operation column to the
-      //     query output, and when the operation declares no metadata
-      //     columns the plain writing task hands the row over without
-      //     applying ReplaceDataProjections.rowProjection — so the table
-      //     columns sit at offset 1. Detected from the first record's
-      //     width; the op value is a constant marker for group-based
-      //     writes (all emitted rows are keepers), so only position
-      //     matters.
-      private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
-      private var out: DataOutputStream = _
-      private val copyBuffer = new Array[Byte](8192) // for off-heap-backed rows
-      private val fileName = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.rows"
-      private val tmpPath = Paths.get(location).resolve(fileName + ".tmp")
-      private val finalPath = Paths.get(location).resolve(fileName)
-      private var wrote = false
-      // per-file min/max pruning stats for the long-typed columns
-      private val longCols = writeSchema.fields.zipWithIndex
-        .filter(_._1.dataType == org.apache.spark.sql.types.LongType).map(_._2)
-      private val mins = Array.fill(longCols.length)(Long.MaxValue)
-      private val maxs = Array.fill(longCols.length)(Long.MinValue)
-      private val nonNulls = Array.fill(longCols.length)(0L)
-      private var nRows = 0L
-
-      override def write(record: InternalRow): Unit = {
-        if (proj == null) {
-          val offset = record.numFields - writeSchema.length
-          require(offset == 0 || offset == 1,
-            s"row width ${record.numFields} does not match write schema ${writeSchema.length}")
-          val refs = writeSchema.fields.zipWithIndex.map { case (f, i) =>
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              i + offset, f.dataType, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
-          }
-          proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(refs.toIndexedSeq)
-          out = new DataOutputStream(new BufferedOutputStream(
-            Files.newOutputStream(tmpPath)))
-          out.writeInt(writeSchema.length)
-          wrote = true
-        }
-        val u = proj(record) // projection output is reused — serialize now
-        var s = 0
-        while (s < longCols.length) {
-          val i = longCols(s)
-          if (!u.isNullAt(i)) {
-            val v = u.getLong(i)
-            if (v < mins(s)) mins(s) = v
-            if (v > maxs(s)) maxs(s) = v
-            nonNulls(s) += 1
-          }
-          s += 1
-        }
-        out.writeInt(u.getSizeInBytes)
-        u.writeToStream(out, copyBuffer)
-        nRows += 1
-      }
-      override def commit(): WriterCommitMessage =
-        if (wrote) {
-          out.close()
-          Files.move(tmpPath, finalPath, StandardCopyOption.ATOMIC_MOVE)
-          val stats = longCols.indices.flatMap { s =>
-            if (mins(s) <= maxs(s))
-              Some(writeSchema.fields(longCols(s)).name -> (mins(s), maxs(s)))
-            else None // all-null column: no stats
-          }.toMap
-          val nn = longCols.indices.flatMap { s =>
-            if (mins(s) <= maxs(s))
-              Some(writeSchema.fields(longCols(s)).name -> nonNulls(s))
-            else None
-          }.toMap
-          GraftCommitMessage(Seq(Group(fileName, stats, Some(nRows), nn)))
-        } else GraftCommitMessage(Seq.empty) // empty task: no file at all
-      override def abort(): Unit = {
-        if (out != null) out.close()
-        Files.deleteIfExists(tmpPath); Files.deleteIfExists(finalPath)
-      }
-      override def close(): Unit = ()
-    }
-}

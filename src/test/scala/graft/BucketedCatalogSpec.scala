@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import graft.catalog.GroupFiles
+
+/** Bucketed catalog tables: write-side row routing into per-bucket group
+  * files, manifest #b tags, and the payoff — storage-partitioned joins
+  * (KeyGroupedPartitioning) that keep the Exchange out of a co-bucketed
+  * join's plan entirely.
+  */
+class BucketedCatalogSpec extends AnyFunSuite with SparkFixture {
+
+  private def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect { case s: ShuffleExchangeExec => s }
+
+  private def tableDir(cat: String, name: String) = {
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val t = c.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), name)).asInstanceOf[graft.catalog.GraftTable]
+    Paths.get(t.location)
+  }
+
+  private def setup(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_bk", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  test("writes route rows to per-bucket group files with #b manifest tags") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_route")
+    spark.sql("""CREATE TABLE graft_bk.default.bt_route (k BIGINT, v STRING)
+                 TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    spark.sql("""INSERT INTO graft_bk.default.bt_route
+                 SELECT id AS k, CAST(id AS STRING) AS v FROM range(100)""")
+    val dir = tableDir("graft_bk", "bt_route")
+    val live = GroupFiles.live(dir)
+    assert(live.nonEmpty)
+    assert(live.forall(_.bucket.isDefined), "every group must carry a bucket tag")
+    // every file's rows really belong to its tagged bucket: k stats stay
+    // inside {v : pmod(v,4) == b}
+    live.foreach { g =>
+      val b = g.bucket.get
+      val (lo, hi) = g.stats("k")
+      assert((lo % 4 + 4) % 4 === b && (hi % 4 + 4) % 4 === b || lo != hi,
+        s"group ${g.file} tagged $b")
+    }
+    // read back: complete and correct
+    assert(spark.table("graft_bk.default.bt_route").count() === 100)
+    val perBucket = spark.table("graft_bk.default.bt_route")
+      .selectExpr("pmod(k, 4) AS b").groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBucket === Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_route")
+  }
+
+  test("co-bucketed join runs with ZERO shuffle (storage-partitioned join)") {
+    setup()
+    for (t <- Seq("bt_l", "bt_r")) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_bk.default.$t")
+      spark.sql(s"""CREATE TABLE graft_bk.default.$t (k BIGINT, v BIGINT)
+                    TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    }
+    spark.sql("INSERT INTO graft_bk.default.bt_l SELECT id, id * 2 FROM range(1000)")
+    spark.sql("INSERT INTO graft_bk.default.bt_r SELECT id, id * 3 FROM range(500)")
+
+    val joined = spark.sql(
+      """SELECT l.k, l.v + r.v AS s
+        |FROM graft_bk.default.bt_l l JOIN graft_bk.default.bt_r r ON l.k = r.k""".stripMargin)
+      // suppress broadcast so the join NEEDS co-partitioning to avoid the shuffle
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val rows = joined.collect()
+      assert(rows.length === 500)
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toMap ===
+        (0L until 500L).map(k => k -> (k * 5)).toMap)
+      val ex = shuffles(joined.queryExecution.executedPlan)
+      assert(ex.isEmpty,
+        s"expected a storage-partitioned join with no Exchange, found:\n${joined.queryExecution.executedPlan}")
+    }
+    for (t <- Seq("bt_l", "bt_r")) spark.sql(s"DROP TABLE IF EXISTS graft_bk.default.$t")
+  }
+
+  test("MERGE rewrite and compaction preserve bucket tags (SPJ survives maintenance)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_m")
+    spark.sql("""CREATE TABLE graft_bk.default.bt_m (k BIGINT, v BIGINT)
+                 TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    spark.sql("INSERT INTO graft_bk.default.bt_m SELECT id, id FROM range(200)")
+    spark.sql("INSERT INTO graft_bk.default.bt_m SELECT id, id FROM range(200, 400)")
+    spark.sql(
+      """MERGE INTO graft_bk.default.bt_m t
+        |USING (SELECT id AS k, id * 10 AS v FROM range(50)) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val dir = tableDir("graft_bk", "bt_m")
+    assert(GroupFiles.live(dir).forall(_.bucket.isDefined),
+      "MERGE-rewritten groups lost their bucket tags")
+    GroupFiles.compact(dir, targetBytes = 1L << 20)
+    val compacted = GroupFiles.live(dir)
+    assert(compacted.forall(_.bucket.isDefined), "compaction dropped bucket tags")
+    // fully compacted: at most one group per (bucket) generation
+    assert(compacted.groupBy(_.bucket).forall(_._2.size == 1),
+      s"compaction left multiple groups per bucket: $compacted")
+    // content intact after both operations
+    val got = spark.table("graft_bk.default.bt_m").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 400)
+    assert((0L until 50L).forall(k => got(k) == k * 10))
+    assert((50L until 400L).forall(k => got(k) == k))
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_m")
+  }
+
+  test("bad bucket specs fail at CREATE, not first write") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_bk.default.bt_bad (k STRING)
+                   TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    }
+    assert(e1.getMessage.contains("BIGINT"))
+    val e2 = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_bk.default.bt_bad (k BIGINT)
+                   TBLPROPERTIES('bucket_by'='missing','buckets'='4')""")
+    }
+    assert(e2.getMessage.contains("not in schema"))
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
