@@ -137,6 +137,8 @@ object SparkEntry {
     "q_sessionize" -> Analytics.sessionize,
     "q_winsorize" -> Analytics.winsorize,
     "q_heavy_hitters" -> Sketch.heavyHittersQuery,
+    "q_regression" -> Analytics.regression,
+    "q_stratified_sample" -> Scale.stratifiedSampleQuery,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
     "q_agg_filtered" -> Relational.aggFiltered,
@@ -1234,6 +1236,37 @@ object SparkEntry {
         |  round(least(greatest(v, p05), p95), 6) AS clipped
         |FROM c JOIN b ON c.c_mktsegment = b.c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_regression" ->
+      // exact moments (integer x, decimal y) cast to double, then ONE
+      // identical IEEE tree for slope/intercept/r2 (the outlier-zscore
+      // portability pattern)
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(y*x) AS DOUBLE) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
+        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_stratified_sample" ->
+      // md5-ordered exact-k per stratum: portable (md5 + string order
+      // agree across engines), total (doc_id tiebreak)
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
 
     "q_heavy_hitters" ->
       // the oracle is the plain exact form; the Spark side reaches the

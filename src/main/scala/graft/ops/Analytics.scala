@@ -112,6 +112,41 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** q_regression: per-event-type ordinary least squares of value against
+    * days-since-2024-01-01 — "is this metric drifting over time", the
+    * trend-detection primitive. The portability pattern is the
+    * q_outlier_zscore one: EXACT moments first (n and Σx/Σx² as integers
+    * over the small centered x; Σy, Σxy, Σy² as decimals — value is
+    * exactly 2 dp), each cast to double, then slope/intercept/r² as ONE
+    * identical IEEE expression tree in both engines, round-6. Centering x
+    * at the epoch date keeps n·Σx² inside a long at any SF. One hash
+    * aggregate, |event_type| result rows — nothing here scales with data
+    * beyond the scan.
+    */
+  def regression(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{money, r6}
+    val e = Sources.events(spark, dir).select(
+      col("event_type"),
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("x"),
+      col("value"))
+    val m = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(money(col("value"))).cast("double").as("sy"),
+      sum(money(col("value")) * money(col("value"))).cast("double").as("syy"),
+      sum(money(col("value")) * col("x")).cast("double").as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / varX
+    m.select(col("event_type"),
+             r6(slope).as("slope"),
+             r6((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+             r6(cov * cov / (varX * varY)).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_sessionize: assign SESSION IDS to raw events — a gap of more than
     * 30 minutes between a user's consecutive events starts a new session
     * (the batch sibling of the streaming session window: that one

@@ -75,6 +75,28 @@ object Scale {
   def sampleByMd5(df: DataFrame, key: String, hexDigits: Seq[String]): DataFrame =
     df.filter(substring(md5(col(key).cast("string")), 1, 1).isin(hexDigits: _*))
 
+  /** q_stratified_sample: EXACT-k deterministic stratified sample — the
+    * first 10 documents per language in md5(doc_id) order (md5 agrees
+    * across engines, so any system replaying the pipeline keeps the SAME
+    * rows; doc_id tiebreak makes the order total). The rate-sampling
+    * sibling is q_mixture_sample (keep-probability per stratum — the
+    * preferred 100 TB form); exact-k needs a per-stratum order. Here that
+    * is one window over a lang shuffle; at extreme per-stratum skew the
+    * two-phase form (per-partition keep k smallest hashes, then re-rank
+    * the k·P survivors) bounds the sort memory — same declared semantics.
+    */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.io.Sources.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+              md5(col("doc_id").cast("string")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Every unordered row pair (idCol_a < idCol_b) of a BOUNDED frame as a
     * block-replicated EQUI-join (same shape as Similarity.simPairsExact):
     * the right side is hashed into `blocks` groups, the left side exploded

@@ -64,6 +64,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("regression: r2 in [0,1]; fit line passes through the mean point") {
+    val rows = Analytics.regression(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (slope, intercept, r2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+      // OLS invariant: y_bar = slope * x_bar + intercept
+      val t = r.getString(0)
+      val stats = graft.io.Sources.events(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("event_type") === t)
+        .selectExpr("avg(datediff(cast(ts as date), date'2024-01-01')) AS xb",
+                    "avg(value) AS yb").collect()(0)
+      assert(math.abs(stats.getDouble(1) - (slope * stats.getDouble(0) + intercept)) < 1e-3)
+    }
+  }
+
   test("outlier z-scores: flagged rows really deviate, both tails, small fraction") {
     val out = Analytics.outlierZscore(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -51,6 +51,21 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(buckets.map(_.getLong(1)).max < 1000 / 2, "no bucket holds most of the hot key")
   }
 
+  test("stratifiedSample: exactly 10 per language, deterministic, rows from the corpus") {
+    val a = graft.ops.Scale.stratifiedSampleQuery(spark, sfDir).collect()
+    val b = graft.ops.Scale.stratifiedSampleQuery(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "sample must be deterministic")
+    val perLang = a.groupBy(_.getString(0))
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length === 10, s"$lang: ${rows.length}")
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10), s"$lang ranks")
+    }
+    val ids = graft.io.Sources.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(r => ids(r.getLong(2))))
+  }
+
   test("sampleByHash: deterministic, referentially consistent across tables") {
     import graft.io.Sources
     val o1 = Scale.sampleByHash(Sources.orders(spark, sfDir), "o_orderkey", 0.2)
