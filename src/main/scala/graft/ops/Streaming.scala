@@ -285,6 +285,48 @@ object Streaming {
       .toDF("event_id", "user_id", "click_us", "signup_us")
   }
 
+  /** TRUE STREAM-STREAM inner interval join: attribute each click to the
+    * views the same user made in the preceding `windowMs` — two live
+    * streams, not stream-vs-static. Both sides carry watermarks and the
+    * join condition bounds event-time distance, which is exactly what
+    * lets Spark PURGE state: a buffered view older than
+    * (click watermark − window) can never match a future click, so state
+    * is O(in-horizon rows per side), not O(stream). This is the shape
+    * fact-to-fact streaming enrichment takes at 100 TB/day; without the
+    * interval bound the state grows without limit and the job dies at
+    * scale, so the bound is load-bearing, not decorative.
+    *
+    * Output: (user_id, click_id, view_id, click_us, view_us). Inner join
+    * ⇒ append mode; results finalize as the watermarks pass.
+    */
+  def streamStreamClickView(views: DataFrame, clicks: DataFrame,
+                            horizon: String = "10 minutes",
+                            windowMs: Long = 3600000L): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", horizon)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", horizon)
+    v.join(c, expr(
+        s"""v_user = c_user AND
+           |c_ts >= v_ts AND
+           |c_ts <= v_ts + interval $windowMs milliseconds""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+              unix_micros(col("c_ts")).as("click_us"),
+              unix_micros(col("v_ts")).as("view_us"))
+  }
+
+  /** Batch twin of [[streamStreamClickView]] on identical inputs — the
+    * equality oracle for the StreamingSpec multi-batch run. Literally the
+    * same plan: withWatermark is a no-op on batch frames.
+    */
+  def clickViewBatch(views: DataFrame, clicks: DataFrame,
+                     windowMs: Long = 3600000L): DataFrame =
+    streamStreamClickView(views, clicks, windowMs = windowMs)
+
   /** Streaming exact dedup (north-star: dedup a document STREAM): drop
     * rows whose content hash was already seen, with the dedup state
     * bounded by the watermark horizon — the streaming twin of
