@@ -138,6 +138,7 @@ object SparkEntry {
     "q_winsorize" -> Analytics.winsorize,
     "q_heavy_hitters" -> Sketch.heavyHittersQuery,
     "q_regression" -> Analytics.regression,
+    "q_entropy" -> Text.entropyQuery,
     "q_stratified_sample" -> Scale.stratifiedSampleQuery,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
@@ -1257,6 +1258,21 @@ object SparkEntry {
         |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
         |  round((n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_entropy" ->
+      // exact (lang, token) counts; the double Σ of -p·ln(p) terms drifts
+      // by ulps across engines' sum orders — absorbed by round-6 (the
+      // tfidf ln-tolerance argument)
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT lang, tok FROM t WHERE tok <> ''),
+        |tf AS (SELECT lang, tok, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        COUNT(*) AS vocab FROM tf GROUP BY 1)
+        |SELECT f.lang, n_tokens, vocab,
+        |  round(-SUM((c / n_tokens) * ln(c / n_tokens)), 6) AS entropy
+        |FROM tf f JOIN tot USING (lang)
+        |GROUP BY f.lang, n_tokens, vocab ORDER BY f.lang""".stripMargin,
 
     "q_stratified_sample" ->
       // md5-ordered exact-k per stratum: portable (md5 + string order

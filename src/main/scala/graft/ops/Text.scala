@@ -57,6 +57,31 @@ object Text {
     dstats.join(tstats, Seq("lang")).orderBy(col("lang"))
   }
 
+  /** q_entropy: per-language token SHANNON ENTROPY — the vocabulary-
+    * diversity signal corpus quality audits use (template/boilerplate
+    * text collapses entropy; healthy prose sits near the Zipf ceiling).
+    * Exact integer counts per (lang, token) roll up to a tiny per-lang
+    * frame; H = −Σ(c/n)·ln(c/n) sums doubles in engine order, but each
+    * term is ≤ a few ulp off and the Σ drift (~1e−12 here) vanishes under
+    * round-6 — the same ln-tolerance argument q_tfidf_topterms relies on.
+    * One explode + two hash aggregates + a |langs|-row broadcast join;
+    * nothing holds state beyond the (lang, token) grain.
+    */
+  def entropyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val tf = Sources.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    tf.join(broadcast(tot), Seq("lang"))
+      .groupBy(col("lang"), col("n_tokens"), col("vocab"))
+      .agg(r6(-sum((col("c") / col("n_tokens")) * log(col("c") / col("n_tokens"))))
+        .as("entropy"))
+      .orderBy(col("lang"))
+  }
+
   /** q_tfidf_topterms: deterministic TF-IDF — tf per (lang, term), df per
     * term, score = tf·ln(N/df) rounded to 6 dp, top-5 per lang with term-
     * asc tiebreak (SURVEY §7.4.2 shape).

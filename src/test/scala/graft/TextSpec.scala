@@ -219,4 +219,25 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(self.forall(_.getLong(0) === 0L))
   }
 
+  test("entropy: 0 < H <= ln(vocab), and a single-token corpus has H = 0") {
+    val rows = graft.ops.Text.entropyQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, h) = (r.getLong(2), r.getDouble(3))
+      assert(h > 0.0, s"${r.getString(0)}: entropy must be positive on real text")
+      assert(h <= math.log(vocab.toDouble) + 1e-9,
+        s"${r.getString(0)}: H=$h exceeds the uniform bound ln($vocab)")
+    }
+    // degenerate check straight through the same column expressions
+    import spark.implicits._
+    val one = Seq(("xx", "a a a a")).toDF("lang", "text")
+    import org.apache.spark.sql.functions._
+    val tf = one.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val h0 = tf.join(tot, Seq("lang"))
+      .agg(-sum((col("c") / col("n")) * log(col("c") / col("n")))).collect()(0).getDouble(0)
+    assert(math.abs(h0) < 1e-12)
+  }
+
 }
