@@ -113,6 +113,34 @@ class BucketedCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_m")
   }
 
+  test("ADD COLUMN on a bucketed table: old groups null-pad, new writes route, SPJ intact") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_ev")
+    spark.sql("""CREATE TABLE graft_bk.default.bt_ev (k BIGINT, v BIGINT)
+                 TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    spark.sql("INSERT INTO graft_bk.default.bt_ev SELECT id, id FROM range(100)")
+    spark.sql("ALTER TABLE graft_bk.default.bt_ev ADD COLUMN w STRING")
+    spark.sql("""INSERT INTO graft_bk.default.bt_ev
+                 SELECT id, id, CAST(id AS STRING) FROM range(100, 200)""")
+    val dir = tableDir("graft_bk", "bt_ev")
+    assert(GroupFiles.live(dir).forall(_.bucket.isDefined),
+      "post-evolution writes lost bucket routing")
+    val rows = spark.table("graft_bk.default.bt_ev").collect()
+    assert(rows.length === 200)
+    assert(rows.filter(_.getLong(0) < 100).forall(_.isNullAt(2)), "old rows must null-pad")
+    assert(rows.filter(_.getLong(0) >= 100).forall(r => r.getString(2) == r.getLong(0).toString))
+    // the reported partitioning (and with it SPJ) survives evolution: a
+    // self-aggregate on the bucket column plans no shuffle
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val agg = spark.sql(
+        "SELECT k, COUNT(*) AS n FROM graft_bk.default.bt_ev GROUP BY k")
+      agg.collect()
+      assert(shuffles(agg.queryExecution.executedPlan).isEmpty,
+        s"aggregate over the bucket column should reuse the reported partitioning:\n${agg.queryExecution.executedPlan}")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_ev")
+  }
+
   test("bad bucket specs fail at CREATE, not first write") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_bad")
