@@ -1257,7 +1257,9 @@ object SparkEntry {
         |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
         |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
         |  round((n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
-        |FROM m ORDER BY event_type""".stripMargin,
+        |FROM m
+        |WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |ORDER BY event_type""".stripMargin,
 
     "q_entropy" ->
       // exact (lang, token) counts; the double Σ of -p·ln(p) terms drifts

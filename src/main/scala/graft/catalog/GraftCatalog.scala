@@ -599,7 +599,10 @@ object GroupFiles {
     // bucketed tables additionally bin WITHIN a bucket only: a merged
     // group keeps one unambiguous #b tag, preserving the reported
     // KeyGroupedPartitioning across compactions
-    groups.groupBy(g => (fieldsOf(g), g.bucket)).toSeq.sortBy(_._1._1)
+    groups.groupBy(g => (fieldsOf(g), g.bucket)).toSeq
+      // sort the FULL key: hash-map order on bucket ties would make the
+      // compacted manifest nondeterministic run to run
+      .sortBy { case ((f, b), _) => (f, b.getOrElse(-1)) }
       .foreach { case (_, gen) =>
       bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
       gen.foreach { g =>
@@ -691,11 +694,12 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
       val n = props.getOrElse("buckets",
         throw new IllegalArgumentException("bucket_by requires buckets")).toInt
       require(n > 0, s"buckets must be positive, got $n")
-      val f = tableSchema.fields.find(_.name == c).getOrElse(
+      // case-insensitive, following Spark's default identifier resolution
+      val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"bucket_by column $c not in schema"))
       require(f.dataType == org.apache.spark.sql.types.LongType,
         s"bucket_by column $c must be BIGINT, got ${f.dataType.simpleString}")
-      (c, n)
+      (f.name, n) // canonical schema casing — downstream fieldIndex lookups are exact
     }
 
   /** METADATA-ONLY DELETE (SupportsDeleteV2): when the manifest stats

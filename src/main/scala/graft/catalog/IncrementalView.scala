@@ -61,14 +61,24 @@ object IncrementalView {
     val delta = ChangeFeed.tableChanges(spark, qualifiedName, fromVersion, toVersion)
       .groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    state.join(delta, dims, "full_outer")
+      // prefix the dim columns so the join below can reference both sides
+      .select(dims.map(c => col(c).as(s"__d_$c")) ++
+              (Seq("__dn") ++ sums.map(c => s"__dsum_$c")).map(col): _*)
+    // NULL-SAFE dim equality: NULL is a legal (and common) dimension value,
+    // and a plain equi-join would never match it — a delete of a NULL-dim
+    // group would leave its stale state row behind forever
+    val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    // a sum stays NULL only when NEITHER side ever saw a non-null value
+    // (matching what build() returns for an all-NULL-measure group);
+    // otherwise missing sides contribute 0
+    def mergedSum(a: Column, b: Column): Column =
+      when(a.isNull && b.isNull, lit(null)).otherwise(
+        coalesce(a, lit(0)) + coalesce(b, lit(0)))
+    state.join(delta, cond, "full_outer")
       .select(
-        dims.map(col) ++
+        dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
           Seq((coalesce(col("__n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("__n")) ++
-          sums.map { c =>
-            (coalesce(col(s"__sum_$c"), lit(0)) + coalesce(col(s"__dsum_$c"), lit(0)))
-              .as(s"__sum_$c")
-          }: _*)
+          sums.map(c => mergedSum(col(s"__sum_$c"), col(s"__dsum_$c")).as(s"__sum_$c")): _*)
       .filter(col("__n") > 0)
   }
 }

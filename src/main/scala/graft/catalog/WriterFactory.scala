@@ -91,15 +91,25 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
       private val longCols = writeSchema.fields.zipWithIndex
         .filter(_._1.dataType == org.apache.spark.sql.types.LongType).map(_._2)
       private val sinks = scala.collection.mutable.LinkedHashMap.empty[Int, FileSink]
+      // hot-path cache: unbucketed writes always hit one sink, and the
+      // clustered write distribution makes long same-bucket runs the norm
+      // for bucketed ones — skip the map lookup for the common row
+      private var lastBucket = Int.MinValue
+      private var lastSink: FileSink = _
 
-      private def sinkFor(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): FileSink =
-        bucketed match {
-          case None => sinks.getOrElseUpdate(0, new FileSink(None))
+      private def sinkFor(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): FileSink = {
+        val b = bucketed match {
+          case None => 0
           case Some((idx, n)) =>
-            val b = if (u.isNullAt(idx)) 0
-                    else GraftBucketFunction.bucketOf(u.getLong(idx), n)
-            sinks.getOrElseUpdate(b, new FileSink(Some(b)))
+            if (u.isNullAt(idx)) 0 else GraftBucketFunction.bucketOf(u.getLong(idx), n)
         }
+        if (b != lastBucket) {
+          lastSink = sinks.getOrElseUpdate(b,
+            new FileSink(bucketed.map(_ => b)))
+          lastBucket = b
+        }
+        lastSink
+      }
 
       override def write(record: InternalRow): Unit = {
         if (proj == null) {

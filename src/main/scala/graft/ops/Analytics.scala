@@ -140,7 +140,12 @@ object Analytics {
     val varX = col("n") * col("sxx") - col("sx") * col("sx")
     val varY = col("n") * col("syy") - col("sy") * col("sy")
     val slope = cov / varX
-    m.select(col("event_type"),
+    // degenerate-group guard (the q_outlier_zscore rule): a single point,
+    // a single distinct x (vertical line) or constant y makes slope/r2 a
+    // 0/0 — Spark yields NaN where DuckDB's division may disagree, so
+    // exclude exactly those groups in BOTH engines
+    m.filter(col("n") > 1 && varX > 0.0 && varY > 0.0)
+      .select(col("event_type"),
              r6(slope).as("slope"),
              r6((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
              r6(cov * cov / (varX * varY)).as("r2"))

