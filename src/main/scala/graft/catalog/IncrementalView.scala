@@ -81,4 +81,58 @@ object IncrementalView {
           sums.map(c => mergedSum(col(s"__sum_$c"), col(s"__dsum_$c")).as(s"__sum_$c")): _*)
       .filter(col("__n") > 0)
   }
+
+  /** MATERIALIZED form: the summary lives in a catalog table of its own,
+    * so it is itself transactional, time-traveled and change-fed. The
+    * INSERT OVERWRITE is one atomic manifest swap (readers see the old or
+    * the new summary, never a mix), and because the summary table is a
+    * catalog table, "when was this view last refreshed and what did it
+    * say before" is just VERSION AS OF on it.
+    *
+    * Version tracking is explicit: both calls return the BASE table
+    * version the stored summary now reflects; the caller passes it back
+    * as `fromVersion` on the next refresh (the base's manifest is the
+    * source of truth the caller reads it from — storing it inside the
+    * summary would make the summary's content depend on its own history).
+    */
+  def materialize(spark: SparkSession, baseTable: String, viewTable: String,
+                  dims: Seq[String], sums: Seq[String]): Long = {
+    val v = currentVersion(spark, baseTable)
+    overwrite(spark, viewTable, build(spark, baseTable, dims, sums))
+    v
+  }
+
+  /** Advance the stored summary from `fromVersion` to the base's current
+    * version using only the change feed; returns the new reflected
+    * version. No-op (and no commit) when the base hasn't moved.
+    */
+  def refreshMaterialized(spark: SparkSession, baseTable: String, viewTable: String,
+                          dims: Seq[String], sums: Seq[String],
+                          fromVersion: Long): Long = {
+    val v = currentVersion(spark, baseTable)
+    if (v == fromVersion) return v
+    val next = refresh(spark, baseTable, dims, sums,
+                       spark.table(viewTable), fromVersion, v)
+    overwrite(spark, viewTable, next)
+    v
+  }
+
+  private def currentVersion(spark: SparkSession, qualifiedName: String): Long = {
+    val parts = qualifiedName.split('.')
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(parts.tail.dropRight(1), parts.last)).asInstanceOf[GraftTable]
+    GroupFiles.versions(java.nio.file.Paths.get(t.location)).max
+  }
+
+  private def overwrite(spark: SparkSession, viewTable: String, df: DataFrame): Unit = {
+    // materialize BEFORE the overwrite: the new summary reads the view
+    // table it is about to replace
+    val rows = df.localCheckpoint()
+    val tmp = s"__ivm_stage_${System.nanoTime()}"
+    rows.createOrReplaceTempView(tmp)
+    try spark.sql(s"INSERT OVERWRITE $viewTable SELECT * FROM $tmp")
+    finally spark.catalog.dropTempView(tmp)
+  }
 }

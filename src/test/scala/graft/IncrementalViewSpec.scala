@@ -101,6 +101,42 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $T3")
   }
 
+  test("materialized summary: atomic in-place refresh, history time-travelable") {
+    val B = "graft_ivm.default.ivm_base"
+    val V = "graft_ivm.default.ivm_view"
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
+    spark.sql(s"CREATE TABLE $B (k STRING, id BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $V (k STRING, __n BIGINT, __sum_m BIGINT)")
+    spark.sql(s"INSERT INTO $B VALUES ('a', 1, 10), ('b', 2, 20)")
+
+    val dims = Seq("k"); val sums = Seq("m")
+    val v0 = IncrementalView.materialize(spark, B, V, dims, sums)
+    assert(sorted(spark.table(V)) === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val vloc = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "ivm_view")).asInstanceOf[graft.catalog.GraftTable].location)
+    val viewVerAfterMaterialize = GroupFiles.versions(vloc).max
+
+    spark.sql(s"INSERT INTO $B VALUES ('a', 3, 5)")
+    spark.sql(s"DELETE FROM $B WHERE id = 2")
+    val v1 = IncrementalView.refreshMaterialized(spark, B, V, dims, sums, v0)
+    assert(v1 > v0)
+    assert(sorted(spark.table(V)) === sorted(IncrementalView.build(spark, B, dims, sums)))
+    assert(sorted(spark.table(V)) === Seq(("a", 2L, 15L)))
+
+    // the view table is itself versioned: the PRE-refresh summary is one
+    // VERSION AS OF away
+    val hist = spark.sql(s"SELECT * FROM $V VERSION AS OF $viewVerAfterMaterialize")
+    assert(sorted(hist) === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+
+    // no base movement → no-op, no new view commit
+    val v2 = IncrementalView.refreshMaterialized(spark, B, V, dims, sums, v1)
+    assert(v2 === v1)
+    spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
+  }
+
   test("one refresh across a multi-commit window equals chained refreshes") {
     val T2 = "graft_ivm.default.ivm_t2"
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
