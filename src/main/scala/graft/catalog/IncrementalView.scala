@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * Scope: GROUP BY dims → COUNT(*) + SUM(measure) aggregates. These are
   * exactly the SELF-MAINTAINABLE aggregates under insert/delete deltas
   * (classic incremental view maintenance: a delete subtracts what an
-  * insert added, no access to the base table needed). AVG is served as
-  * sum/count at read time. MIN/MAX are deliberately NOT offered: a delete
-  * of the current extremum forces a rescan of the group — that is a
-  * different (and at 100 TB, far more expensive) maintenance class.
+  * insert added, no access to the base table needed) — PROVIDED the state
+  * also carries each measure's non-null count: SQL SUM is NULL over an
+  * all-NULL group, and "did the last non-null value just get deleted" is
+  * undecidable from the running sum alone. The summary schema is
+  * therefore dims ++ __n ++ per-measure (__nn_c, __sum_c). AVG is served
+  * as sum/count at read time. MIN/MAX are deliberately NOT offered: a
+  * delete of the current extremum forces a rescan of the group — that is
+  * a different (and at 100 TB, far more expensive) maintenance class.
   *
   * Scale shape: `refresh` reads ONLY the change feed of the version
   * window — ChangeFeed diffs manifests first, so a commit that touched 2
@@ -25,18 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
-  private def aggs(sums: Seq[String]): Seq[Column] =
-    count(lit(1)).as("__n") +: sums.map(c => sum(col(c)).as(s"__sum_$c"))
+  private def summarize(base: DataFrame, dims: Seq[String], sums: Seq[String]): DataFrame = {
+    val a = count(lit(1)).as("__n") +: sums.flatMap(c =>
+      Seq(count(col(c)).as(s"__nn_$c"), sum(col(c)).as(s"__sum_$c")))
+    base.groupBy(dims.map(col): _*).agg(a.head, a.tail: _*)
+  }
 
   /** Full build of the summary at the table's CURRENT version: one
     * aggregate over the base table. Use once to seed, then `refresh`.
     */
   def build(spark: SparkSession, qualifiedName: String,
-            dims: Seq[String], sums: Seq[String]): DataFrame = {
-    val base = spark.table(qualifiedName)
-    val a = aggs(sums)
-    base.groupBy(dims.map(col): _*).agg(a.head, a.tail: _*)
-  }
+            dims: Seq[String], sums: Seq[String]): DataFrame =
+    summarize(spark.table(qualifiedName), dims, sums)
 
   /** Advance a summary built at snapshot `fromVersion` to snapshot
     * `toVersion` using only the change feed between them: signed partial
@@ -45,40 +49,48 @@ object IncrementalView {
     * sums are exactly cancelled too, by the same signed arithmetic.
     *
     * Equivalence contract (pinned by IncrementalViewSpec): for any chain
-    * of commits, chaining `refresh` equals `build` at the final version.
-    * Caveat inherited from the feed: with floating-point measures,
-    * subtract-then-add can drift by ulps; use decimal/integer measures
-    * where bit-exactness matters (the same rule the declared money keys
-    * already follow).
+    * of commits, chaining `refresh` equals `build` at the final version —
+    * including NULL dimension values (null-safe merge join) and NULL
+    * measures (a sum is NULL exactly when the group's non-null count is
+    * zero, tracked incrementally). Caveat inherited from the feed: with
+    * floating-point measures, subtract-then-add can drift by ulps; use
+    * decimal/integer measures where bit-exactness matters (the same rule
+    * the declared money keys already follow).
     */
   def refresh(spark: SparkSession, qualifiedName: String,
               dims: Seq[String], sums: Seq[String],
               state: DataFrame, fromVersion: Long, toVersion: Long): DataFrame = {
     if (fromVersion == toVersion) return state
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val deltaAggs = sum(sign).as("__dn") +:
-      sums.map(c => sum(col(c) * sign).as(s"__dsum_$c"))
+    val deltaAggs = sum(sign).as("__dn") +: sums.flatMap(c => Seq(
+      sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$c"),
+      sum(col(c) * sign).as(s"__dsum_$c")))
+    val deltaCols = Seq("__dn") ++ sums.flatMap(c => Seq(s"__dnn_$c", s"__dsum_$c"))
     val delta = ChangeFeed.tableChanges(spark, qualifiedName, fromVersion, toVersion)
       .groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       // prefix the dim columns so the join below can reference both sides
-      .select(dims.map(c => col(c).as(s"__d_$c")) ++
-              (Seq("__dn") ++ sums.map(c => s"__dsum_$c")).map(col): _*)
+      .select(dims.map(c => col(c).as(s"__d_$c")) ++ deltaCols.map(col): _*)
     // NULL-SAFE dim equality: NULL is a legal (and common) dimension value,
     // and a plain equi-join would never match it — a delete of a NULL-dim
     // group would leave its stale state row behind forever
     val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
-    // a sum stays NULL only when NEITHER side ever saw a non-null value
-    // (matching what build() returns for an all-NULL-measure group);
-    // otherwise missing sides contribute 0
-    def mergedSum(a: Column, b: Column): Column =
-      when(a.isNull && b.isNull, lit(null)).otherwise(
-        coalesce(a, lit(0)) + coalesce(b, lit(0)))
+    def addOrZero(a: Column, b: Column): Column =
+      coalesce(a, lit(0L)) + coalesce(b, lit(0L))
     state.join(delta, cond, "full_outer")
       .select(
         dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
-          Seq((coalesce(col("__n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("__n")) ++
-          sums.map(c => mergedSum(col(s"__sum_$c"), col(s"__dsum_$c")).as(s"__sum_$c")): _*)
+          Seq(addOrZero(col("__n"), col("__dn")).as("__n")) ++
+          sums.flatMap { c =>
+            val nn = addOrZero(col(s"__nn_$c"), col(s"__dnn_$c"))
+            Seq(nn.as(s"__nn_$c"),
+                // SUM is NULL exactly when no non-null value remains —
+                // the nn counter is what makes that decidable from state
+                when(nn === 0L, lit(null))
+                  .otherwise(coalesce(col(s"__sum_$c"), lit(0)) +
+                             coalesce(col(s"__dsum_$c"), lit(0)))
+                  .as(s"__sum_$c"))
+          }: _*)
       .filter(col("__n") > 0)
   }
 
@@ -98,7 +110,14 @@ object IncrementalView {
   def materialize(spark: SparkSession, baseTable: String, viewTable: String,
                   dims: Seq[String], sums: Seq[String]): Long = {
     val v = currentVersion(spark, baseTable)
-    overwrite(spark, viewTable, build(spark, baseTable, dims, sums))
+    // summarize the PINNED snapshot v, not the live table: a commit
+    // landing between the version read and the scan would otherwise be
+    // baked into the summary yet replayed by the next refresh (double
+    // counting). v == 0 ⇒ never-written table ⇒ empty live read is exact.
+    val snapshot =
+      if (v == 0) spark.table(baseTable)
+      else spark.sql(s"SELECT * FROM $baseTable VERSION AS OF $v")
+    overwrite(spark, viewTable, summarize(snapshot, dims, sums))
     v
   }
 
@@ -123,14 +142,22 @@ object IncrementalView {
       .asInstanceOf[GraftCatalog]
     val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
       .of(parts.tail.dropRight(1), parts.last)).asInstanceOf[GraftTable]
-    GroupFiles.versions(java.nio.file.Paths.get(t.location)).max
+    // version() is 0 for a created-but-never-written table (no manifest)
+    GroupFiles.version(java.nio.file.Paths.get(t.location))
   }
 
   private def overwrite(spark: SparkSession, viewTable: String, df: DataFrame): Unit = {
+    // align BY NAME with the target's column order: INSERT OVERWRITE is
+    // positional, and a caller-created view table with reordered columns
+    // of matching types would otherwise silently swap values
+    val target = spark.table(viewTable).columns
+    require(target.sorted.sameElements(df.columns.sorted),
+      s"view table $viewTable columns ${target.mkString(",")} do not match " +
+      s"summary columns ${df.columns.mkString(",")}")
     // materialize BEFORE the overwrite: the new summary reads the view
     // table it is about to replace
-    val rows = df.localCheckpoint()
-    val tmp = s"__ivm_stage_${System.nanoTime()}"
+    val rows = df.select(target.map(col).toIndexedSeq: _*).localCheckpoint()
+    val tmp = s"__ivm_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     rows.createOrReplaceTempView(tmp)
     try spark.sql(s"INSERT OVERWRITE $viewTable SELECT * FROM $tmp")
     finally spark.catalog.dropTempView(tmp)

@@ -9,13 +9,24 @@ import graft.catalog.{GroupFiles, IncrementalView}
   * across a mixed commit history (INSERT, MERGE-update, DELETE) lands on
   * exactly `build` at the final version — the summary never touches the
   * base table after the seed, only the change feed.
+  *
+  * Summary schema: dims ++ __n ++ per-measure (__nn_c, __sum_c) — the
+  * non-null counter is load-bearing (see the mixed-NULL test below).
   */
 class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
 
   private val T = "graft_ivm.default.ivm_t"
 
+  /** (k, __n, __sum_m) — skips the __nn_m column at index 2. */
   private def sorted(df: org.apache.spark.sql.DataFrame) =
-    df.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    df.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+
+  private def tableDir(name: String) = {
+    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), name)).asInstanceOf[graft.catalog.GraftTable].location)
+  }
 
   test("refresh chain over INSERT/MERGE/DELETE equals full rebuild at every step") {
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
@@ -23,11 +34,7 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"CREATE TABLE $T (k STRING, id BIGINT, m BIGINT)")
     spark.sql(s"INSERT INTO $T VALUES ('a', 1, 10), ('a', 2, 20), ('b', 3, 5)")
 
-    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
-      .asInstanceOf[graft.catalog.GraftCatalog]
-    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array("default"), "ivm_t")).asInstanceOf[graft.catalog.GraftTable]
-    val dir = Paths.get(tbl.location)
+    val dir = tableDir("ivm_t")
     def v(): Long = GroupFiles.versions(dir).max
 
     val dims = Seq("k"); val sums = Seq("m")
@@ -63,19 +70,17 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
 
-  test("NULL dimension values and all-NULL measures keep refresh == build") {
+  test("NULL dimension values and NULL measures keep refresh == build") {
     val T3 = "graft_ivm.default.ivm_t3"
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
     spark.sql(s"DROP TABLE IF EXISTS $T3")
     spark.sql(s"CREATE TABLE $T3 (k STRING, id BIGINT, m BIGINT)")
-    // group 'n' has an all-NULL measure; group NULL is a real dimension value
-    spark.sql(s"INSERT INTO $T3 VALUES ('n', 1, NULL), ('n', 2, NULL), (NULL, 3, 7)")
+    // group 'n' has an all-NULL measure; group NULL is a real dimension
+    // value; group 'x' MIXES null and non-null measures
+    spark.sql(s"""INSERT INTO $T3 VALUES ('n', 1, NULL), ('n', 2, NULL),
+                  (NULL, 3, 7), ('x', 4, 5), ('x', 5, NULL)""")
 
-    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
-      .asInstanceOf[graft.catalog.GraftCatalog]
-    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array("default"), "ivm_t3")).asInstanceOf[graft.catalog.GraftTable]
-    val dir = Paths.get(tbl.location)
+    val dir = tableDir("ivm_t3")
     def v(): Long = GroupFiles.versions(dir).max
 
     val dims = Seq("k"); val sums = Seq("m")
@@ -83,21 +88,24 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     val seed = IncrementalView.build(spark, T3, dims, sums).localCheckpoint()
     // all-NULL measure group: build yields a NULL sum, and refresh must not
     // turn it into 0
-    assert(seed.filter("k = 'n'").collect()(0).isNullAt(2))
+    assert(seed.filter("k = 'n'").collect()(0).isNullAt(3))
 
     // delete the NULL-dim group (a plain equi-join would never match it
-    // and the stale row would survive) and add to the all-NULL group
+    // and the stale row would survive); add to the all-NULL group; and —
+    // the case only the __nn counter can decide — delete group x's LAST
+    // non-null measure, which must flip its sum from 5 back to NULL
     spark.sql(s"DELETE FROM $T3 WHERE k IS NULL")
-    spark.sql(s"INSERT INTO $T3 VALUES ('n', 4, NULL)")
+    spark.sql(s"INSERT INTO $T3 VALUES ('n', 6, NULL)")
+    spark.sql(s"DELETE FROM $T3 WHERE id = 4")
     val vN = v()
     val got = IncrementalView.refresh(spark, T3, dims, sums, seed, v0, vN)
     val want = IncrementalView.build(spark, T3, dims, sums)
     val norm = (df: org.apache.spark.sql.DataFrame) => df.collect()
       .map(r => (Option(r.getString(0)), r.getLong(1),
-                 if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
     assert(norm(got) === norm(want))
     assert(!norm(got).exists(_._1.isEmpty), "deleted NULL-dim group must vanish")
-    assert(norm(got) === Set((Some("n"), 3L, None)))
+    assert(norm(got) === Set((Some("n"), 3L, None), (Some("x"), 1L, None)))
     spark.sql(s"DROP TABLE IF EXISTS $T3")
   }
 
@@ -107,33 +115,39 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
     spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
     spark.sql(s"CREATE TABLE $B (k STRING, id BIGINT, m BIGINT)")
-    spark.sql(s"CREATE TABLE $V (k STRING, __n BIGINT, __sum_m BIGINT)")
+    // deliberately REORDERED view columns: overwrite must align by name
+    spark.sql(s"CREATE TABLE $V (k STRING, __sum_m BIGINT, __nn_m BIGINT, __n BIGINT)")
     spark.sql(s"INSERT INTO $B VALUES ('a', 1, 10), ('b', 2, 20)")
+
+    def viewRows() = spark.table(V).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSeq
 
     val dims = Seq("k"); val sums = Seq("m")
     val v0 = IncrementalView.materialize(spark, B, V, dims, sums)
-    assert(sorted(spark.table(V)) === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
-    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
-      .asInstanceOf[graft.catalog.GraftCatalog]
-    val vloc = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array("default"), "ivm_view")).asInstanceOf[graft.catalog.GraftTable].location)
+    assert(viewRows() === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    val vloc = tableDir("ivm_view")
     val viewVerAfterMaterialize = GroupFiles.versions(vloc).max
 
     spark.sql(s"INSERT INTO $B VALUES ('a', 3, 5)")
     spark.sql(s"DELETE FROM $B WHERE id = 2")
     val v1 = IncrementalView.refreshMaterialized(spark, B, V, dims, sums, v0)
     assert(v1 > v0)
-    assert(sorted(spark.table(V)) === sorted(IncrementalView.build(spark, B, dims, sums)))
-    assert(sorted(spark.table(V)) === Seq(("a", 2L, 15L)))
+    assert(viewRows() === Seq(("a", 2L, 15L)))
+    assert(viewRows() === sorted(IncrementalView.build(spark, B, dims, sums))
+      .map(t => (t._1, t._2, t._3)))
 
     // the view table is itself versioned: the PRE-refresh summary is one
     // VERSION AS OF away
     val hist = spark.sql(s"SELECT * FROM $V VERSION AS OF $viewVerAfterMaterialize")
-    assert(sorted(hist) === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSeq
+    assert(hist === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
 
-    // no base movement → no-op, no new view commit
+    // no base movement → no-op: same returned version AND no view commit
+    val viewVerBeforeNoop = GroupFiles.versions(vloc).max
     val v2 = IncrementalView.refreshMaterialized(spark, B, V, dims, sums, v1)
     assert(v2 === v1)
+    assert(GroupFiles.versions(vloc).max === viewVerBeforeNoop,
+      "a no-op refresh must not commit a new view version")
     spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
   }
 
@@ -144,11 +158,7 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"CREATE TABLE $T2 (k STRING, id BIGINT, m BIGINT)")
     spark.sql(s"INSERT INTO $T2 VALUES ('a', 1, 10), ('b', 2, 20)")
 
-    val cat = spark.sessionState.catalogManager.catalog("graft_ivm")
-      .asInstanceOf[graft.catalog.GraftCatalog]
-    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array("default"), "ivm_t2")).asInstanceOf[graft.catalog.GraftTable]
-    val dir = Paths.get(tbl.location)
+    val dir = tableDir("ivm_t2")
     def v(): Long = GroupFiles.versions(dir).max
 
     val dims = Seq("k"); val sums = Seq("m")
