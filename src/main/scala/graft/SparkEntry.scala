@@ -139,6 +139,7 @@ object SparkEntry {
     "q_heavy_hitters" -> Sketch.heavyHittersQuery,
     "q_regression" -> Analytics.regression,
     "q_entropy" -> Text.entropyQuery,
+    "q_lm_score" -> Text.lmScoreQuery,
     "q_stratified_sample" -> Scale.stratifiedSampleQuery,
     "q_outlier_zscore" -> Analytics.outlierZscore,
     "q_zorder_layout" -> Scale.zorderLayoutQuery,
@@ -1275,6 +1276,28 @@ object SparkEntry {
         |  round(-SUM((c / n_tokens) * ln(c / n_tokens)), 6) AS entropy
         |FROM tf f JOIN tot USING (lang)
         |GROUP BY f.lang, n_tokens, vocab ORDER BY f.lang""".stripMargin,
+
+    "q_lm_score" ->
+      // corpus-as-unigram-LM surprisal: exact (lang,doc,tok) counts roll
+      // up to the model and the per-doc score; the double Σ c·ln(c/n)
+      // drifts by ulps across engines — absorbed by round-6 (the
+      // q_entropy argument); worst-10 per lang, doc_id tiebreak
+      """WITH t AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT lang, doc_id, tok FROM t WHERE tok <> ''),
+        |tf AS (SELECT lang, doc_id, tok, COUNT(*) AS c_dt FROM t2 GROUP BY 1, 2, 3),
+        |lm AS (SELECT lang, tok, CAST(SUM(c_dt) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lm GROUP BY 1),
+        |pd AS (SELECT f.lang, f.doc_id, CAST(SUM(f.c_dt) AS BIGINT) AS len,
+        |         round(SUM(f.c_dt * ln(c / n)) / SUM(f.c_dt), 6) AS avg_logprob
+        |       FROM tf f JOIN lm ON f.lang = lm.lang AND f.tok = lm.tok
+        |       JOIN tot ON f.lang = tot.lang
+        |       GROUP BY 1, 2)
+        |SELECT lang, rk, doc_id, len, avg_logprob FROM (
+        |  SELECT lang, doc_id, len, avg_logprob,
+        |    row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS rk
+        |  FROM pd)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
 
     "q_stratified_sample" ->
       // md5-ordered exact-k per stratum: portable (md5 + string order

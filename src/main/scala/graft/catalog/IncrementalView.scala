@@ -136,6 +136,41 @@ object IncrementalView {
     v
   }
 
+  /** STREAMING materialized view: attach a CDC stage stream to a base
+    * catalog table and keep a stored GROUP BY summary current with it.
+    * Each micro-batch is (1) ONE MERGE INTO commit on the base (the
+    * [[graft.ops.Streaming.applyCdcStreamCatalog]] batch body — a
+    * numbered, time-travelable snapshot) followed by (2) ONE summary
+    * refresh driven by that commit's change feed alone. The view table
+    * therefore trails the base by at most one atomic swap, and neither
+    * step ever rescans the base.
+    *
+    * Recovery contract: the refresh cursor lives in this query's driver
+    * closure, not in the checkpoint — on restart `streamingMaterialize`
+    * re-seeds with a full [[materialize]] at the base's current version
+    * (idempotent: seeding IS the summary at that version) and resumes
+    * incrementally from there. At 100 TB prefer restart-seeding off-peak;
+    * the steady-state cost is change-feed-sized either way.
+    */
+  def streamingMaterialize(stage: DataFrame, baseTable: String, viewTable: String,
+                           pk: Seq[String], seqCol: String,
+                           dims: Seq[String], sums: Seq[String],
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    var at = materialize(stage.sparkSession, baseTable, viewTable, dims, sums)
+    stage.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // empty recovery/idle batches commit nothing and refresh nothing
+        if (!batch.isEmpty) {
+          graft.ops.Streaming.applyCdcBatch(batch, batchId, baseTable, pk, seqCol)
+          at = refreshMaterialized(batch.sparkSession, baseTable, viewTable,
+                                   dims, sums, at)
+        }
+        ()
+      }
+      .start()
+  }
+
   private def currentVersion(spark: SparkSession, qualifiedName: String): Long = {
     val parts = qualifiedName.split('.')
     val cat = spark.sessionState.catalogManager.catalog(parts.head)

@@ -406,27 +406,35 @@ object Streaming {
         // commit: a burst of no-op snapshots would push real batch
         // boundaries out of RETAIN-bounded retention and break the
         // ChangeFeed audit contract
-        if (!batch.isEmpty) {
-          val spark0 = batch.sparkSession
-          val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
-          val latest = batch.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-          val view = s"__cdc_catalog_src_$batchId"
-          latest.createOrReplaceTempView(view)
-          try {
-            // backtick-quote every identifier — pk/table names are caller
-            // data, not trusted SQL fragments
-            def q(id: String) = s"`${id.replace("`", "``")}`"
-            val qualified = table.split('.').map(q).mkString(".")
-            val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-            spark0.sql(s"""MERGE INTO $qualified t USING ${q(view)} s ON $on
-                          |WHEN MATCHED THEN UPDATE SET *
-                          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-          } finally spark0.catalog.dropTempView(view)
-        }
+        if (!batch.isEmpty) applyCdcBatch(batch, batchId, table, pk, seqCol)
         ()
       }
       .start()
+
+  /** One CDC micro-batch applied as ONE MERGE INTO commit — the batch
+    * body of [[applyCdcStreamCatalog]], shared with the streaming
+    * materialized view (catalog/IncrementalView.streamingMaterialize).
+    */
+  private[graft] def applyCdcBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                                   batchId: Long, table: String,
+                                   pk: Seq[String], seqCol: String): Unit = {
+    val spark0 = batch.sparkSession
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val view = s"__cdc_catalog_src_$batchId"
+    latest.createOrReplaceTempView(view)
+    try {
+      // backtick-quote every identifier — pk/table names are caller
+      // data, not trusted SQL fragments
+      def q(id: String) = s"`${id.replace("`", "``")}`"
+      val qualified = table.split('.').map(q).mkString(".")
+      val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      spark0.sql(s"""MERGE INTO $qualified t USING ${q(view)} s ON $on
+                    |WHEN MATCHED THEN UPDATE SET *
+                    |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally spark0.catalog.dropTempView(view)
+  }
 
   /** Stream-stream time-interval join (the streaming twin of
     * intervalJoin): same-user event pairs within 30 minutes. BOTH sides

@@ -82,6 +82,43 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** q_lm_score: per-language SURPRISAL OUTLIERS under a corpus unigram
+    * LM — the CCNet-style quality filter shape. The model is the corpus
+    * itself (c(lang,tok)/n(lang); every doc token has c ≥ 1, so no
+    * smoothing is needed), each doc scores avg-per-token ln p(tok), and
+    * the declared output is the 10 LOWEST-scoring docs per language (the
+    * rare-vocabulary junk a perplexity gate drops first). Bounded output
+    * (|langs|×10 rows) regardless of corpus size — the tfidf pattern.
+    *
+    * Scale shape: one explode to the (lang, doc, tok) grain, the unigram
+    * table and per-lang totals are rollups of that same frame (no second
+    * pass over text), one hash join back on (lang, tok), and only the
+    * |langs|-row totals broadcast. Determinism: exact integer counts;
+    * the per-doc Σ c·ln(c/n) is a double sum absorbed by round-6 (the
+    * q_entropy/tfidf ln-tolerance argument); rank ties break on doc_id.
+    */
+  def lmScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Sources.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c_dt"))
+    val lm = tf.groupBy(col("lang"), col("tok")).agg(sum(col("c_dt")).as("c"))
+    val tot = lm.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val perDoc = tf.join(lm, Seq("lang", "tok"))
+      .join(broadcast(tot), Seq("lang"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("c_dt")).as("len"),
+           r6(sum(col("c_dt") * log(col("c") / col("n"))) / sum(col("c_dt")))
+             .as("avg_logprob"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("len"), col("avg_logprob"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** q_tfidf_topterms: deterministic TF-IDF — tf per (lang, term), df per
     * term, score = tf·ln(N/df) rounded to 6 dp, top-5 per lang with term-
     * asc tiebreak (SURVEY §7.4.2 shape).

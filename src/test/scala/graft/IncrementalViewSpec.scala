@@ -174,4 +174,57 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(oneHop) === sorted(IncrementalView.build(spark, T2, dims, sums)))
     spark.sql(s"DROP TABLE IF EXISTS $T2")
   }
+
+  test("streaming materialized view: each CDC micro-batch lands in the summary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val B = "graft_ivm.default.ivm_sbase"; val V = "graft_ivm.default.ivm_sview"
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
+    spark.sql(s"CREATE TABLE $B (user_id BIGINT, event_type STRING, value BIGINT, us BIGINT)")
+    spark.sql(s"CREATE TABLE $V (event_type STRING, __n BIGINT, __nn_value BIGINT, __sum_value BIGINT)")
+    // pre-existing base rows: the seed must capture them before any batch
+    spark.sql(s"INSERT INTO $B VALUES (1, 'u', 10, 0), (2, 'u', 20, 0)")
+
+    val events = MemoryStream[Ev]
+    val base = 1700000000000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivm_stream").toString
+    val dims = Seq("event_type"); val sums = Seq("value")
+    val q = IncrementalView.streamingMaterialize(
+      events.toDF.select(col("user_id"), col("event_type"),
+                         col("value").cast("bigint").as("value"),
+                         unix_micros(col("ts")).as("us")),
+      B, V, Seq("user_id"), "us", dims, sums, s"$ckpt/ckpt")
+    try {
+      def viewNow() = spark.table(V).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      def rebuilt() = IncrementalView.build(spark, B, dims, sums).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+
+      // the seed reflects the pre-stream rows
+      assert(viewNow() === Set(("u", 2L, 30L)))
+
+      // batch 1: new user in a NEW group + an update that MOVES user 2
+      // between groups (delete from 'u', insert into 'w' in the feed)
+      events.addData(Ev(101, new Timestamp(base), 3, "w", 7.0),
+                     Ev(102, new Timestamp(base + 1000), 2, "w", 21.0))
+      q.processAllAvailable()
+      assert(viewNow() === Set(("u", 1L, 10L), ("w", 2L, 28L)))
+      assert(viewNow() === rebuilt())
+
+      // batch 2: in-batch duplicate (later us wins) + another group move
+      events.addData(Ev(103, new Timestamp(base + 2000), 1, "w", 11.0),
+                     Ev(104, new Timestamp(base + 3000), 1, "u", 12.0))
+      q.processAllAvailable()
+      assert(viewNow() === Set(("u", 1L, 12L), ("w", 2L, 28L)))
+      assert(viewNow() === rebuilt())
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
+    }
+  }
 }
