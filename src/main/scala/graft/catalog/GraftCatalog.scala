@@ -136,30 +136,95 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     t
   }
 
-  /** Schema evolution, Iceberg-style: ADD COLUMN is a METADATA-ONLY
-    * change — no data file is touched. New columns append at the end,
-    * always nullable; existing group files keep their narrower field
-    * count and the reader null-pads them (the file's 4-byte header says
-    * how wide its rows really are). At 100 TB this is the only acceptable
-    * cost model for adding a column.
+  /** Schema evolution, Iceberg-style: ADD / RENAME / DROP COLUMN are all
+    * METADATA-ONLY — no data file is ever touched. The mechanism is
+    * stable FIELD IDS ([[GraftTable.fieldIds]]): a rename keeps the id
+    * (old files keep serving the column under its new name), a drop
+    * retires the id (old files' bytes for it are skipped at read), an
+    * add mints a fresh id (old files read NULL for it). Files record
+    * their id list in the manifest (`#f=`); files older than that token
+    * are add-only history whose columns are the schema's id prefix —
+    * the first DROP materializes their ids explicitly (one header read
+    * per file, one manifest commit) so position stays decodable forever.
+    * At 100 TB this is the only acceptable cost model for evolving a
+    * schema.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(t.schema()) { (schema, change) =>
-      change match {
-        case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            "only top-level ADD COLUMN is supported")
-          require(!schema.fieldNames.contains(add.fieldNames().head),
-            s"column ${add.fieldNames().head} already exists")
-          StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
-            add.fieldNames().head, add.dataType(), nullable = true))
-        case other =>
-          throw new UnsupportedOperationException(
-            s"ALTER TABLE change not supported: $other")
-      }
+    val dir = Paths.get(t.location)
+    var schema = t.schema()
+    var ids = t.fieldIds
+    var props = t.props
+    // the high-water mark outlives drops: without it, dropping the
+    // highest-id column and adding a new one would REUSE the retired id
+    // and old files would serve the dead column's bytes as the new one
+    var nextId = props.get(GraftTable.NEXT_ID).map(_.toInt)
+      .getOrElse(ids.maxOption.getOrElse(-1) + 1)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "only top-level ADD COLUMN is supported")
+        require(!schema.fieldNames.contains(add.fieldNames().head),
+          s"column ${add.fieldNames().head} already exists")
+        schema = StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+          add.fieldNames().head, add.dataType(), nullable = true))
+        ids = ids :+ nextId
+        nextId += 1
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "only top-level RENAME COLUMN is supported")
+        val old = rn.fieldNames().head
+        val i = schema.fieldIndex(old)
+        require(!schema.fieldNames.contains(rn.newName()),
+          s"column ${rn.newName()} already exists")
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(name = rn.newName())))
+        // stats are keyed by NAME in the manifest: carry them across the
+        // rename (they describe the same field id, so they stay valid)
+        if (GroupFiles.version(dir) > 0) GroupFiles.mutate(dir)(_.map(g => g.copy(
+          stats = g.stats.map { case (c, v) => (if (c == old) rn.newName() else c) -> v },
+          nonNull = g.nonNull.map { case (c, v) => (if (c == old) rn.newName() else c) -> v })))
+        // a bucketed table's layout follows its column through the rename
+        if (props.get("bucket_by").exists(_.equalsIgnoreCase(old)))
+          props += ("bucket_by" -> rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "only top-level DROP COLUMN is supported")
+        val name = del.fieldNames().head
+        if (!schema.fieldNames.contains(name)) {
+          require(del.ifExists(), s"column $name does not exist")
+        } else {
+          require(schema.length > 1, "cannot drop the only column")
+          require(!props.get("bucket_by").exists(_.equalsIgnoreCase(name)),
+            s"cannot drop the bucketing column $name")
+          val i = schema.fieldIndex(name)
+          val preIds = ids
+          // one commit: materialize ids on legacy (pre-token) groups —
+          // their columns are the PRE-drop schema's id prefix, read off
+          // each file's 4-byte width header — and strip the dropped
+          // column's stats so a future same-named column can never
+          // inherit them
+          if (GroupFiles.version(dir) > 0) GroupFiles.mutate(dir)(_.map { g =>
+            val withIds = g.fieldIds match {
+              case Some(_) => g
+              case None =>
+                val in = new DataInputStream(Files.newInputStream(dir.resolve(g.file)))
+                val w = try in.readInt() finally in.close()
+                g.copy(fieldIds = Some(preIds.take(w)))
+            }
+            withIds.copy(stats = withIds.stats - name, nonNull = withIds.nonNull - name)
+          })
+          schema = StructType(schema.fields.patch(i, Nil, 1))
+          ids = ids.patch(i, Nil, 1)
+          props += (GraftTable.DROPPED -> "true")
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
     }
-    val replaced = new GraftTable(t.name(), newSchema, t.location, props = t.props)
+    props += (GraftTable.FIELD_IDS -> ids.mkString(","))
+    props += (GraftTable.NEXT_ID -> nextId.toString)
+    val replaced = new GraftTable(t.name(), schema, t.location, props = props)
     tables.put(key(ident), replaced)
     replaced
   }
@@ -247,7 +312,8 @@ object GraftBucketFunction
 case class Group(file: String, stats: Map[String, (Long, Long)],
                  rows: Option[Long] = None,
                  nonNull: Map[String, Long] = Map.empty,
-                 bucket: Option[Int] = None) {
+                 bucket: Option[Int] = None,
+                 fieldIds: Option[Seq[Int]] = None) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
@@ -476,6 +542,21 @@ object GroupFiles {
       val bucket = parts.tail.collectFirst {
         case s if s.startsWith("#b=") => s.stripPrefix("#b=").toIntOption
       }.flatten
+      // "#f=<id,id,…>" records the STABLE FIELD IDS this file's columns
+      // were written with, in file position order — the Iceberg-style
+      // identity that makes RENAME/DROP COLUMN metadata-only (the reader
+      // maps schema ids to file positions; a missing id reads NULL, an
+      // extra id is skipped). Files written before this token exists are
+      // add-only history: their columns are the schema's id prefix.
+      val fids = parts.tail.collectFirst {
+        case s if s.startsWith("#f=") =>
+          val raw = s.stripPrefix("#f=")
+          if (raw.isEmpty) Some(Seq.empty[Int])
+          else {
+            val ids = raw.split(',').map(_.toIntOption)
+            if (ids.forall(_.isDefined)) Some(ids.flatten.toSeq) else None
+          }
+      }.flatten
       // stats token: col=lo:hi[:nonNullCount] — the third part is the
       // non-null count that lets MatchesAll prove NULL absence; legacy
       // two-part tokens parse with no such proof
@@ -494,7 +575,7 @@ object GroupFiles {
         }
       }
       Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
-            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket)
+            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids)
     }
   }
 
@@ -547,6 +628,7 @@ object GroupFiles {
       (g.file +:
         (g.rows.map(n => s"#n=$n").toSeq ++
          g.bucket.map(b => s"#b=$b").toSeq ++
+         g.fieldIds.map(ids => s"#f=${ids.mkString(",")}").toSeq ++
          g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
            .map { case (c, (lo, hi)) =>
              s"$c=$lo:$hi" + g.nonNull.get(c).map(nn => s":$nn").getOrElse("") }))
@@ -586,20 +668,23 @@ object GroupFiles {
     */
   def compact(dir: Path, targetBytes: Long): Unit = mutate(dir) { groups =>
     if (groups.size <= 1) groups else {
-    // bin only groups of the SAME row width together (schema evolution
-    // leaves older, narrower files behind — they null-pad at read and can
-    // only merge with their own generation), then pack sequentially in
-    // manifest order; close a bin once it reaches the target
+    // bin only groups of the SAME schema identity together: files with
+    // field-id tags merge iff their id lists are identical byte layouts;
+    // legacy untagged files (add-only history) merge by row width. Mixed
+    // generations null-pad/project at read and can only merge with their
+    // own kind — byte concatenation must never change column meaning.
     def fieldsOf(g: Group): Int = {
       val in = new DataInputStream(Files.newInputStream(dir.resolve(g.file)))
       try in.readInt() finally in.close()
     }
+    def schemaKey(g: Group): String =
+      g.fieldIds.map(ids => s"f:${ids.mkString(",")}").getOrElse(s"w:${fieldsOf(g)}")
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[(Group, Long)]]
     // bucketed tables additionally bin WITHIN a bucket only: a merged
     // group keeps one unambiguous #b tag, preserving the reported
     // KeyGroupedPartitioning across compactions
-    groups.groupBy(g => (fieldsOf(g), g.bucket)).toSeq
+    groups.groupBy(g => (schemaKey(g), g.bucket)).toSeq
       // sort the FULL key: hash-map order on bucket ties would make the
       // compacted manifest nondeterministic run to run
       .sortBy { case ((f, b), _) => (f, b.getOrElse(-1)) }
@@ -649,7 +734,7 @@ object GroupFiles {
             Some(c -> members.map(_.nonNull(c)).sum)
           else None
         }.toMap
-        Group(merged, stats, rows, nn, bin.head._1.bucket)
+        Group(merged, stats, rows, nn, bin.head._1.bucket, bin.head._1.fieldIds)
       }
     }.toSeq
     }
@@ -678,6 +763,29 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def properties(): util.Map[String, String] = props.asJava
+
+  /** STABLE FIELD IDS, positionally aligned with schema() — the column
+    * identity that survives RENAME (id unchanged) and DROP (id retired,
+    * never reused). A table with no recorded ids has add-only history
+    * (ids = positions); the first rename/drop/add records them
+    * explicitly in table props.
+    */
+  val fieldIds: Seq[Int] =
+    props.get(GraftTable.FIELD_IDS)
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(tableSchema.indices)
+  require(fieldIds.length == tableSchema.length,
+    s"field id list (${fieldIds.length}) does not match schema width (${tableSchema.length})")
+
+  /** The field id of a CURRENT schema column (exact-name lookup). */
+  def fieldIdOf(col: String): Int = fieldIds(tableSchema.fieldIndex(col))
+
+  /** True once any column has ever been DROPPED: legacy (pre-field-id)
+    * groups' name-keyed stats can then no longer be trusted for a
+    * re-added same-named column in retained old snapshots — readers of
+    * such groups must skip stats-only answers (see translate()).
+    */
+  val everDropped: Boolean = props.get(GraftTable.DROPPED).contains("true")
 
   /** HASH-BUCKETED layout (`TBLPROPERTIES('bucket_by'='k','buckets'='8')`):
     * every writer routes each row to its bucket's group file
@@ -778,6 +886,15 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
   }
 }
 
+object GraftTable {
+  /** Table property holding the comma-joined field ids (schema order). */
+  val FIELD_IDS = "graft.field_ids"
+  /** Table property set (permanently) by the first DROP COLUMN. */
+  val DROPPED = "graft.dropped"
+  /** Table property holding the never-reused field-id high-water mark. */
+  val NEXT_ID = "graft.next_field_id"
+}
+
 /** Scan builder with AGGREGATE PUSHDOWN: COUNT(*) / MIN / MAX with no
   * GROUP BY and no residual filters are answered from the MANIFEST —
   * row counts and per-group (min,max) stats — without opening a single
@@ -841,6 +958,18 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
       case None => GroupFiles.live(Paths.get(table.location))
     })
 
+  /** A group's name-keyed stats speak for the CURRENT column `c` only if
+    * the file actually wrote that field ID. Matters for time travel
+    * across a DROP + re-ADD of the same name: a pre-drop snapshot's
+    * stats for the dead field must not answer MIN/MAX for its reborn
+    * namesake. Groups without recorded ids are trustworthy exactly when
+    * the table has never dropped a column (pure add-only history).
+    */
+  private def statsTrusted(g: Group, c: String): Boolean = g.fieldIds match {
+    case Some(ids) => ids.contains(table.fieldIdOf(c))
+    case None => !table.everDropped
+  }
+
   private def translate(agg: Aggregation): Option[(StructType, Seq[Option[Long]])] = {
     if (holder.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     val groups = liveGroups
@@ -852,14 +981,16 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
         fields += StructField(s"agg$i", LongType, nullable = false)
         values += Some(groups.flatMap(_.rows).sum)
       case (m: Min, i) =>
-        colOf(m.column()).filter(c => groups.nonEmpty && groups.forall(_.stats.contains(c))) match {
+        colOf(m.column()).filter(c => groups.nonEmpty &&
+            groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
             fields += StructField(s"agg$i", LongType, nullable = true)
             values += Some(groups.map(_.stats(c)._1).min)
           case None => return None
         }
       case (m: Max, i) =>
-        colOf(m.column()).filter(c => groups.nonEmpty && groups.forall(_.stats.contains(c))) match {
+        colOf(m.column()).filter(c => groups.nonEmpty &&
+            groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
             fields += StructField(s"agg$i", LongType, nullable = true)
             values += Some(groups.map(_.stats(c)._2).max)
@@ -985,17 +1116,18 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
         val byBucket = groups.groupBy(_.bucket.get)
         (0 until n).map { b =>
           GraftBucketPartition(b,
-            byBucket.getOrElse(b, Seq.empty).map(g => dir.resolve(g.file).toString)
+            byBucket.getOrElse(b, Seq.empty)
+              .map(g => (dir.resolve(g.file).toString, g.fieldIds))
           ): InputPartition
         }.toArray
       case None =>
         groups.map(g => GraftInputPartition(
-          dir.resolve(g.file).toString): InputPartition).toArray
+          dir.resolve(g.file).toString, g.fieldIds): InputPartition).toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupRowsReader.factory(table.schema().length)
+    GroupRowsReader.factory(table.fieldIds)
 
   /** STREAMING READ of the table (readStream.table): every COMMIT is a
     * micro-batch — offsets are snapshot versions, a batch's rows are the
@@ -1005,15 +1137,18 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     new GraftMicroBatchStream(table)
 }
 
-/** One group file per partition; only the path travels. */
-case class GraftInputPartition(path: String) extends InputPartition
+/** One group file per partition; the path plus the file's field-id list
+  * (None = pre-field-id file: its columns are the schema's id prefix).
+  */
+case class GraftInputPartition(path: String, fieldIds: Option[Seq[Int]] = None)
+    extends InputPartition
 
 /** One BUCKET per partition (possibly several group files, possibly
   * none). HasPartitionKey hands Spark the bucket id as the partition's
   * key — the hook KeyGroupedPartitioning needs to line partitions up
   * across the two sides of a storage-partitioned join.
   */
-case class GraftBucketPartition(bucket: Int, paths: Seq[String])
+case class GraftBucketPartition(bucket: Int, files: Seq[(String, Option[Seq[Int]])])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1025,18 +1160,19 @@ case class GraftBucketPartition(bucket: Int, paths: Seq[String])
   * the streaming source read identical bytes).
   */
 object GroupRowsReader {
-  def factory(expectedFields: Int): PartitionReaderFactory =
+  def factory(schemaIds: Seq[Int]): PartitionReaderFactory =
     (partition: InputPartition) => partition match {
-      case GraftBucketPartition(_, paths) =>
+      case GraftBucketPartition(_, files) =>
         // one bucket = its files' rows concatenated, in manifest order
         new PartitionReader[InternalRow] {
-          private val it = paths.iterator
+          private val it = files.iterator
           private var cur: PartitionReader[InternalRow] = _
           override def next(): Boolean = {
             while (true) {
               if (cur == null) {
                 if (!it.hasNext) return false
-                cur = fileReader(it.next(), expectedFields)
+                val (p, fids) = it.next()
+                cur = fileReader(p, fids, schemaIds)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1046,27 +1182,54 @@ object GroupRowsReader {
           override def get(): InternalRow = cur.get()
           override def close(): Unit = if (cur != null) cur.close()
         }
-      case GraftInputPartition(path) => fileReader(path, expectedFields)
+      case GraftInputPartition(path, fids) => fileReader(path, fids, schemaIds)
       case other => throw new IllegalStateException(
         s"unexpected partition type ${other.getClass.getName}")
     }
 
-  private def fileReader(path: String, expectedFields: Int): PartitionReader[InternalRow] =
+  private def fileReader(path: String, fileIds: Option[Seq[Int]],
+                         schemaIds: Seq[Int]): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
         private val in = new DataInputStream(new BufferedInputStream(
           Files.newInputStream(Paths.get(path))))
         private val numFields = in.readInt()
-        require(numFields <= expectedFields,
-          s"group file $path is wider ($numFields) than the table schema ($expectedFields)")
+        // the file's column identities, in file position order: recorded
+        // in the manifest (#f=), or — for pre-field-id files, which are
+        // add-only history — the schema's id prefix
+        private val fids: Seq[Int] = fileIds match {
+          case Some(ids) =>
+            require(ids.length == numFields,
+              s"group file $path header width $numFields does not match its " +
+              s"manifest field ids (${ids.mkString(",")})")
+            ids
+          case None =>
+            require(numFields <= schemaIds.length,
+              s"group file $path is wider ($numFields) than the table schema " +
+              s"(${schemaIds.length}) and carries no field ids")
+            schemaIds.take(numFields)
+        }
         private val row = new UnsafeRow(numFields)
-        // schema evolution: files written before an ADD COLUMN are
-        // narrower than the current schema — null-pad them at read time
-        // (metadata-only evolution; the data files are never rewritten)
+        // schema evolution is resolved by FIELD ID, not position: for
+        // each schema column find its file position; missing (added
+        // after this file) reads NULL; file positions whose id the
+        // schema no longer has (dropped columns) are skipped. The
+        // mapping degenerates to the identity (serve the raw row) or a
+        // null-pad (JoinedRow) in the common add-only cases.
+        private val mapping: Array[Int] = schemaIds.map(fids.indexOf(_)).toArray
+        private val identityPrefix =
+          mapping.zipWithIndex.forall { case (m, i) =>
+            (i < numFields && m == i) || (i >= numFields && m < 0) }
         private val pad =
-          if (numFields == expectedFields) null
+          if (!identityPrefix || numFields == schemaIds.length) null
           else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
             row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              expectedFields - numFields))
+              schemaIds.length - numFields))
+        // general projection (rename is id-stable so never lands here;
+        // only drop/re-add histories do): schema ordinal i reads file
+        // position mapping(i), with one shared null slot for missing ids
+        private val reshaped =
+          if (identityPrefix) null
+          else new ReorderedRow(row, mapping)
         // EOF is only legal at a ROW BOUNDARY — i.e. exactly BEFORE a
         // length prefix. A torn file (truncated mid-row OR mid-prefix by
         // disk corruption / a non-atomic copy) must fail LOUDLY:
@@ -1092,9 +1255,62 @@ object GroupRowsReader {
           row.pointTo(bytes, len)
           true
         }
-        override def get(): InternalRow = if (pad == null) row else pad
+        override def get(): InternalRow =
+          if (reshaped != null) reshaped else if (pad == null) row else pad
         override def close(): Unit = in.close()
       }
+
+  /** Schema-ordinal view over a file row: ordinal i reads file position
+    * map(i); map(i) < 0 (the field id is absent from this file) reads
+    * NULL. Typed getters follow the InternalRow contract (callers check
+    * isNullAt first); the row is read-only.
+    */
+  private class ReorderedRow(under: InternalRow, map: Array[Int])
+      extends InternalRow {
+    override def numFields: Int = map.length
+    override def isNullAt(i: Int): Boolean = {
+      val p = map(i); p < 0 || under.isNullAt(p)
+    }
+    override def anyNull: Boolean = {
+      var i = 0
+      while (i < map.length) { if (isNullAt(i)) return true; i += 1 }
+      false
+    }
+    override def getBoolean(i: Int): Boolean = under.getBoolean(map(i))
+    override def getByte(i: Int): Byte = under.getByte(map(i))
+    override def getShort(i: Int): Short = under.getShort(map(i))
+    override def getInt(i: Int): Int = under.getInt(map(i))
+    override def getLong(i: Int): Long = under.getLong(map(i))
+    override def getFloat(i: Int): Float = under.getFloat(map(i))
+    override def getDouble(i: Int): Double = under.getDouble(map(i))
+    override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+      under.getDecimal(map(i), precision, scale)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      under.getUTF8String(map(i))
+    override def getBinary(i: Int): Array[Byte] = under.getBinary(map(i))
+    override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+      under.getInterval(map(i))
+    override def getStruct(i: Int, numFields: Int): InternalRow =
+      under.getStruct(map(i), numFields)
+    override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+      under.getArray(map(i))
+    override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+      under.getMap(map(i))
+    override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+      under.getVariant(map(i))
+    override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+      under.getGeography(map(i))
+    override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+      under.getGeometry(map(i))
+    override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef = {
+      val p = map(i); if (p < 0) null else under.get(p, dataType)
+    }
+    override def copy(): InternalRow = new ReorderedRow(under.copy(), map)
+    override def setNullAt(i: Int): Unit =
+      throw new UnsupportedOperationException("ReorderedRow is read-only")
+    override def update(i: Int, value: Any): Unit =
+      throw new UnsupportedOperationException("ReorderedRow is read-only")
+  }
 }
 
 /** Version-offset streaming source over a Graft table: every commit
@@ -1128,12 +1344,13 @@ class GraftMicroBatchStream(table: GraftTable)
     val before = if (s == 0) Set.empty[String]
                  else GroupFiles.liveAt(dir, s).map(_.file).toSet
     GroupFiles.liveAt(dir, e).filterNot(g => before(g.file))
-      .map(g => GraftInputPartition(dir.resolve(g.file).toString): InputPartition)
+      .map(g => GraftInputPartition(
+        dir.resolve(g.file).toString, g.fieldIds): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupRowsReader.factory(table.schema().length)
+    GroupRowsReader.factory(table.fieldIds)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1176,7 +1393,11 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   // this BatchWrite (and through it the non-serializable table)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftWriterFactory(table.location, writeSchema,
-      table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) })
+      table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) },
+      // field ids resolved BY NAME against the write schema: a row-level
+      // write's schema is the table's, but resolving positionally would
+      // silently mislabel columns if a future write path reordered them
+      writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
   * when it doesn't (unshuffled small inserts, distribution disabled).
   */
 case class GraftWriterFactory(location: String, writeSchema: StructType,
-                              bucketed: Option[(Int, Int)] = None)
+                              bucketed: Option[(Int, Int)] = None,
+                              fieldIds: Seq[Int] = Seq.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -76,7 +77,11 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
               Some(writeSchema.fields(longCols(s)).name -> nonNulls(s))
             else None
           }.toMap
-          Group(fileName, stats, Some(nRows), nn, bucket)
+          Group(fileName, stats, Some(nRows), nn, bucket,
+                // files permanently record the field ids they were
+                // written under — the identity that keeps them readable
+                // across later RENAME/DROP COLUMN
+                if (fieldIds.nonEmpty) Some(fieldIds) else None)
         }
 
         def drop(): Unit = {

@@ -180,6 +180,96 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_evo")
   }
 
+  test("RENAME/DROP COLUMN are metadata-only: field ids keep every generation readable") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_fid"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, a BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, id * 2, 'g1' FROM range(0, 50)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    def dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_fid")).asInstanceOf[graft.catalog.GraftTable].location)
+    def dataFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val gen1Files = dataFiles()
+
+    // RENAME: old files keep serving the column under its new name
+    spark.sql(s"ALTER TABLE $T RENAME COLUMN a TO b")
+    assert(dataFiles() === gen1Files, "RENAME COLUMN must not touch data files")
+    assert(spark.sql(s"SELECT CAST(SUM(b) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 50L).map(_ * 2).sum)
+    // stats carried across the rename: MIN/MAX still metadata-answerable
+    assert(spark.sql(s"SELECT CAST(MAX(b) AS BIGINT) FROM $T").head().getLong(0) === 98L)
+    spark.sql(s"INSERT INTO $T SELECT id, id * 2, 'g2' FROM range(50, 80)")
+
+    // DROP: metadata-only, the column vanishes from every generation
+    val preDropVersion = graft.catalog.GroupFiles.version(dir)
+    spark.sql(s"ALTER TABLE $T DROP COLUMN v")
+    assert(spark.table(T).columns.toSeq === Seq("k", "b"))
+    assert(spark.table(T).count() === 80)
+
+    // RE-ADD the dropped name: old files must read NULL for it — the
+    // dead field's bytes (g1/g2 strings) must never leak into the
+    // reborn namesake
+    spark.sql(s"ALTER TABLE $T ADD COLUMN v STRING")
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v IS NULL").head().getLong(0) === 80)
+    spark.sql(s"INSERT INTO $T SELECT id, id * 2, 'g3' FROM range(80, 90)")
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v = 'g3'").head().getLong(0) === 10)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v IS NULL").head().getLong(0) === 80)
+    // numeric column still correct across all three generations
+    assert(spark.sql(s"SELECT CAST(SUM(b) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 90L).map(_ * 2).sum)
+
+    // time travel across the evolution reads the old snapshot under the
+    // CURRENT schema (pre-drop rows: v is the reborn field ⇒ NULL)
+    val old = spark.sql(s"SELECT * FROM $T VERSION AS OF $preDropVersion")
+    assert(old.columns.toSeq === Seq("k", "b", "v"))
+    assert(old.count() === 80)
+    assert(old.filter("v IS NOT NULL").count() === 0,
+      "dropped-column bytes must not resurface through time travel")
+
+    // compaction must not merge files of different schema generations
+    graft.catalog.GroupFiles.compact(dir, 1L << 20)
+    assert(spark.table(T).count() === 90)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v IS NULL").head().getLong(0) === 80)
+    assert(spark.sql(s"SELECT CAST(SUM(b) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 90L).map(_ * 2).sum)
+
+    // a MERGE across generations normalizes matched rows to the current shape
+    spark.sql(
+      s"""MERGE INTO $T t
+         |USING (SELECT id AS k, 0L AS b, 'upd' AS v FROM range(0, 90, 10)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v = 'upd' AND b = 0").head().getLong(0) === 9)
+    assert(spark.table(T).count() === 90)
+    spark.sql(s"DROP TABLE $T")
+  }
+
+  test("renaming the bucketing column keeps the bucketed layout routing") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_bkrn"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING) TBLPROPERTIES('bucket_by'='k','buckets'='4')")
+    spark.sql(s"INSERT INTO $T SELECT id, 'x' FROM range(0, 40)")
+    spark.sql(s"ALTER TABLE $T RENAME COLUMN k TO key")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_bkrn")).asInstanceOf[graft.catalog.GraftTable]
+    assert(t.bucketSpec === Some(("key", 4)), "bucket spec must follow the rename")
+    // new writes still route on the renamed column; reads see all rows
+    spark.sql(s"INSERT INTO $T SELECT id, 'y' FROM range(40, 60)")
+    assert(spark.table(T).count() === 60)
+    assert(spark.sql(s"SELECT CAST(SUM(key) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 60L).sum)
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("runtime group filtering: MERGE rewrites only groups whose key range can match") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
