@@ -50,8 +50,14 @@ object ChangeFeed {
       s"$qualifiedName already has a _change_type column; the feed's " +
       "metadata column would silently destroy it")
     val dir = Paths.get(base.location)
-    val from = GroupFiles.liveAt(dir, fromVersion).map(g => g.file -> g).toMap
-    val to = GroupFiles.liveAt(dir, toVersion).map(g => g.file -> g).toMap
+    // the diff key is (file, delete vector): a merge-on-read DELETE leaves
+    // the file in both snapshots but swaps its vector, and the group must
+    // then feed both sides (old mask vs new mask) so the newly-masked rows
+    // surface as 'delete' — still O(changed groups), never O(table)
+    def keyed(v: Long) =
+      GroupFiles.liveAt(dir, v).map(g => (g.file, g.deletes.map(_._1)) -> g).toMap
+    val from = keyed(fromVersion)
+    val to = keyed(toVersion)
 
     // each side feeds BOTH exceptAll branches — materialize once so the
     // changed files are read once, not twice
@@ -62,6 +68,8 @@ object ChangeFeed {
 
     val added = read((to -- from.keySet).values.toSeq.sortBy(_.file))
     val removed = read((from -- to.keySet).values.toSeq.sortBy(_.file))
+      // a removed-side group is read with the mask it had AT fromVersion;
+      // Bridge.v2Rows pins exactly the given groups, vectors included
     added.exceptAll(removed).withColumn("_change_type", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }

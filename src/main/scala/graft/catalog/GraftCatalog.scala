@@ -313,16 +313,27 @@ case class Group(file: String, stats: Map[String, (Long, Long)],
                  rows: Option[Long] = None,
                  nonNull: Map[String, Long] = Map.empty,
                  bucket: Option[Int] = None,
-                 fieldIds: Option[Seq[Int]] = None) {
+                 fieldIds: Option[Seq[Int]] = None,
+                 deletes: Option[(String, Long)] = None) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
   def mayContain(col: String, v: Long): Boolean =
     stats.get(col).forall { case (lo, hi) => v >= lo && v <= hi }
 
-  /** Provably no NULLs in `col`? (Requires both counts recorded.) */
+  /** Provably no NULLs in `col`? (Requires both counts recorded.)
+    *
+    * Stats, row counts and non-null counts always describe the PHYSICAL
+    * file — a delete vector masks a subset of those rows, so every proof
+    * over the physical set ("no row matches", "every row matches", "no
+    * row is NULL") holds a fortiori for the live subset. Only EXACT
+    * answers (COUNT/MIN/MAX pushdown) must account for [[deletes]].
+    */
   def noNulls(col: String): Boolean =
     rows.exists(n => nonNull.get(col).contains(n))
+
+  /** Rows visible after masking (None when the physical count is unknown). */
+  def liveRows: Option[Long] = rows.map(_ - deletes.map(_._2).getOrElse(0L))
 }
 
 /** The on-disk layout: immutable `<uuid>.rows` group files (4-byte field
@@ -473,14 +484,20 @@ object GroupFiles {
     * ops whose runtime-filtered scans touched DISJOINT group sets both
     * validate and both commit.
     */
-  def commitRowLevel(dir: Path, scanned: Set[String], written: Seq[Group]): Unit =
+  def commitRowLevel(dir: Path, scanned: Set[(String, Option[String])],
+                     written: Seq[Group]): Unit =
     lockFor(dir).synchronized {
       val liveNow = live(dir)
-      val stale = scanned -- liveNow.map(_.file).toSet
+      // identity = (file, delete vector): a group whose VECTOR changed
+      // since the scan is as much a conflict as a replaced file — the
+      // rewrite was computed from rows a concurrent MoR delete removed,
+      // and committing it would resurrect them
+      val stale = scanned -- liveNow.map(g => (g.file, g.deletes.map(_._1))).toSet
       if (stale.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"row-level commit conflict: scanned groups were replaced by a concurrent " +
-        s"commit (${stale.toSeq.sorted.mkString(", ")}); re-run the operation")
-      publish(dir, liveNow.filterNot(g => scanned(g.file)) ++ written)
+        s"commit (${stale.toSeq.map(_._1).sorted.mkString(", ")}); re-run the operation")
+      val scannedFiles = scanned.map(_._1)
+      publish(dir, liveNow.filterNot(g => scannedFiles(g.file)) ++ written)
     }
 
   def reset(dir: Path): Unit = { delete(dir); Files.createDirectories(dir) }
@@ -557,6 +574,19 @@ object GroupFiles {
             if (ids.forall(_.isDefined)) Some(ids.flatten.toSeq) else None
           }
       }.flatten
+      // "#d=<dvfile>:<count>" — MERGE-ON-READ positional delete vector:
+      // <dvfile> holds the sorted physical row positions masked out of
+      // this group, <count> is their number (so COUNT(*) pushdown can
+      // answer without opening the vector). The group file itself is
+      // untouched — old snapshots that reference the group WITHOUT this
+      // token still read the pre-delete rows (time travel is free).
+      val dv = parts.tail.collectFirst {
+        case s if s.startsWith("#d=") =>
+          val raw = s.stripPrefix("#d=")
+          val cut = raw.lastIndexOf(':')
+          if (cut <= 0) None
+          else raw.drop(cut + 1).toLongOption.map(n => (raw.take(cut), n))
+      }.flatten
       // stats token: col=lo:hi[:nonNullCount] — the third part is the
       // non-null count that lets MatchesAll prove NULL absence; legacy
       // two-part tokens parse with no such proof
@@ -575,7 +605,7 @@ object GroupFiles {
         }
       }
       Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
-            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids)
+            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids, dv)
     }
   }
 
@@ -629,6 +659,7 @@ object GroupFiles {
         (g.rows.map(n => s"#n=$n").toSeq ++
          g.bucket.map(b => s"#b=$b").toSeq ++
          g.fieldIds.map(ids => s"#f=${ids.mkString(",")}").toSeq ++
+         g.deletes.map { case (f, n) => s"#d=$f:$n" }.toSeq ++
          g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
            .map { case (c, (lo, hi)) =>
              s"$c=$lo:$hi" + g.nonNull.get(c).map(nn => s":$nn").getOrElse("") }))
@@ -639,12 +670,16 @@ object GroupFiles {
     // commit point passed — record the snapshot and expire old ones
     val newV = version(dir) + 1
     writeAtomic(dir, s"$MANIFEST.v$newV", bytes)
+    // a manifest references its group files AND their delete vectors:
+    // both stay on disk until no retained snapshot mentions them
+    def refs(gs: Seq[Group]): Set[String] =
+      gs.flatMap(g => g.file +: g.deletes.map(_._1).toSeq).toSet
     val expired = versions(dir).filter(_ <= newV - RETAIN)
-    val expiredRefs = expired.flatMap(v => liveAt(dir, v).map(_.file)).toSet
+    val expiredRefs = expired.flatMap(v => refs(liveAt(dir, v))).toSet
     expired.foreach(v => Files.deleteIfExists(dir.resolve(s"$MANIFEST.v$v")))
     val retainedRefs =
-      versions(dir).flatMap(v => liveAt(dir, v).map(_.file)).toSet ++ groups.map(_.file)
-    ((old.map(_.file).toSet ++ expiredRefs) -- retainedRefs)
+      versions(dir).flatMap(v => refs(liveAt(dir, v))).toSet ++ refs(groups)
+    ((refs(old) ++ expiredRefs) -- retainedRefs)
       .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
 
@@ -654,6 +689,107 @@ object GroupFiles {
       try s.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  /** Write a MERGE-ON-READ delete vector: the sorted physical row
+    * positions masked out of ONE group file, as big-endian longs. DV
+    * files are immutable and content-complete (successive deletes write a
+    * NEW vector holding the union, so every retained snapshot keeps
+    * referencing exactly the vector that was live at its commit).
+    */
+  def writeDeleteVector(dir: Path, positions: Array[Long]): String = {
+    require(positions.nonEmpty, "empty delete vector")
+    val name = s"dv-${java.util.UUID.randomUUID()}.pos"
+    val tmp = dir.resolve(name + ".tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+    try positions.foreach(out.writeLong) finally out.close()
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    name
+  }
+
+  /** Sorted positions of a delete vector (the whole vector is loaded —
+    * its size is O(deleted rows in one group), the merge-on-read bargain).
+    */
+  def readDeleteVector(dir: Path, name: String): Array[Long] = {
+    val bytes = Files.readAllBytes(dir.resolve(name))
+    require(bytes.length % 8 == 0, s"torn delete vector $name (${bytes.length} bytes)")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
+  }
+
+  /** MERGE-ON-READ DELETE commit: mask `newDeletes` (group file →
+    * physical row positions) without rewriting a single data file. Under
+    * the commit lock: validate every targeted group is still live (a
+    * concurrent COW rewrite/compaction means our positions index a file
+    * that is no longer part of the table → fail cleanly, Iceberg-style),
+    * union with any existing vector — positions index the IMMUTABLE
+    * physical file, so two concurrent MoR deletes of the same group are
+    * NOT a conflict, their union is exactly both deletes applied — and
+    * publish. A group whose live rows reach zero drops out entirely.
+    */
+  def addDeletes(dir: Path, newDeletes: Map[String, Array[Long]]): Unit =
+    lockFor(dir).synchronized {
+      val liveNow = live(dir)
+      val stale = newDeletes.keySet -- liveNow.map(_.file).toSet
+      if (stale.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"merge-on-read delete conflict: groups were rewritten by a concurrent " +
+        s"commit (${stale.toSeq.sorted.mkString(", ")}); re-run the operation")
+      val updated = liveNow.flatMap { g =>
+        newDeletes.get(g.file).filter(_.nonEmpty) match {
+          case None => Some(g)
+          case Some(ps) =>
+            val merged = (g.deletes.map(d => readDeleteVector(dir, d._1))
+              .getOrElse(Array.empty[Long]).toSet ++ ps).toArray.sorted
+            g.rows.foreach(n => require(merged.forall(p => p >= 0 && p < n),
+              s"delete position out of range for ${g.file} ($n rows)"))
+            if (g.rows.contains(merged.length.toLong)) None // fully deleted
+            else Some(g.copy(deletes =
+              Some((writeDeleteVector(dir, merged), merged.length.toLong))))
+        }
+      }
+      publish(dir, updated)
+    }
+
+  /** Maintenance: REWRITE every delete-vector-carrying group without its
+    * masked rows (the copy-on-write debt merge-on-read defers — run it
+    * when vectors accumulate). Streaming row copy, no Spark job; stats
+    * keep their physical bounds (superset — still sound for pruning) but
+    * non-null counts are dropped (the masked rows' null pattern is
+    * unknown without decoding, and a stale count would fake a NULL-
+    * absence proof).
+    */
+  def materializeDeletes(dir: Path): Unit = mutate(dir) { groups =>
+    groups.map { g =>
+      g.deletes match {
+        case None => g
+        case Some((dvName, _)) =>
+          val dv = readDeleteVector(dir, dvName)
+          val newName = s"part-mat-${java.util.UUID.randomUUID()}.rows"
+          val in = new DataInputStream(new BufferedInputStream(
+            Files.newInputStream(dir.resolve(g.file))))
+          val tmp = dir.resolve(newName + ".tmp")
+          val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+          var kept = 0L; var pos = 0L; var di = 0
+          try {
+            out.writeInt(in.readInt())
+            var eof = false
+            while (!eof) {
+              val len = try in.readInt() catch { case _: EOFException => eof = true; -1 }
+              if (!eof) {
+                val bytes = new Array[Byte](len)
+                in.readFully(bytes)
+                if (di < dv.length && dv(di) == pos) di += 1
+                else { out.writeInt(len); out.write(bytes); kept += 1 }
+                pos += 1
+              }
+            }
+          } finally { in.close(); out.close() }
+          g.rows.foreach(n => require(pos == n,
+            s"group ${g.file} holds $pos rows but the manifest records $n — torn file"))
+          Files.move(tmp, dir.resolve(newName), StandardCopyOption.ATOMIC_MOVE)
+          g.copy(file = newName, rows = Some(kept), nonNull = Map.empty, deletes = None)
+      }
+    }
+  }
 
   /** OPTIMIZE-style small-file compaction: bin-pack group files up to
     * `targetBytes` and merge each bin by STREAMING BYTE COPY — the file
@@ -666,8 +802,12 @@ object GroupFiles {
     * wrong). The swap is the same atomic manifest publish as every other
     * commit, so readers see pre- or post-compaction, never a mix.
     */
-  def compact(dir: Path, targetBytes: Long): Unit = mutate(dir) { groups =>
-    if (groups.size <= 1) groups else {
+  def compact(dir: Path, targetBytes: Long): Unit = mutate(dir) { allGroups =>
+    // groups carrying a delete vector are excluded from byte-concat bins:
+    // concatenation would shift the positions their vector indexes. Run
+    // materializeDeletes first to fold vectors in and make them packable.
+    val (masked, groups) = allGroups.partition(_.deletes.isDefined)
+    masked ++ (if (groups.size <= 1) groups else {
     // bin only groups of the SAME schema identity together: files with
     // field-id tags merge iff their id lists are identical byte layouts;
     // legacy untagged files (add-only history) merge by row width. Mixed
@@ -737,16 +877,20 @@ object GroupFiles {
         Group(merged, stats, rows, nn, bin.head._1.bucket, bin.head._1.fieldIds)
       }
     }.toSeq
-    }
+    })
   }
 }
 
-/** Shared between a row-level operation's scan and its write: the set of
-  * group files the (possibly runtime-filtered) scan finally planned. The
-  * commit replaces exactly these groups; everything else stays live.
+/** Shared between a row-level operation's scan and its write: the groups
+  * the (possibly runtime-filtered) scan finally planned, as (file,
+  * delete-vector) identity pairs. The commit replaces exactly these
+  * groups; everything else stays live. The vector is part of the
+  * identity: a scan that read file F under vector V computed its rewrite
+  * from F-minus-V, and committing over a concurrently-updated vector V'
+  * would resurrect the rows V' masked.
   */
 class ScanHolder {
-  @volatile var planned: Option[Seq[String]] = None
+  @volatile var planned: Option[Seq[(String, Option[String])]] = None
 }
 
 /** A table whose content is a manifest-listed set of immutable row-group
@@ -979,8 +1123,14 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
       case (_: CountStar, i) =>
         if (!groups.forall(_.rows.isDefined)) return None
         fields += StructField(s"agg$i", LongType, nullable = false)
-        values += Some(groups.flatMap(_.rows).sum)
+        // liveRows: a merge-on-read delete vector masks #d rows of the
+        // physical count — COUNT(*) stays an exact metadata answer
+        values += Some(groups.flatMap(_.liveRows).sum)
       case (m: Min, i) =>
+        // a group with a delete vector may have lost exactly the row
+        // holding the recorded extreme: bounds stay valid for PRUNING
+        // (superset) but are no longer exact — refuse MIN/MAX pushdown
+        if (groups.exists(_.deletes.isDefined)) return None
         colOf(m.column()).filter(c => groups.nonEmpty &&
             groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
@@ -989,6 +1139,7 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
           case None => return None
         }
       case (m: Max, i) =>
+        if (groups.exists(_.deletes.isDefined)) return None
         colOf(m.column()).filter(c => groups.nonEmpty &&
             groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
@@ -1109,20 +1260,19 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    holder.foreach(_.planned = Some(groups.map(_.file)))
+    holder.foreach(_.planned = Some(groups.map(g => (g.file, g.deletes.map(_._1)))))
     val dir = Paths.get(table.location)
     bucketedLayout match {
       case Some((_, n)) =>
         val byBucket = groups.groupBy(_.bucket.get)
         (0 until n).map { b =>
           GraftBucketPartition(b,
-            byBucket.getOrElse(b, Seq.empty)
-              .map(g => (dir.resolve(g.file).toString, g.fieldIds))
+            byBucket.getOrElse(b, Seq.empty).map(g => GroupSlice.of(dir, g))
           ): InputPartition
         }.toArray
       case None =>
-        groups.map(g => GraftInputPartition(
-          dir.resolve(g.file).toString, g.fieldIds): InputPartition).toArray
+        groups.map(g =>
+          GraftInputPartition(GroupSlice.of(dir, g)): InputPartition).toArray
     }
   }
 
@@ -1137,18 +1287,29 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     new GraftMicroBatchStream(table)
 }
 
-/** One group file per partition; the path plus the file's field-id list
-  * (None = pre-field-id file: its columns are the schema's id prefix).
+/** Everything a task needs to read one group file: its path, the
+  * field-id list its columns were written under (None = pre-field-id
+  * file: its columns are the schema's id prefix), and the path of its
+  * merge-on-read delete vector, if any.
   */
-case class GraftInputPartition(path: String, fieldIds: Option[Seq[Int]] = None)
-    extends InputPartition
+case class GroupSlice(path: String, fieldIds: Option[Seq[Int]] = None,
+                      dvPath: Option[String] = None)
+
+object GroupSlice {
+  def of(dir: Path, g: Group): GroupSlice =
+    GroupSlice(dir.resolve(g.file).toString, g.fieldIds,
+               g.deletes.map(d => dir.resolve(d._1).toString))
+}
+
+/** One group file per partition. */
+case class GraftInputPartition(slice: GroupSlice) extends InputPartition
 
 /** One BUCKET per partition (possibly several group files, possibly
   * none). HasPartitionKey hands Spark the bucket id as the partition's
   * key — the hook KeyGroupedPartitioning needs to line partitions up
   * across the two sides of a storage-partitioned join.
   */
-case class GraftBucketPartition(bucket: Int, files: Seq[(String, Option[Seq[Int]])])
+case class GraftBucketPartition(bucket: Int, files: Seq[GroupSlice])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1171,8 +1332,7 @@ object GroupRowsReader {
             while (true) {
               if (cur == null) {
                 if (!it.hasNext) return false
-                val (p, fids) = it.next()
-                cur = fileReader(p, fids, schemaIds)
+                cur = fileReader(it.next(), schemaIds)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1182,16 +1342,29 @@ object GroupRowsReader {
           override def get(): InternalRow = cur.get()
           override def close(): Unit = if (cur != null) cur.close()
         }
-      case GraftInputPartition(path, fids) => fileReader(path, fids, schemaIds)
+      case GraftInputPartition(slice) => fileReader(slice, schemaIds)
       case other => throw new IllegalStateException(
         s"unexpected partition type ${other.getClass.getName}")
     }
 
-  private def fileReader(path: String, fileIds: Option[Seq[Int]],
+  private def fileReader(slice: GroupSlice,
                          schemaIds: Seq[Int]): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
+        private val path = slice.path
+        private val fileIds = slice.fieldIds
         private val in = new DataInputStream(new BufferedInputStream(
           Files.newInputStream(Paths.get(path))))
+        // merge-on-read delete vector: sorted physical positions to mask.
+        // The scan is sequential, so masking is a single forward pointer —
+        // O(1) per row, no hashing.
+        private val dv: Array[Long] = slice.dvPath match {
+          case Some(p) =>
+            val f = Paths.get(p)
+            GroupFiles.readDeleteVector(f.getParent, f.getFileName.toString)
+          case None => Array.emptyLongArray
+        }
+        private var rowPos = -1L
+        private var dvIdx = 0
         private val numFields = in.readInt()
         // the file's column identities, in file position order: recorded
         // in the manifest (#f=), or — for pre-field-id files, which are
@@ -1238,6 +1411,16 @@ object GroupRowsReader {
         // read byte-wise because readInt() throws the SAME EOFException
         // for "no bytes at all" (clean) and "1-3 bytes left" (torn).
         override def next(): Boolean = {
+          while (readPhysical()) {
+            rowPos += 1
+            // deleted position? skip it (vector and scan are both sorted)
+            if (dvIdx < dv.length && dv(dvIdx) == rowPos) dvIdx += 1
+            else return true
+          }
+          false
+        }
+
+        private def readPhysical(): Boolean = {
           val b0 = in.read()
           if (b0 < 0) return false // clean EOF at a row boundary
           val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
@@ -1344,8 +1527,7 @@ class GraftMicroBatchStream(table: GraftTable)
     val before = if (s == 0) Set.empty[String]
                  else GroupFiles.liveAt(dir, s).map(_.file).toSet
     GroupFiles.liveAt(dir, e).filterNot(g => before(g.file))
-      .map(g => GraftInputPartition(
-        dir.resolve(g.file).toString, g.fieldIds): InputPartition)
+      .map(g => GraftInputPartition(GroupSlice.of(dir, g)): InputPartition)
       .toArray
   }
 

@@ -250,6 +250,107 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("merge-on-read delete vectors: mask without rewriting, time travel, fold-in") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    // single-slice ranges: one write task per insert → one group file
+    // whose physical positions equal (k - range start), in order
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(100, 150, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_mor")).asInstanceOf[graft.catalog.GraftTable].location)
+    def dataFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    def live() = graft.catalog.GroupFiles.live(dir)
+    val files0 = dataFiles()
+    val Seq(g1, _) = live().sortBy(_.stats("k")._1)
+    val preV = graft.catalog.GroupFiles.version(dir)
+
+    // mask k ∈ {3,7,11} out of the first group (positions == k here:
+    // rows were written in range order) — data files must not change
+    graft.catalog.GroupFiles.addDeletes(dir, Map(g1.file -> Array(3L, 7L, 11L)))
+    assert(dataFiles() === files0, "MoR delete must not touch data files")
+    assert(spark.table(T).count() === 147)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE k IN (3,7,11)").head().getLong(0) === 0)
+    // COUNT(*) is still answered from metadata, exactly
+    val countPlan = spark.sql(s"SELECT count(*) FROM $T").queryExecution
+      .executedPlan.toString
+    assert(countPlan.contains("GraftAggScan") || !countPlan.contains("GraftScan"),
+      s"COUNT(*) should stay metadata-answered, got:\n$countPlan")
+    // MIN/MAX refuse the metadata path (the masked rows may have held the
+    // extremes) but remain correct through the ordinary scan
+    assert(spark.sql(s"SELECT CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM $T")
+      .head() === org.apache.spark.sql.Row(0L, 149L))
+
+    // time travel: the pre-delete snapshot still sees all 150 rows
+    assert(spark.sql(s"SELECT count(*) FROM $T VERSION AS OF $preV").head().getLong(0) === 150)
+
+    // a second delete on the SAME group unions with the existing vector
+    graft.catalog.GroupFiles.addDeletes(dir, Map(g1.file -> Array(3L, 20L)))
+    assert(spark.table(T).count() === 146)
+    assert(live().find(_.file == g1.file).flatMap(_.deletes).map(_._2) === Some(4L))
+
+    // compaction must not byte-concat a masked group
+    graft.catalog.GroupFiles.compact(dir, 1L << 30)
+    assert(spark.table(T).count() === 146)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE k IN (3,7,11,20)").head().getLong(0) === 0)
+
+    // materializeDeletes folds vectors in: no masked group remains, rows
+    // unchanged, and the table becomes packable again
+    graft.catalog.GroupFiles.materializeDeletes(dir)
+    assert(live().forall(_.deletes.isEmpty))
+    assert(spark.table(T).count() === 146)
+    graft.catalog.GroupFiles.compact(dir, 1L << 30)
+    assert(live().size === 1)
+    assert(spark.table(T).count() === 146)
+    assert(spark.sql(s"SELECT CAST(SUM(k) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 150L).sum - 3 - 7 - 11 - 20)
+
+    // deleting every remaining live row of a group drops it entirely
+    val Seq(only) = live()
+    graft.catalog.GroupFiles.addDeletes(dir,
+      Map(only.file -> Array.tabulate(146)(_.toLong)))
+    assert(live().isEmpty)
+    assert(spark.table(T).count() === 0)
+    spark.sql(s"DROP TABLE $T")
+  }
+
+  test("change feed surfaces merge-on-read deletes; COW conflict on vector change") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_morcf"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 50, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_morcf")).asInstanceOf[graft.catalog.GraftTable].location)
+    val v1 = graft.catalog.GroupFiles.version(dir)
+    val g = graft.catalog.GroupFiles.live(dir).head
+    graft.catalog.GroupFiles.addDeletes(dir, Map(g.file -> Array(5L, 9L)))
+    val v2 = graft.catalog.GroupFiles.version(dir)
+
+    val feed = graft.catalog.ChangeFeed.tableChanges(spark, T, v1, v2)
+    val changes = feed.collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(changes.toSeq === Seq((5L, "delete"), (9L, "delete")),
+      "MoR deletes must surface in the change feed as deletes")
+
+    // a COW rewrite computed against the OLD vector must fail cleanly
+    // when the vector moved underneath it (simulated via commitRowLevel)
+    intercept[java.util.ConcurrentModificationException] {
+      graft.catalog.GroupFiles.commitRowLevel(dir,
+        Set((g.file, g.deletes.map(_._1))), Seq.empty)
+    }
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
@@ -600,18 +701,18 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       val (a, b) = (mkGroup("a.rows"), mkGroup("b.rows"))
       GroupFiles.publish(dir, Seq(a, b))
       // two ops scanned DISJOINT groups: both commits validate and land
-      GroupFiles.commitRowLevel(dir, Set("a.rows"), Seq(mkGroup("a2.rows")))
-      GroupFiles.commitRowLevel(dir, Set("b.rows"), Seq(mkGroup("b2.rows")))
+      GroupFiles.commitRowLevel(dir, Set(("a.rows", None)), Seq(mkGroup("a2.rows")))
+      GroupFiles.commitRowLevel(dir, Set(("b.rows", None)), Seq(mkGroup("b2.rows")))
       assert(GroupFiles.live(dir).map(_.file).toSet === Set("a2.rows", "b2.rows"))
       // an op that scanned a group a concurrent commit replaced must fail…
       val w = mkGroup("c.rows")
       intercept[java.util.ConcurrentModificationException] {
-        GroupFiles.commitRowLevel(dir, Set("a.rows"), Seq(w))
+        GroupFiles.commitRowLevel(dir, Set(("a.rows", None)), Seq(w))
       }
       assert(GroupFiles.live(dir).map(_.file).toSet === Set("a2.rows", "b2.rows"),
         "failed commit must not change the live set")
       // …and succeed after re-scanning the current live set (the retry)
-      GroupFiles.commitRowLevel(dir, Set("a2.rows"), Seq(w))
+      GroupFiles.commitRowLevel(dir, Set(("a2.rows", None)), Seq(w))
       assert(GroupFiles.live(dir).map(_.file).toSet === Set("b2.rows", "c.rows"))
     } finally GroupFiles.delete(dir)
   }
