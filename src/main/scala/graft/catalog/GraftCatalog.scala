@@ -902,9 +902,29 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
                  val pinnedGroups: Option[Seq[Group]] = None,
                  val props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsMetadataColumns {
 
   override def name(): String = tableName
+
+  /** Scan METADATA COLUMNS: the (file, physical position) row identity.
+    * They are what a merge-on-read DELETE writes into its vectors — the
+    * rowId() of the delta row-level operation — and are independently
+    * queryable (`SELECT _graft_file, _graft_pos FROM t`), Iceberg
+    * `_file`/`_pos` style.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftTable.FILE_COL
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = GraftTable.POS_COL
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+    })
   override def schema(): StructType = tableSchema
   override def properties(): util.Map[String, String] = props.asJava
 
@@ -1010,27 +1030,56 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
     new GraftWriteBuilder(this, info.schema(), replaceAll = false, None)
   }
 
-  /** MERGE/UPDATE/DELETE: group-based copy-on-write — the operation's
-    * scan reads the live groups (runtime-group-filtered down to the files
+  /** MERGE/UPDATE: group-based copy-on-write — the operation's scan
+    * reads the live groups (runtime-group-filtered down to the files
     * whose stats can match the source keys), its write replaces exactly
     * the scanned groups. The ScanHolder is the scan→write channel.
+    *
+    * DELETE (by default — `TBLPROPERTIES('delete_mode'='copy-on-write')`
+    * reverts): MERGE-ON-READ via the delta row-level API. The planner's
+    * WriteDelta sends each deleted row's (_graft_file, _graft_pos)
+    * identity to the writer, which accumulates per-file position lists;
+    * the commit writes delete VECTORS instead of rewriting groups — at
+    * scale, deleting 0.1% of rows costs O(deleted), not O(groups
+    * touched). Fully-covered groups still take the cheaper metadata-only
+    * path ([[canDeleteWhere]]) before any rewrite is planned.
     */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, "cannot modify a VERSION AS OF read")
     require(pinnedGroups.isEmpty, "cannot modify a pinned-file-set read")
-    () => new RowLevelOperation {
-      private val holder = new ScanHolder
-      override def command(): RowLevelOperation.Command = info.command()
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftScanBuilder(GraftTable.this, Some(holder))
-      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-        new GraftWriteBuilder(GraftTable.this, writeInfo.schema(),
-                              replaceAll = true, Some(holder))
-    }
+    val morDelete = info.command() == RowLevelOperation.Command.DELETE &&
+      !props.get("delete_mode").exists(_.equalsIgnoreCase("copy-on-write"))
+    () =>
+      if (morDelete) new RowLevelOperation with SupportsDelta {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new GraftScanBuilder(GraftTable.this, None)
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder =
+          new DeltaWriteBuilder {
+            override def build(): DeltaWrite = new GraftDeltaWrite(GraftTable.this)
+          }
+        override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftTable.FILE_COL),
+                org.apache.spark.sql.connector.expressions.Expressions.column(GraftTable.POS_COL))
+        override def representUpdateAsDeleteAndInsert(): Boolean = true
+      }
+      else new RowLevelOperation {
+        private val holder = new ScanHolder
+        override def command(): RowLevelOperation.Command = info.command()
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new GraftScanBuilder(GraftTable.this, Some(holder))
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+          new GraftWriteBuilder(GraftTable.this, writeInfo.schema(),
+                                replaceAll = true, Some(holder))
+      }
   }
 }
 
 object GraftTable {
+  /** Metadata column: group file name a row lives in. */
+  val FILE_COL = "_graft_file"
+  /** Metadata column: physical row position within its group file. */
+  val POS_COL = "_graft_pos"
   /** Table property holding the comma-joined field ids (schema order). */
   val FIELD_IDS = "graft.field_ids"
   /** Table property set (permanently) by the first DROP COLUMN. */
@@ -1054,6 +1103,7 @@ object GraftTable {
 class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -1062,6 +1112,18 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
 
   private var pushed: Option[(StructType, Seq[Option[Long]])] = None
   private var planFilters: Array[V2Predicate] = Array.empty
+  private var requested: Option[StructType] = None
+
+  /** COLUMN PRUNING: the requested schema is a subset of the table
+    * columns, in table order, possibly extended with the scan metadata
+    * columns (`_graft_file`, `_graft_pos`) a row-level delta operation
+    * reads for row identity. The format is row-oriented, so pruning
+    * saves deserialization-to-Spark width, not file bytes — and it is
+    * what makes metadata columns reachable at all (Spark only asks
+    * scans that prune).
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    requested = Some(requiredSchema)
 
   /** STATIC group pruning (the partition-pruning analogue): every
     * predicate is kept for PLAN-TIME pruning against the manifest stats
@@ -1154,7 +1216,8 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
 
   override def build(): Scan = pushed match {
     case Some((schema, values)) => new GraftAggScan(schema, values)
-    case None => new GraftScan(table, holder, planFilters)
+    case None => new GraftScan(table, holder, planFilters,
+                               requested.getOrElse(table.schema()))
   }
 }
 
@@ -1188,7 +1251,8 @@ class GraftAggScan(aggSchema: StructType, values: Seq[Option[Long]]) extends Sca
   * prune whole group files on manifest min/max stats without opening them.
   */
 class GraftScan(table: GraftTable, holder: Option[ScanHolder],
-                planFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty)
+                planFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
+                prunedSchema: StructType = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1209,7 +1273,8 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     .filterNot(g => planFilters.exists(p =>
       GroupPredicate.coverage(g, p) == GroupPredicate.MatchesNone))
 
-  override def readSchema(): StructType = table.schema()
+  override def readSchema(): StructType =
+    if (prunedSchema == null) table.schema() else prunedSchema
   override def toBatch: Batch = this
 
   /** Only the LEADING long-typed column (the PK position in every table
@@ -1221,6 +1286,9 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
   override def filterAttributes(): Array[NamedReference] =
     table.schema().fields
       .find(_.dataType == org.apache.spark.sql.types.LongType)
+      // a pruned-out column can't carry a runtime filter: it is not in
+      // the scan output the filter would reference
+      .filter(f => readSchema().fieldNames.contains(f.name))
       .map(f => Expressions.column(f.name)).toArray
 
   /** Runtime pruning shares the same conservative tri-state evaluator as
@@ -1238,6 +1306,9 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     */
   private def bucketedLayout: Option[(String, Int)] =
     table.bucketSpec.filter(_ => groups.forall(_.bucket.isDefined))
+      // KeyGroupedPartitioning names the bucket column: only reportable
+      // when the scan actually outputs it
+      .filter { case (c, _) => readSchema().fieldNames.contains(c) }
 
   /** STORAGE-PARTITIONED execution: a bucketed table's scan reports
     * KeyGroupedPartitioning over the bucket transform — with
@@ -1277,7 +1348,7 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupRowsReader.factory(table.fieldIds)
+    GroupRowsReader.factory(GroupRowsReader.colsFor(table, readSchema()))
 
   /** STREAMING READ of the table (readStream.table): every COMMIT is a
     * micro-batch — offsets are snapshot versions, a batch's rows are the
@@ -1317,11 +1388,29 @@ case class GraftBucketPartition(bucket: Int, files: Seq[GroupSlice])
       Array[Any](bucket))
 }
 
+/** What one output ordinal of a group-file read serves: a data column
+  * (identified by its STABLE field id), or one of the scan metadata
+  * columns (physical row position / group file name — the row identity
+  * merge-on-read deletes address).
+  */
+sealed trait ReadCol extends Serializable
+case class DataCol(fieldId: Int) extends ReadCol
+case object PosCol extends ReadCol
+case object FileCol extends ReadCol
+
 /** The shared row reader over one immutable group file (batch scans and
   * the streaming source read identical bytes).
   */
 object GroupRowsReader {
-  def factory(schemaIds: Seq[Int]): PartitionReaderFactory =
+  /** Reader columns for serving `readSchema` out of `table`. */
+  def colsFor(table: GraftTable, readSchema: StructType): Seq[ReadCol] =
+    readSchema.fields.toSeq.map(_.name match {
+      case GraftTable.FILE_COL => FileCol
+      case GraftTable.POS_COL => PosCol
+      case n => DataCol(table.fieldIdOf(n))
+    })
+
+  def factory(cols: Seq[ReadCol]): PartitionReaderFactory =
     (partition: InputPartition) => partition match {
       case GraftBucketPartition(_, files) =>
         // one bucket = its files' rows concatenated, in manifest order
@@ -1332,7 +1421,7 @@ object GroupRowsReader {
             while (true) {
               if (cur == null) {
                 if (!it.hasNext) return false
-                cur = fileReader(it.next(), schemaIds)
+                cur = fileReader(it.next(), cols)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -1342,13 +1431,13 @@ object GroupRowsReader {
           override def get(): InternalRow = cur.get()
           override def close(): Unit = if (cur != null) cur.close()
         }
-      case GraftInputPartition(slice) => fileReader(slice, schemaIds)
+      case GraftInputPartition(slice) => fileReader(slice, cols)
       case other => throw new IllegalStateException(
         s"unexpected partition type ${other.getClass.getName}")
     }
 
   private def fileReader(slice: GroupSlice,
-                         schemaIds: Seq[Int]): PartitionReader[InternalRow] =
+                         cols: Seq[ReadCol]): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
         private val path = slice.path
         private val fileIds = slice.fieldIds
@@ -1367,42 +1456,48 @@ object GroupRowsReader {
         private var dvIdx = 0
         private val numFields = in.readInt()
         // the file's column identities, in file position order: recorded
-        // in the manifest (#f=), or — for pre-field-id files, which are
-        // add-only history — the schema's id prefix
+        // in the manifest (#f=), or — for pre-field-id files, which can
+        // only exist while ids were never re-assigned (the first DROP
+        // materializes ids on every legacy group) — the positions
+        // themselves
         private val fids: Seq[Int] = fileIds match {
           case Some(ids) =>
             require(ids.length == numFields,
               s"group file $path header width $numFields does not match its " +
               s"manifest field ids (${ids.mkString(",")})")
             ids
-          case None =>
-            require(numFields <= schemaIds.length,
-              s"group file $path is wider ($numFields) than the table schema " +
-              s"(${schemaIds.length}) and carries no field ids")
-            schemaIds.take(numFields)
+          case None => 0 until numFields
         }
         private val row = new UnsafeRow(numFields)
-        // schema evolution is resolved by FIELD ID, not position: for
-        // each schema column find its file position; missing (added
-        // after this file) reads NULL; file positions whose id the
-        // schema no longer has (dropped columns) are skipped. The
-        // mapping degenerates to the identity (serve the raw row) or a
-        // null-pad (JoinedRow) in the common add-only cases.
-        private val mapping: Array[Int] = schemaIds.map(fids.indexOf(_)).toArray
+        // each requested ordinal is resolved BY FIELD ID to a file
+        // position (missing id — a column added after this file — reads
+        // NULL), or to one of the scan metadata slots (physical row
+        // position / file name). The mapping degenerates to the identity
+        // (serve the raw row) or a null-pad (JoinedRow) in the common
+        // full-schema add-only cases.
+        private val mapping: Array[Int] = cols.map {
+          case DataCol(id) => fids.indexOf(id) // -1 when absent → NULL
+          case PosCol => ReorderedRow.POS
+          case FileCol => ReorderedRow.FILE
+        }.toArray
+        // identity/null-pad fast paths serve the RAW row (possibly
+        // JoinedRow-padded): only valid when the requested width covers
+        // the whole file row — a PRUNED subset must go through the
+        // projection view even if its prefix is the identity
         private val identityPrefix =
+          mapping.length >= numFields &&
           mapping.zipWithIndex.forall { case (m, i) =>
-            (i < numFields && m == i) || (i >= numFields && m < 0) }
+            (i < numFields && m == i) || (i >= numFields && m == -1) }
         private val pad =
-          if (!identityPrefix || numFields == schemaIds.length) null
+          if (!identityPrefix || numFields == mapping.length) null
           else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
             row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              schemaIds.length - numFields))
-        // general projection (rename is id-stable so never lands here;
-        // only drop/re-add histories do): schema ordinal i reads file
-        // position mapping(i), with one shared null slot for missing ids
+              mapping.length - numFields))
         private val reshaped =
           if (identityPrefix) null
-          else new ReorderedRow(row, mapping)
+          else new ReorderedRow(row, mapping,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              Paths.get(path).getFileName.toString))
         // EOF is only legal at a ROW BOUNDARY — i.e. exactly BEFORE a
         // length prefix. A torn file (truncated mid-row OR mid-prefix by
         // disk corruption / a non-atomic copy) must fail LOUDLY:
@@ -1415,7 +1510,10 @@ object GroupRowsReader {
             rowPos += 1
             // deleted position? skip it (vector and scan are both sorted)
             if (dvIdx < dv.length && dv(dvIdx) == rowPos) dvIdx += 1
-            else return true
+            else {
+              if (reshaped != null) reshaped.pos = rowPos
+              return true
+            }
           }
           false
         }
@@ -1444,15 +1542,27 @@ object GroupRowsReader {
       }
 
   /** Schema-ordinal view over a file row: ordinal i reads file position
-    * map(i); map(i) < 0 (the field id is absent from this file) reads
-    * NULL. Typed getters follow the InternalRow contract (callers check
-    * isNullAt first); the row is read-only.
+    * map(i); map(i) == -1 (the field id is absent from this file) reads
+    * NULL; the POS/FILE sentinels serve the scan metadata columns
+    * (physical row position, set per row by the reader; group file name,
+    * fixed per file). Typed getters follow the InternalRow contract
+    * (callers check isNullAt first); data slots are read-only.
     */
-  private class ReorderedRow(under: InternalRow, map: Array[Int])
+  private[catalog] object ReorderedRow {
+    val POS = -2  // map sentinel: _graft_pos (LongType, never null)
+    val FILE = -3 // map sentinel: _graft_file (StringType, never null)
+  }
+  private[catalog] class ReorderedRow(
+      under: InternalRow, map: Array[Int],
+      file: org.apache.spark.unsafe.types.UTF8String = null)
       extends InternalRow {
+    var pos: Long = -1L
     override def numFields: Int = map.length
     override def isNullAt(i: Int): Boolean = {
-      val p = map(i); p < 0 || under.isNullAt(p)
+      val p = map(i)
+      if (p == -1) true
+      else if (p < -1) false // metadata slots are never null
+      else under.isNullAt(p)
     }
     override def anyNull: Boolean = {
       var i = 0
@@ -1463,13 +1573,16 @@ object GroupRowsReader {
     override def getByte(i: Int): Byte = under.getByte(map(i))
     override def getShort(i: Int): Short = under.getShort(map(i))
     override def getInt(i: Int): Int = under.getInt(map(i))
-    override def getLong(i: Int): Long = under.getLong(map(i))
+    override def getLong(i: Int): Long = {
+      val p = map(i); if (p == ReorderedRow.POS) pos else under.getLong(p)
+    }
     override def getFloat(i: Int): Float = under.getFloat(map(i))
     override def getDouble(i: Int): Double = under.getDouble(map(i))
     override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
       under.getDecimal(map(i), precision, scale)
-    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
-      under.getUTF8String(map(i))
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val p = map(i); if (p == ReorderedRow.FILE) file else under.getUTF8String(p)
+    }
     override def getBinary(i: Int): Array[Byte] = under.getBinary(map(i))
     override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
       under.getInterval(map(i))
@@ -1486,9 +1599,17 @@ object GroupRowsReader {
     override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
       under.getGeometry(map(i))
     override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef = {
-      val p = map(i); if (p < 0) null else under.get(p, dataType)
+      val p = map(i)
+      if (p == ReorderedRow.POS) Long.box(pos)
+      else if (p == ReorderedRow.FILE) file
+      else if (p < 0) null
+      else under.get(p, dataType)
     }
-    override def copy(): InternalRow = new ReorderedRow(under.copy(), map)
+    override def copy(): InternalRow = {
+      val c = new ReorderedRow(under.copy(), map, file)
+      c.pos = pos
+      c
+    }
     override def setNullAt(i: Int): Unit =
       throw new UnsupportedOperationException("ReorderedRow is read-only")
     override def update(i: Int, value: Any): Unit =
@@ -1532,7 +1653,7 @@ class GraftMicroBatchStream(table: GraftTable)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupRowsReader.factory(table.fieldIds)
+    GroupRowsReader.factory(table.fieldIds.map(DataCol(_)))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1609,5 +1730,57 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     }
   }
 }
+
+/** MERGE-ON-READ DELETE write: tasks receive each deleted row's
+  * (_graft_file, _graft_pos) identity and accumulate per-file position
+  * lists — O(deleted rows) state, the whole point of the mode — and the
+  * commit turns them into delete VECTORS via [[GroupFiles.addDeletes]]
+  * (conflict-validated, unioned with existing vectors, atomic manifest
+  * swap). No data file is opened or written.
+  */
+class GraftDeltaWrite(table: GraftTable) extends DeltaWrite with DeltaBatchWrite {
+  override def toBatch: DeltaBatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaWriterFactory()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
+    messages.foreach {
+      case GraftDeltaMessage(dels) => dels.foreach { case (f, ps) =>
+        merged.update(f, merged.getOrElse(f, Array.emptyLongArray) ++ ps)
+      }
+      case _ => ()
+    }
+    // a DELETE that matched nothing commits nothing (no version bump)
+    if (merged.nonEmpty)
+      GroupFiles.addDeletes(Paths.get(table.location), merged.toMap)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Per-task accumulator of (group file → deleted physical positions). */
+case class GraftDeltaWriterFactory() extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val dels =
+        scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty) += id.getLong(1)
+      override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        throw new UnsupportedOperationException(
+          "updates are represented as delete+insert; the delta path serves DELETE only")
+      override def insert(row: InternalRow): Unit =
+        throw new UnsupportedOperationException(
+          "the delta path serves DELETE only (MERGE/UPDATE are copy-on-write)")
+      override def commit(): WriterCommitMessage =
+        GraftDeltaMessage(dels.map { case (f, ps) => f -> ps.toArray }.toMap)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+case class GraftDeltaMessage(deletes: Map[String, Array[Long]])
+    extends WriterCommitMessage
 
 case class GraftCommitMessage(groups: Seq[Group]) extends WriterCommitMessage

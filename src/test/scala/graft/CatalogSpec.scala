@@ -321,6 +321,50 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("metadata columns expose row identity; column pruning reaches the scan") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 30, 1, 1)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(30, 50, 1, 1)")
+
+    // _graft_file/_graft_pos are queryable and consistent: positions are
+    // 0-based per file, every (file,pos) pair unique
+    val rows = spark.sql(s"SELECT _graft_file, _graft_pos, k FROM $T").collect()
+    assert(rows.length === 50)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length === 50)
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.size === 2, "two single-task inserts → two group files")
+    byFile.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (0L until rs.length).toSeq,
+        "positions must be dense 0-based per file")
+    }
+    // after a MoR delete, _graft_pos still reports PHYSICAL positions
+    // (masked rows leave holes — the identity delete vectors address)
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_meta"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    val g = graft.catalog.GroupFiles.live(dir).minBy(_.stats("k")._1)
+    graft.catalog.GroupFiles.addDeletes(dir, Map(g.file -> Array(0L, 4L)))
+    val after = spark.sql(
+      s"SELECT _graft_pos FROM $T WHERE _graft_file = '${g.file}'").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(after === (0L until 30L).filterNot(p => p == 0 || p == 4).toSeq)
+
+    // pruning: a one-column projection's scan reads exactly that column
+    val scanSchemas = spark.sql(s"SELECT k FROM $T").queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSeq }
+    assert(scanSchemas === Seq(Seq("k")), s"scan not pruned: $scanSchemas")
+    assert(spark.sql(s"SELECT CAST(SUM(k) AS BIGINT) FROM $T WHERE v <> 'x'")
+      .head().getLong(0) === (0L until 50L).sum - 0 - 4)
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("change feed surfaces merge-on-read deletes; COW conflict on vector change") {
     import java.nio.file.Paths
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
@@ -507,12 +551,80 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("graft_fb.default.fb_mdel").count() === 1000 - (cut + 1))
     assert(graft.catalog.GroupFiles.live(dir).size < live0.size)
     assert(rowsFiles() === before, "aligned DELETE must not write or remove data files")
-    // misaligned predicate (mid-group): falls back to the COW rewrite
+    // misaligned predicate (mid-group): MERGE-ON-READ — delete vectors
+    // appear, data files stay untouched
     spark.sql("DELETE FROM graft_fb.default.fb_mdel WHERE k % 2 = 1")
     assert(spark.table("graft_fb.default.fb_mdel").count() ===
       (cut + 1 to 999L).count(_ % 2 == 0))
-    assert(rowsFiles() != before, "mid-group DELETE must rewrite groups")
+    assert(rowsFiles() === before,
+      "mid-group MoR DELETE must not write or remove data files")
+    assert(graft.catalog.GroupFiles.live(dir).forall(_.deletes.isDefined),
+      "every remaining group holds odd rows → each must carry a delete vector")
+    // and the masked rows stay gone through every read path
+    assert(spark.sql("SELECT count(*) FROM graft_fb.default.fb_mdel WHERE k % 2 = 1")
+      .head().getLong(0) === 0)
     spark.sql("DROP TABLE graft_fb.default.fb_mdel")
+  }
+
+  test("SQL DELETE is merge-on-read by default; copy-on-write by table property") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_sqlmor"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 200, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_sqlmor")).asInstanceOf[graft.catalog.GraftTable].location)
+    def rowsFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    def dvFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".pos")).toSet
+    val before = rowsFiles()
+    assert(dvFiles().isEmpty)
+
+    // sub-group DELETE → vector, not rewrite
+    spark.sql(s"DELETE FROM $T WHERE k IN (17, 42, 99)")
+    assert(rowsFiles() === before, "MoR DELETE must not touch data files")
+    assert(dvFiles().size === 1, "one group masked → one delete vector")
+    assert(spark.table(T).count() === 197)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE k IN (17, 42, 99)").head().getLong(0) === 0)
+    // COUNT(*) still metadata-exact after the vector
+    assert(spark.sql(s"SELECT count(*) FROM $T").head().getLong(0) === 197)
+
+    // second DELETE unions into a NEW vector; the old one stays for the
+    // retained snapshot that references it
+    spark.sql(s"DELETE FROM $T WHERE k = 150")
+    assert(spark.table(T).count() === 196)
+    assert(rowsFiles() === before)
+    val live = graft.catalog.GroupFiles.live(dir)
+    assert(live.head.deletes.map(_._2) === Some(4L))
+
+    // DELETE of everything: the group's live rows reach zero → it drops
+    // out of the manifest entirely (no vector needed)
+    spark.sql(s"DELETE FROM $T WHERE k >= 0")
+    assert(spark.table(T).count() === 0)
+    assert(graft.catalog.GroupFiles.live(dir).isEmpty)
+
+    // copy-on-write mode by property: rewrite, no vectors
+    val C = "graft_fb.default.fb_sqlcow"
+    spark.sql(s"DROP TABLE IF EXISTS $C")
+    spark.sql(s"CREATE TABLE $C (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('delete_mode'='copy-on-write')")
+    spark.sql(s"INSERT INTO $C SELECT id, CAST(id AS STRING) FROM range(0, 100, 1, 1)")
+    val cdir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_sqlcow")).asInstanceOf[graft.catalog.GraftTable].location)
+    def cowRows() = Files.list(cdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val cowBefore = cowRows()
+    spark.sql(s"DELETE FROM $C WHERE k = 5")
+    assert(spark.table(C).count() === 99)
+    assert(cowRows() !== cowBefore, "copy-on-write DELETE must rewrite the group")
+    assert(graft.catalog.GroupFiles.live(cdir).forall(_.deletes.isEmpty))
+    spark.sql(s"DROP TABLE $T")
+    spark.sql(s"DROP TABLE $C")
   }
 
   test("replaying a CDC micro-batch MERGE is content-idempotent (failure-recovery contract)") {
