@@ -727,8 +727,34 @@ object GroupFiles {
     * publish. A group whose live rows reach zero drops out entirely.
     */
   def addDeletes(dir: Path, newDeletes: Map[String, Array[Long]]): Unit =
+    commitDelta(dir, None, newDeletes, Seq.empty)
+
+  /** DELTA commit: apply delete vectors and append new groups in ONE
+    * atomic manifest swap — the commit shape of a merge-on-read
+    * UPDATE/MERGE (vectors mask the old row images, appended groups hold
+    * the new ones; nothing is rewritten).
+    *
+    * Isolation has two levels, matched to commutativity. A delete-ONLY
+    * commit (`scanned = None`) merely requires its target groups live:
+    * vector union is exactly both deletes applied, so concurrent deletes
+    * of one group are not a conflict. A commit carrying INSERTS must
+    * pass the SAME (file, vector) identity validation as copy-on-write
+    * (`scanned = Some(...)` from the ScanHolder): two concurrent
+    * updates of one key would otherwise each mask the old image and
+    * each append its own new image — a silent double-insert.
+    */
+  def commitDelta(dir: Path, scanned: Option[Set[(String, Option[String])]],
+                  newDeletes: Map[String, Array[Long]],
+                  appended: Seq[Group]): Unit =
     lockFor(dir).synchronized {
       val liveNow = live(dir)
+      scanned.foreach { sc =>
+        val liveIds = liveNow.map(g => (g.file, g.deletes.map(_._1))).toSet
+        val stale = sc -- liveIds
+        if (stale.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"merge-on-read commit conflict: scanned groups changed under a concurrent " +
+          s"commit (${stale.toSeq.map(_._1).sorted.mkString(", ")}); re-run the operation")
+      }
       val stale = newDeletes.keySet -- liveNow.map(_.file).toSet
       if (stale.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"merge-on-read delete conflict: groups were rewritten by a concurrent " +
@@ -746,7 +772,7 @@ object GroupFiles {
               Some((writeDeleteVector(dir, merged), merged.length.toLong))))
         }
       }
-      publish(dir, updated)
+      publish(dir, updated ++ appended)
     }
 
   /** Maintenance: REWRITE every delete-vector-carrying group without its
@@ -1030,33 +1056,57 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
     new GraftWriteBuilder(this, info.schema(), replaceAll = false, None)
   }
 
-  /** MERGE/UPDATE: group-based copy-on-write — the operation's scan
-    * reads the live groups (runtime-group-filtered down to the files
-    * whose stats can match the source keys), its write replaces exactly
-    * the scanned groups. The ScanHolder is the scan→write channel.
+  /** Row-level operations, two strategies:
     *
-    * DELETE (by default — `TBLPROPERTIES('delete_mode'='copy-on-write')`
-    * reverts): MERGE-ON-READ via the delta row-level API. The planner's
-    * WriteDelta sends each deleted row's (_graft_file, _graft_pos)
-    * identity to the writer, which accumulates per-file position lists;
-    * the commit writes delete VECTORS instead of rewriting groups — at
-    * scale, deleting 0.1% of rows costs O(deleted), not O(groups
-    * touched). Fully-covered groups still take the cheaper metadata-only
-    * path ([[canDeleteWhere]]) before any rewrite is planned.
+    * MERGE-ON-READ (default for DELETE and UPDATE; MERGE opt-in via
+    * `TBLPROPERTIES('merge_mode'='merge-on-read')`; `delete_mode` /
+    * `update_mode` = 'copy-on-write' revert): the delta row-level API.
+    * The planner's WriteDelta sends each removed row's (_graft_file,
+    * _graft_pos) identity to the writer — per-file position lists become
+    * delete VECTORS at commit; updated/merged new row images arrive as
+    * inserts (representUpdateAsDeleteAndInsert) and append as ordinary
+    * new groups. Changing 0.1% of rows costs O(changed rows), not
+    * O(groups touched). Fully-covered DELETEs still take the cheaper
+    * metadata-only path ([[canDeleteWhere]]) before any rewrite is
+    * planned.
+    *
+    * COPY-ON-WRITE (default for MERGE): group-based — the operation's
+    * scan reads the live groups (runtime-group-filtered down to the
+    * files whose stats can match the source keys), its write replaces
+    * exactly the scanned groups. The ScanHolder is the scan→write
+    * channel. Preferable when an operation touches most rows of the
+    * groups it touches (bulk upserts): it leaves no read-side mask debt.
     */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, "cannot modify a VERSION AS OF read")
     require(pinnedGroups.isEmpty, "cannot modify a pinned-file-set read")
-    val morDelete = info.command() == RowLevelOperation.Command.DELETE &&
-      !props.get("delete_mode").exists(_.equalsIgnoreCase("copy-on-write"))
+    import RowLevelOperation.Command._
+    def mode(prop: String, default: String): String =
+      props.getOrElse(prop, default).toLowerCase
+    val mor = info.command() match {
+      // DELETE/UPDATE default merge-on-read (the sparse-change shape);
+      // MERGE stays copy-on-write unless opted in — its scans are
+      // runtime-group-filtered so COW only rewrites matching groups,
+      // and bulk upserts often replace most of what they touch anyway
+      case DELETE => mode("delete_mode", "merge-on-read") != "copy-on-write"
+      case UPDATE => mode("update_mode", "merge-on-read") != "copy-on-write"
+      case MERGE => mode("merge_mode", "copy-on-write") == "merge-on-read"
+      case _ => false
+    }
     () =>
-      if (morDelete) new RowLevelOperation with SupportsDelta {
+      if (mor) new RowLevelOperation with SupportsDelta {
+        // DELETE commits are commutative (vector union) and skip the
+        // scanned-set validation; UPDATE/MERGE append inserts and must
+        // validate, so their scan records what it planned
+        private val holder =
+          if (info.command() == DELETE) None else Some(new ScanHolder)
         override def command(): RowLevelOperation.Command = info.command()
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          new GraftScanBuilder(GraftTable.this, None)
+          new GraftScanBuilder(GraftTable.this, holder)
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder =
           new DeltaWriteBuilder {
-            override def build(): DeltaWrite = new GraftDeltaWrite(GraftTable.this)
+            override def build(): DeltaWrite =
+              new GraftDeltaWrite(GraftTable.this, writeInfo.schema(), holder)
           }
         override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftTable.FILE_COL),
@@ -1738,49 +1788,81 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   * (conflict-validated, unioned with existing vectors, atomic manifest
   * swap). No data file is opened or written.
   */
-class GraftDeltaWrite(table: GraftTable) extends DeltaWrite with DeltaBatchWrite {
+class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
+                      holder: Option[ScanHolder])
+    extends DeltaWrite with DeltaBatchWrite {
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    GraftDeltaWriterFactory()
+    GraftDeltaWriterFactory(table.location, writeSchema,
+      table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) },
+      writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val appended = Seq.newBuilder[Group]
     messages.foreach {
-      case GraftDeltaMessage(dels) => dels.foreach { case (f, ps) =>
-        merged.update(f, merged.getOrElse(f, Array.emptyLongArray) ++ ps)
-      }
+      case GraftDeltaMessage(dels, groups) =>
+        dels.foreach { case (f, ps) =>
+          merged.update(f, merged.getOrElse(f, Array.emptyLongArray) ++ ps)
+        }
+        appended ++= groups
       case _ => ()
     }
-    // a DELETE that matched nothing commits nothing (no version bump)
-    if (merged.nonEmpty)
-      GroupFiles.addDeletes(Paths.get(table.location), merged.toMap)
+    val groups = appended.result()
+    // an operation that changed nothing commits nothing (no version bump)
+    if (merged.nonEmpty || groups.nonEmpty)
+      GroupFiles.commitDelta(Paths.get(table.location),
+        // inserts present → validate the scanned (file, vector) set;
+        // delete-only → vector union is commutative, liveness suffices
+        holder.map(_.planned.getOrElse(Seq.empty).toSet),
+        merged.toMap, groups)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(table.location)
+    messages.foreach {
+      case GraftDeltaMessage(_, gs) =>
+        gs.foreach(g => Files.deleteIfExists(dir.resolve(g.file)))
+      case _ => ()
+    }
+  }
 }
 
-/** Per-task accumulator of (group file → deleted physical positions). */
-case class GraftDeltaWriterFactory() extends DeltaWriterFactory {
+/** Per-task accumulator of (group file → deleted physical positions),
+  * plus — for UPDATE/MERGE, whose new row images ARRIVE as inserts under
+  * representUpdateAsDeleteAndInsert — an embedded ordinary group writer
+  * for the appended rows.
+  */
+case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
+                                   bucketed: Option[(Int, Int)],
+                                   fieldIds: Seq[Int]) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val dels =
         scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private var inserts: DataWriter[InternalRow] = _
       override def delete(metadata: InternalRow, id: InternalRow): Unit =
         dels.getOrElseUpdate(id.getUTF8String(0).toString,
           scala.collection.mutable.ArrayBuffer.empty) += id.getLong(1)
       override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
         throw new UnsupportedOperationException(
-          "updates are represented as delete+insert; the delta path serves DELETE only")
-      override def insert(row: InternalRow): Unit =
-        throw new UnsupportedOperationException(
-          "the delta path serves DELETE only (MERGE/UPDATE are copy-on-write)")
+          "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+      override def insert(row: InternalRow): Unit = {
+        if (inserts == null)
+          inserts = GraftWriterFactory(location, writeSchema, bucketed, fieldIds)
+            .createWriter(partitionId, taskId)
+        inserts.write(row)
+      }
       override def commit(): WriterCommitMessage =
-        GraftDeltaMessage(dels.map { case (f, ps) => f -> ps.toArray }.toMap)
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
+        GraftDeltaMessage(dels.map { case (f, ps) => f -> ps.toArray }.toMap,
+          if (inserts == null) Seq.empty
+          else inserts.commit().asInstanceOf[GraftCommitMessage].groups)
+      override def abort(): Unit = if (inserts != null) inserts.abort()
+      override def close(): Unit = if (inserts != null) inserts.close()
     }
 }
 
-case class GraftDeltaMessage(deletes: Map[String, Array[Long]])
+case class GraftDeltaMessage(deletes: Map[String, Array[Long]],
+                             groups: Seq[Group] = Seq.empty)
     extends WriterCommitMessage
 
 case class GraftCommitMessage(groups: Seq[Group]) extends WriterCommitMessage

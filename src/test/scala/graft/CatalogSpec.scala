@@ -395,6 +395,87 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("UPDATE is merge-on-read: vectors mask old images, new images append") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_morupd"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 100, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_morupd")).asInstanceOf[graft.catalog.GraftTable].location)
+    def rowsFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val before = rowsFiles()
+    val preV = graft.catalog.GroupFiles.version(dir)
+
+    spark.sql(s"UPDATE $T SET v = 'upd' WHERE k % 10 = 0")
+    // the original group is never rewritten: it survives with a vector,
+    // and ONLY the 10 new images appear as appended group files
+    assert(before.subsetOf(rowsFiles()), "UPDATE must not rewrite the scanned group")
+    val live = graft.catalog.GroupFiles.live(dir)
+    val (masked, fresh) = live.partition(g => before(g.file))
+    assert(masked.size === 1 && masked.head.deletes.map(_._2) === Some(10L))
+    assert(fresh.nonEmpty && fresh.flatMap(_.rows).sum === 10L)
+    assert(spark.table(T).count() === 100)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v = 'upd'").head().getLong(0) === 10)
+    assert(spark.sql(s"SELECT CAST(SUM(k) AS BIGINT) FROM $T WHERE v = 'upd'")
+      .head().getLong(0) === (0L until 100L by 10).sum)
+    // pre-update snapshot unchanged
+    assert(spark.sql(s"SELECT count(*) FROM $T VERSION AS OF $preV WHERE v = 'upd'")
+      .head().getLong(0) === 0)
+    // the change feed shows exactly the 10 delete+insert pairs
+    val v2 = graft.catalog.GroupFiles.version(dir)
+    val feed = graft.catalog.ChangeFeed.tableChanges(spark, T, preV, v2)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("delete" -> 10L, "insert" -> 10L))
+    spark.sql(s"DROP TABLE $T")
+  }
+
+  test("MERGE goes merge-on-read when opted in; concurrent insert-carrying commits conflict") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_mormrg"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('merge_mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 100, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val dir = Paths.get(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "fb_mormrg")).asInstanceOf[graft.catalog.GraftTable].location)
+    def rowsFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    val before = rowsFiles()
+
+    spark.sql(
+      s"""MERGE INTO $T t
+         |USING (SELECT id AS k, 'm' AS v FROM range(90, 110)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(before.subsetOf(rowsFiles()), "MoR MERGE must not rewrite scanned groups")
+    assert(spark.table(T).count() === 110)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE v = 'm'").head().getLong(0) === 20)
+    val live = graft.catalog.GroupFiles.live(dir)
+    assert(live.find(g => before(g.file)).flatMap(_.deletes).map(_._2) === Some(10L),
+      "the 10 matched rows mask out of the original group")
+
+    // strict validation: an insert-carrying delta commit whose scanned
+    // vector moved underneath it must fail (double-insert prevention)
+    val g = live.find(g => before(g.file)).get
+    intercept[java.util.ConcurrentModificationException] {
+      graft.catalog.GroupFiles.commitDelta(dir,
+        Some(Set((g.file, Some("dv-gone.pos")))), Map.empty, Seq.empty)
+    }
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
