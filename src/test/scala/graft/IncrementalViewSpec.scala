@@ -70,6 +70,30 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
 
+  test("refresh over a MERGE-ON-READ UPDATE (vectors + appended images) equals rebuild") {
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k STRING, id BIGINT, m BIGINT)")
+    spark.sql(s"INSERT INTO $T SELECT CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id, id " +
+      "FROM range(0, 40, 1, 1)")
+    val dir = tableDir("ivm_t")
+    def v(): Long = GroupFiles.versions(dir).max
+    val dims = Seq("k"); val sums = Seq("m")
+    val v1 = v()
+    var state = IncrementalView.build(spark, T, dims, sums).localCheckpoint()
+
+    // MoR UPDATE moves rows ACROSS groups of the view: ids 0..9 flip to
+    // dimension 'c' — the base table's group is masked, images appended
+    spark.sql(s"UPDATE $T SET k = 'c', m = m + 100 WHERE id < 10")
+    assert(GroupFiles.live(dir).exists(_.deletes.isDefined),
+      "UPDATE must have taken the merge-on-read path for this test to bite")
+    val v2 = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, v1, v2).localCheckpoint()
+    assert(sorted(state) === sorted(IncrementalView.build(spark, T, dims, sums)))
+    assert(sorted(state).exists(_._1 == "c"))
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+  }
+
   test("NULL dimension values and NULL measures keep refresh == build") {
     val T3 = "graft_ivm.default.ivm_t3"
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
