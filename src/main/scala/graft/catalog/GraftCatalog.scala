@@ -1305,6 +1305,7 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
                 prunedSchema: StructType = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -1326,6 +1327,41 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
   override def readSchema(): StructType =
     if (prunedSchema == null) table.schema() else prunedSchema
   override def toBatch: Batch = this
+
+  /** MANIFEST-DERIVED SIZE/ROW statistics. Without them a DSv2 relation
+    * costs `spark.sql.defaultSizeInBytes` (effectively infinite), so a
+    * 10 KB catalog dimension would NEVER be auto-broadcast and every
+    * join against it would shuffle both sides — the single biggest
+    * plan-quality lever a table format owns. Sizes come from the live
+    * (statically pruned) group files; a merge-on-read vector doesn't
+    * shrink its file, so masked groups are scaled by their live-row
+    * fraction. Conservative on surprise: an unreadable file size counts
+    * as its physical bytes unknown = 0 only if the file vanished
+    * mid-plan (the commit that removed it will fail this scan anyway).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val dir = Paths.get(table.location)
+    var bytes = 0L
+    var rows = 0L
+    var allRowsKnown = true
+    groups.foreach { g =>
+      val sz = try Files.size(dir.resolve(g.file)) catch { case _: Exception => 0L }
+      (g.rows, g.liveRows) match {
+        case (Some(p), Some(l)) =>
+          rows += l
+          bytes += (if (p > 0) sz * l / p else sz)
+        case _ =>
+          allRowsKnown = false
+          bytes += sz
+      }
+    }
+    val b = bytes; val r = rows; val known = allRowsKnown
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(r) else java.util.OptionalLong.empty()
+    }
+  }
 
   /** Only the LEADING long-typed column (the PK position in every table
     * this catalog serves): declaring several attributes makes Spark build

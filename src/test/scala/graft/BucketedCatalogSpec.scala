@@ -85,6 +85,38 @@ class BucketedCatalogSpec extends AnyFunSuite with SparkFixture {
     for (t <- Seq("bt_l", "bt_r")) spark.sql(s"DROP TABLE IF EXISTS graft_bk.default.$t")
   }
 
+  test("merge-on-read UPDATE on a bucketed table keeps routing and the zero-shuffle join") {
+    setup()
+    for (t <- Seq("bt_ul", "bt_ur")) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_bk.default.$t")
+      spark.sql(s"""CREATE TABLE graft_bk.default.$t (k BIGINT, v BIGINT)
+                    TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    }
+    spark.sql("INSERT INTO graft_bk.default.bt_ul SELECT id, id * 2 FROM range(1000)")
+    spark.sql("INSERT INTO graft_bk.default.bt_ur SELECT id, id * 3 FROM range(500)")
+    // MoR UPDATE: old images mask, new images append — and the appended
+    // per-bucket files must carry #b tags or SPJ dies for the whole table
+    spark.sql("UPDATE graft_bk.default.bt_ul SET v = k * 20 WHERE k % 100 = 7")
+    val dir = tableDir("graft_bk", "bt_ul")
+    val live = GroupFiles.live(dir)
+    assert(live.exists(_.deletes.isDefined), "UPDATE must have gone merge-on-read")
+    assert(live.forall(_.bucket.isDefined),
+      s"appended update images lost bucket tags: $live")
+    val joined = spark.sql(
+      """SELECT l.k, l.v + r.v AS s
+        |FROM graft_bk.default.bt_ul l JOIN graft_bk.default.bt_ur r ON l.k = r.k""".stripMargin)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val rows = joined.collect()
+      assert(rows.length === 500)
+      val expect = (0L until 500L).map(k =>
+        k -> (if (k % 100 == 7) k * 20 + k * 3 else k * 5)).toMap
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toMap === expect)
+      assert(shuffles(joined.queryExecution.executedPlan).isEmpty,
+        s"SPJ lost after MoR UPDATE:\n${joined.queryExecution.executedPlan}")
+    }
+    for (t <- Seq("bt_ul", "bt_ur")) spark.sql(s"DROP TABLE IF EXISTS graft_bk.default.$t")
+  }
+
   test("MERGE rewrite and compaction preserve bucket tags (SPJ survives maintenance)") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_m")

@@ -476,6 +476,39 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("manifest statistics make a small catalog table auto-broadcast") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 100)")
+    // the fact side is over the broadcast threshold; the 100-row catalog
+    // dim is kilobytes — WITH manifest statistics Spark broadcasts it,
+    // WITHOUT them a DSv2 relation costs defaultSizeInBytes (huge) and
+    // the join would sort-merge both sides
+    spark.range(2000000).toDF("k").createOrReplaceTempView("fb_fact")
+    val q = spark.sql(s"SELECT count(*) FROM fb_fact f JOIN $T d ON f.k = d.k")
+    assert(q.head().getLong(0) === 100)
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // AQE root is a leaf to collect(): unwrap it
+      case p => p
+    }
+    val bcasts = finalPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty,
+      s"small catalog table was not broadcast:\n${q.queryExecution.executedPlan}")
+    // and the reported row count is the LIVE count after a MoR delete
+    spark.sql(s"DELETE FROM $T WHERE k IN (1, 2, 3)")
+    val scan = spark.table(T).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    assert(scan.computeStats().rowCount.contains(BigInt(97)),
+      s"stats must reflect the delete vector: ${scan.computeStats()}")
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
