@@ -63,7 +63,11 @@ object ChangeFeed {
     // changed files are read once, not twice
     def read(groups: Seq[Group]): DataFrame =
       Bridge.v2Rows(spark, new GraftTable(base.name(), base.schema(), base.location,
-                                          pinnedGroups = Some(groups)))
+                                          pinnedGroups = Some(groups),
+                                          // props carry the FIELD IDS: without them the
+                                          // pinned table would resolve columns positionally
+                                          // and misbind after any DROP/RENAME COLUMN
+                                          props = base.props))
         .localCheckpoint()
 
     val added = read((to -- from.keySet).values.toSeq.sortBy(_.file))

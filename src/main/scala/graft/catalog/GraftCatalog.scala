@@ -125,6 +125,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // the old name is re-created (reset would wipe the renamed table's
     // data). The uuid suffix makes directory ownership unambiguous across
     // any create/rename/drop sequence.
+    val reserved = schema.fieldNames.filter(n =>
+      n.equalsIgnoreCase(GraftTable.FILE_COL) || n.equalsIgnoreCase(GraftTable.POS_COL))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved for scan metadata")
     val location = warehouse.resolve(
       key(ident).replace('.', '/') + "_" + java.util.UUID.randomUUID().toString.take(8))
     GroupFiles.reset(location)
@@ -160,6 +164,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // and old files would serve the dead column's bytes as the new one
     var nextId = props.get(GraftTable.NEXT_ID).map(_.toInt)
       .getOrElse(ids.maxOption.getOrElse(-1) + 1)
+    // manifest rewrites are DEFERRED and applied as ONE commit after all
+    // changes validate: a failing later change must not leave the
+    // manifest (stats rekeyed, ids materialized) divergent from the
+    // table metadata this method then never installs
+    val manifestEdits =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Group] => Seq[Group]]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -181,12 +191,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           schema.fields(i).copy(name = rn.newName())))
         // stats are keyed by NAME in the manifest: carry them across the
         // rename (they describe the same field id, so they stay valid)
-        if (GroupFiles.version(dir) > 0) GroupFiles.mutate(dir)(_.map(g => g.copy(
+        manifestEdits += (_.map(g => g.copy(
           stats = g.stats.map { case (c, v) => (if (c == old) rn.newName() else c) -> v },
           nonNull = g.nonNull.map { case (c, v) => (if (c == old) rn.newName() else c) -> v })))
         // a bucketed table's layout follows its column through the rename
         if (props.get("bucket_by").exists(_.equalsIgnoreCase(old)))
           props += ("bucket_by" -> rn.newName())
+        // retained snapshots still key their stats by the OLD name under
+        // an unknowable old schema: pinned-version reads stop trusting
+        // name-keyed stats once any rename happened (see statsReliable)
+        props += (GraftTable.RENAMED -> "true")
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "only top-level DROP COLUMN is supported")
@@ -199,12 +213,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             s"cannot drop the bucketing column $name")
           val i = schema.fieldIndex(name)
           val preIds = ids
-          // one commit: materialize ids on legacy (pre-token) groups —
-          // their columns are the PRE-drop schema's id prefix, read off
-          // each file's 4-byte width header — and strip the dropped
-          // column's stats so a future same-named column can never
-          // inherit them
-          if (GroupFiles.version(dir) > 0) GroupFiles.mutate(dir)(_.map { g =>
+          // materialize ids on legacy (pre-token) groups — their columns
+          // are the PRE-drop schema's id prefix, read off each file's
+          // 4-byte width header — and strip the dropped column's stats so
+          // a future same-named column can never inherit them
+          manifestEdits += (_.map { g =>
             val withIds = g.fieldIds match {
               case Some(_) => g
               case None =>
@@ -222,6 +235,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported: $other")
     }
+    if (manifestEdits.nonEmpty && GroupFiles.version(dir) > 0)
+      GroupFiles.mutate(dir)(gs => manifestEdits.foldLeft(gs)((acc, f) => f(acc)))
     props += (GraftTable.FIELD_IDS -> ids.mkString(","))
     props += (GraftTable.NEXT_ID -> nextId.toString)
     val replaced = new GraftTable(t.name(), schema, t.location, props = props)
@@ -314,7 +329,8 @@ case class Group(file: String, stats: Map[String, (Long, Long)],
                  nonNull: Map[String, Long] = Map.empty,
                  bucket: Option[Int] = None,
                  fieldIds: Option[Seq[Int]] = None,
-                 deletes: Option[(String, Long)] = None) {
+                 deletes: Option[(String, Long)] = None,
+                 bytes: Option[Long] = None) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
@@ -587,6 +603,11 @@ object GroupFiles {
           if (cut <= 0) None
           else raw.drop(cut + 1).toLongOption.map(n => (raw.take(cut), n))
       }.flatten
+      // "#z=<bytes>" — the file's size, recorded at write time so
+      // query-planning statistics never stat() data files
+      val size = parts.tail.collectFirst {
+        case s if s.startsWith("#z=") => s.stripPrefix("#z=").toLongOption
+      }.flatten
       // stats token: col=lo:hi[:nonNullCount] — the third part is the
       // non-null count that lets MatchesAll prove NULL absence; legacy
       // two-part tokens parse with no such proof
@@ -605,7 +626,7 @@ object GroupFiles {
         }
       }
       Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
-            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids, dv)
+            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids, dv, size)
     }
   }
 
@@ -660,6 +681,7 @@ object GroupFiles {
          g.bucket.map(b => s"#b=$b").toSeq ++
          g.fieldIds.map(ids => s"#f=${ids.mkString(",")}").toSeq ++
          g.deletes.map { case (f, n) => s"#d=$f:$n" }.toSeq ++
+         g.bytes.map(z => s"#z=$z").toSeq ++
          g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
            .map { case (c, (lo, hi)) =>
              s"$c=$lo:$hi" + g.nonNull.get(c).map(nn => s":$nn").getOrElse("") }))
@@ -734,14 +756,15 @@ object GroupFiles {
     * UPDATE/MERGE (vectors mask the old row images, appended groups hold
     * the new ones; nothing is rewritten).
     *
-    * Isolation has two levels, matched to commutativity. A delete-ONLY
-    * commit (`scanned = None`) merely requires its target groups live:
-    * vector union is exactly both deletes applied, so concurrent deletes
-    * of one group are not a conflict. A commit carrying INSERTS must
-    * pass the SAME (file, vector) identity validation as copy-on-write
-    * (`scanned = Some(...)` from the ScanHolder): two concurrent
-    * updates of one key would otherwise each mask the old image and
-    * each append its own new image — a silent double-insert.
+    * Isolation: a commit validates the scanned (file, vector) identity
+    * set like copy-on-write (`scanned = Some(...)` from the ScanHolder)
+    * — a concurrent UPDATE's delete+insert pair, or a COW rewrite,
+    * changes what this operation's predicate evaluation saw, and
+    * committing over it produces states no serial order can (a DELETE
+    * that misses the update's new image; two updates double-inserting
+    * one key). The loser fails cleanly and re-runs. `scanned = None` is
+    * for direct API callers who union pure position masks and accept
+    * last-writer-union semantics.
     */
   def commitDelta(dir: Path, scanned: Option[Set[(String, Option[String])]],
                   newDeletes: Map[String, Array[Long]],
@@ -759,14 +782,21 @@ object GroupFiles {
       if (stale.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"merge-on-read delete conflict: groups were rewritten by a concurrent " +
         s"commit (${stale.toSeq.sorted.mkString(", ")}); re-run the operation")
+      // validate EVERY group's merged positions before writing ANY
+      // vector file: a failed commit must leave zero orphans behind
+      val mergedByFile = liveNow.flatMap { g =>
+        newDeletes.get(g.file).filter(_.nonEmpty).map { ps =>
+          val merged = (g.deletes.map(d => readDeleteVector(dir, d._1))
+            .getOrElse(Array.empty[Long]).toSet ++ ps).toArray.sorted
+          g.rows.foreach(n => require(merged.forall(p => p >= 0 && p < n),
+            s"delete position out of range for ${g.file} ($n rows)"))
+          g.file -> merged
+        }
+      }.toMap
       val updated = liveNow.flatMap { g =>
-        newDeletes.get(g.file).filter(_.nonEmpty) match {
+        mergedByFile.get(g.file) match {
           case None => Some(g)
-          case Some(ps) =>
-            val merged = (g.deletes.map(d => readDeleteVector(dir, d._1))
-              .getOrElse(Array.empty[Long]).toSet ++ ps).toArray.sorted
-            g.rows.foreach(n => require(merged.forall(p => p >= 0 && p < n),
-              s"delete position out of range for ${g.file} ($n rows)"))
+          case Some(merged) =>
             if (g.rows.contains(merged.length.toLong)) None // fully deleted
             else Some(g.copy(deletes =
               Some((writeDeleteVector(dir, merged), merged.length.toLong))))
@@ -799,10 +829,24 @@ object GroupFiles {
             out.writeInt(in.readInt())
             var eof = false
             while (!eof) {
-              val len = try in.readInt() catch { case _: EOFException => eof = true; -1 }
-              if (!eof) {
+              // same byte-wise EOF discipline as the scan reader: a clean
+              // end is ONLY zero bytes before a length prefix — rewriting
+              // a torn file as "clean" would launder the corruption
+              val b0 = in.read()
+              if (b0 < 0) eof = true
+              else {
+                val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+                if (b1 < 0 || b2 < 0 || b3 < 0) throw new java.io.IOException(
+                  s"torn group file ${g.file}: truncated inside a row length prefix")
+                val len = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+                require(len >= 0 && len <= (1 << 30),
+                  s"group file ${g.file}: corrupt row length $len")
                 val bytes = new Array[Byte](len)
-                in.readFully(bytes)
+                try in.readFully(bytes)
+                catch {
+                  case e: EOFException => throw new java.io.IOException(
+                    s"torn group file ${g.file}: row of $len bytes truncated mid-read", e)
+                }
                 if (di < dv.length && dv(di) == pos) di += 1
                 else { out.writeInt(len); out.write(bytes); kept += 1 }
                 pos += 1
@@ -812,7 +856,8 @@ object GroupFiles {
           g.rows.foreach(n => require(pos == n,
             s"group ${g.file} holds $pos rows but the manifest records $n — torn file"))
           Files.move(tmp, dir.resolve(newName), StandardCopyOption.ATOMIC_MOVE)
-          g.copy(file = newName, rows = Some(kept), nonNull = Map.empty, deletes = None)
+          g.copy(file = newName, rows = Some(kept), nonNull = Map.empty, deletes = None,
+                 bytes = Some(Files.size(dir.resolve(newName))))
       }
     }
   }
@@ -900,7 +945,8 @@ object GroupFiles {
             Some(c -> members.map(_.nonNull(c)).sum)
           else None
         }.toMap
-        Group(merged, stats, rows, nn, bin.head._1.bucket, bin.head._1.fieldIds)
+        Group(merged, stats, rows, nn, bin.head._1.bucket, bin.head._1.fieldIds,
+              bytes = Some(Files.size(dir.resolve(merged))))
       }
     }.toSeq
     })
@@ -976,6 +1022,14 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
     * such groups must skip stats-only answers (see translate()).
     */
   val everDropped: Boolean = props.get(GraftTable.DROPPED).contains("true")
+
+  /** True once any column was RENAMED. Retained snapshots key stats by
+    * the names current at THEIR commit; after a rename those names may
+    * bind to different columns under the live schema, so pinned-version
+    * reads must not trust name-keyed stats (live-manifest stats were
+    * rekeyed atomically with the rename and stay exact).
+    */
+  val everRenamed: Boolean = props.get(GraftTable.RENAMED).contains("true")
 
   /** HASH-BUCKETED layout (`TBLPROPERTIES('bucket_by'='k','buckets'='8')`):
     * every writer routes each row to its bucket's group file
@@ -1095,11 +1149,13 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
     }
     () =>
       if (mor) new RowLevelOperation with SupportsDelta {
-        // DELETE commits are commutative (vector union) and skip the
-        // scanned-set validation; UPDATE/MERGE append inserts and must
-        // validate, so their scan records what it planned
-        private val holder =
-          if (info.command() == DELETE) None else Some(new ScanHolder)
+        // EVERY delta commit validates its scanned (file, vector) set.
+        // Plain vector union is commutative for two DELETEs, but a
+        // concurrent MoR UPDATE is a delete+insert pair: a DELETE whose
+        // scan predates it would mask the already-masked old image and
+        // never see the appended new one — no serial order produces
+        // that, so the late committer must fail and re-run instead
+        private val holder = Some(new ScanHolder)
         override def command(): RowLevelOperation.Command = info.command()
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
           new GraftScanBuilder(GraftTable.this, holder)
@@ -1134,6 +1190,8 @@ object GraftTable {
   val FIELD_IDS = "graft.field_ids"
   /** Table property set (permanently) by the first DROP COLUMN. */
   val DROPPED = "graft.dropped"
+  /** Table property set (permanently) by the first RENAME COLUMN. */
+  val RENAMED = "graft.renamed"
   /** Table property holding the never-reused field-id high-water mark. */
   val NEXT_ID = "graft.next_field_id"
 }
@@ -1228,6 +1286,13 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
 
   private def translate(agg: Aggregation): Option[(StructType, Seq[Option[Long]])] = {
     if (holder.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    // a pinned old manifest keys stats by that era's names — after any
+    // rename they may describe a different column than today's reader
+    // asks about (statsTrusted's field-id check cannot see renames, the
+    // id never changes); COUNT is name-free and stays answerable
+    val pinnedStatsUnsafe =
+      (table.pinnedVersion.isDefined || table.pinnedGroups.isDefined) &&
+      (table.everRenamed || table.everDropped)
     val groups = liveGroups
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Option[Long]]
@@ -1242,7 +1307,7 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
         // a group with a delete vector may have lost exactly the row
         // holding the recorded extreme: bounds stay valid for PRUNING
         // (superset) but are no longer exact — refuse MIN/MAX pushdown
-        if (groups.exists(_.deletes.isDefined)) return None
+        if (pinnedStatsUnsafe || groups.exists(_.deletes.isDefined)) return None
         colOf(m.column()).filter(c => groups.nonEmpty &&
             groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
@@ -1251,7 +1316,7 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
           case None => return None
         }
       case (m: Max, i) =>
-        if (groups.exists(_.deletes.isDefined)) return None
+        if (pinnedStatsUnsafe || groups.exists(_.deletes.isDefined)) return None
         colOf(m.column()).filter(c => groups.nonEmpty &&
             groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
@@ -1316,12 +1381,21 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
   // pinned-file-set table (ChangeFeed) to exactly the groups it was given.
   // Static predicates prune groups the stats PROVE can't match (the
   // residual row filter stays with Spark, so this is free and safe).
+  // name-keyed manifest stats are only reliable against the schema they
+  // were written under: the LIVE manifest is rekeyed atomically with
+  // every rename/drop, but a PINNED old manifest keys stats by names
+  // that may bind to different columns today — once any rename/drop
+  // happened, pinned reads must not prune (or push aggregates) on them
+  private val statsReliable: Boolean =
+    (table.pinnedVersion.isEmpty && table.pinnedGroups.isEmpty) ||
+    !(table.everRenamed || table.everDropped)
+
   private var groups: Seq[Group] = table.pinnedGroups.getOrElse(
     table.pinnedVersion match {
       case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
       case None => GroupFiles.live(Paths.get(table.location))
     })
-    .filterNot(g => planFilters.exists(p =>
+    .filterNot(g => statsReliable && planFilters.exists(p =>
       GroupPredicate.coverage(g, p) == GroupPredicate.MatchesNone))
 
   override def readSchema(): StructType =
@@ -1339,13 +1413,17 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     * as its physical bytes unknown = 0 only if the file vanished
     * mid-plan (the commit that removed it will fail this scan anyway).
     */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    memoizedStats
+  private lazy val memoizedStats: org.apache.spark.sql.connector.read.Statistics = {
     val dir = Paths.get(table.location)
     var bytes = 0L
     var rows = 0L
     var allRowsKnown = true
     groups.foreach { g =>
-      val sz = try Files.size(dir.resolve(g.file)) catch { case _: Exception => 0L }
+      // sizes come from the manifest (#z=); stat() only for legacy lines
+      val sz = g.bytes.getOrElse(
+        try Files.size(dir.resolve(g.file)) catch { case _: Exception => 0L })
       (g.rows, g.liveRows) match {
         case (Some(p), Some(l)) =>
           rows += l
@@ -1382,8 +1460,9 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     * PROVE no row can match.
     */
   override def filter(predicates: Array[V2Predicate]): Unit =
-    groups = groups.filter(g => predicates.forall(p =>
-      GroupPredicate.coverage(g, p) != GroupPredicate.MatchesNone))
+    if (statsReliable)
+      groups = groups.filter(g => predicates.forall(p =>
+        GroupPredicate.coverage(g, p) != GroupPredicate.MatchesNone))
 
   /** Bucketed layout is reportable iff EVERY planned group carries a
     * bucket tag (all writes route, so normally all do; a manifest edited
@@ -1488,13 +1567,21 @@ case object FileCol extends ReadCol
   * the streaming source read identical bytes).
   */
 object GroupRowsReader {
-  /** Reader columns for serving `readSchema` out of `table`. */
+  /** Reader columns for serving `readSchema` out of `table`. Data
+    * columns win a name collision (createTable rejects the reserved
+    * names anyway, but a pre-existing table must never have its data
+    * silently replaced by scan metadata).
+    */
   def colsFor(table: GraftTable, readSchema: StructType): Seq[ReadCol] =
-    readSchema.fields.toSeq.map(_.name match {
-      case GraftTable.FILE_COL => FileCol
-      case GraftTable.POS_COL => PosCol
-      case n => DataCol(table.fieldIdOf(n))
-    })
+    readSchema.fields.toSeq.map { f =>
+      if (table.schema().fieldNames.contains(f.name)) DataCol(table.fieldIdOf(f.name))
+      else f.name match {
+        case GraftTable.FILE_COL => FileCol
+        case GraftTable.POS_COL => PosCol
+        case n => throw new IllegalArgumentException(
+          s"requested column $n is neither a table column nor a scan metadata column")
+      }
+    }
 
   def factory(cols: Seq[ReadCol]): PartitionReaderFactory =
     (partition: InputPartition) => partition match {

@@ -81,7 +81,9 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
                 // files permanently record the field ids they were
                 // written under — the identity that keeps them readable
                 // across later RENAME/DROP COLUMN
-                if (fieldIds.nonEmpty) Some(fieldIds) else None)
+                if (fieldIds.nonEmpty) Some(fieldIds) else None,
+                // size recorded once here so planning never stats files
+                deletes = None, bytes = Some(Files.size(finalPath)))
         }
 
         def drop(): Unit = {
