@@ -330,7 +330,8 @@ case class Group(file: String, stats: Map[String, (Long, Long)],
                  bucket: Option[Int] = None,
                  fieldIds: Option[Seq[Int]] = None,
                  deletes: Option[(String, Long)] = None,
-                 bytes: Option[Long] = None) {
+                 bytes: Option[Long] = None,
+                 bloom: Boolean = false) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
@@ -441,6 +442,20 @@ private[catalog] object GroupPredicate {
 
   private def colValue(p: V2Predicate): Option[(String, Long)] =
     colValues(p).collect { case (c, Seq(v)) => (c, v) }
+
+  /** The equality values a predicate demands of one column, if it is a
+    * pure point-lookup form: `c = v`, `c IN (v...)`, or an AND containing
+    * one (an AND is at least as selective as each conjunct). These are
+    * the forms a BLOOM filter can refute when min/max stats cannot.
+    */
+  def equalityValues(p: V2Predicate): Option[(String, Seq[Long])] = p.name() match {
+    case "=" | "IN" => colValues(p)
+    case "AND" =>
+      p.children().toSeq.collectFirst {
+        case c: V2Predicate if equalityValues(c).isDefined => equalityValues(c).get
+      }
+    case _ => None
+  }
 
   private def colValues(p: V2Predicate): Option[(String, Seq[Long])] =
     p.children().headOption match {
@@ -608,6 +623,9 @@ object GroupFiles {
       val size = parts.tail.collectFirst {
         case s if s.startsWith("#z=") => s.stripPrefix("#z=").toLongOption
       }.flatten
+      // "#bm=1" — a bloom-filter sidecar (<file>.bloom) exists for this
+      // group's long columns (equality pruning; see GroupBloom)
+      val bloom = parts.tail.contains("#bm=1")
       // stats token: col=lo:hi[:nonNullCount] — the third part is the
       // non-null count that lets MatchesAll prove NULL absence; legacy
       // two-part tokens parse with no such proof
@@ -626,7 +644,8 @@ object GroupFiles {
         }
       }
       Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
-            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids, dv, size)
+            parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids, dv, size,
+            bloom)
     }
   }
 
@@ -682,6 +701,7 @@ object GroupFiles {
          g.fieldIds.map(ids => s"#f=${ids.mkString(",")}").toSeq ++
          g.deletes.map { case (f, n) => s"#d=$f:$n" }.toSeq ++
          g.bytes.map(z => s"#z=$z").toSeq ++
+         (if (g.bloom) Seq("#bm=1") else Seq.empty) ++
          g.stats.toSeq.filter(kv => statsSafe(kv._1)).sortBy(_._1)
            .map { case (c, (lo, hi)) =>
              s"$c=$lo:$hi" + g.nonNull.get(c).map(nn => s":$nn").getOrElse("") }))
@@ -702,7 +722,11 @@ object GroupFiles {
     val retainedRefs =
       versions(dir).flatMap(v => refs(liveAt(dir, v))).toSet ++ refs(groups)
     ((refs(old) ++ expiredRefs) -- retainedRefs)
-      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      .foreach { f =>
+        Files.deleteIfExists(dir.resolve(f))
+        // the bloom sidecar lives and dies with its group file
+        if (f.endsWith(".rows")) Files.deleteIfExists(dir.resolve(f + ".bloom"))
+      }
   }
 
   def delete(p: Path): Unit =
@@ -857,7 +881,7 @@ object GroupFiles {
             s"group ${g.file} holds $pos rows but the manifest records $n — torn file"))
           Files.move(tmp, dir.resolve(newName), StandardCopyOption.ATOMIC_MOVE)
           g.copy(file = newName, rows = Some(kept), nonNull = Map.empty, deletes = None,
-                 bytes = Some(Files.size(dir.resolve(newName))))
+                 bytes = Some(Files.size(dir.resolve(newName))), bloom = false)
       }
     }
   }
@@ -945,6 +969,8 @@ object GroupFiles {
             Some(c -> members.map(_.nonNull(c)).sum)
           else None
         }.toMap
+        // merged groups drop their members' blooms (different sizes do
+        // not OR); the next rewrite of the data rebuilds one
         Group(merged, stats, rows, nn, bin.head._1.bucket, bin.head._1.fieldIds,
               bytes = Some(Files.size(dir.resolve(merged))))
       }
@@ -1390,13 +1416,39 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     (table.pinnedVersion.isEmpty && table.pinnedGroups.isEmpty) ||
     !(table.everRenamed || table.everDropped)
 
+  // bloom sidecars, loaded lazily per candidate group (driver-side,
+  // plan-time; cached for the scan's lifetime)
+  private val bloomCache =
+    scala.collection.mutable.Map.empty[String, Map[Int, Array[Long]]]
+
+  /** Can the group's bloom filters REFUTE a point predicate? Sound
+    * regardless of snapshot age or schema history: blooms are keyed by
+    * stable field id (rename-proof; a re-added namesake's fresh id
+    * simply misses) and describe the physical file (a delete vector
+    * leaves them a superset). NULL rows never satisfy an equality, so
+    * refuting the non-null values refutes the predicate.
+    */
+  private def bloomRefutes(g: Group, ps: Iterable[V2Predicate]): Boolean =
+    g.bloom && ps.exists { p =>
+      GroupPredicate.equalityValues(p) match {
+        case Some((c, vs)) if vs.nonEmpty && table.schema().fieldNames.contains(c) =>
+          val id = table.fieldIdOf(c)
+          bloomCache.getOrElseUpdate(g.file, GroupBloom.read(
+              Paths.get(table.location).resolve(g.file + ".bloom")))
+            .get(id).exists(w => vs.forall(v => !GroupBloom.mightContain(w, v)))
+        case _ => false
+      }
+    }
+
   private var groups: Seq[Group] = table.pinnedGroups.getOrElse(
     table.pinnedVersion match {
       case Some(v) => GroupFiles.liveAt(Paths.get(table.location), v)
       case None => GroupFiles.live(Paths.get(table.location))
     })
-    .filterNot(g => statsReliable && planFilters.exists(p =>
-      GroupPredicate.coverage(g, p) == GroupPredicate.MatchesNone))
+    .filterNot(g =>
+      (statsReliable && planFilters.exists(p =>
+        GroupPredicate.coverage(g, p) == GroupPredicate.MatchesNone)) ||
+      bloomRefutes(g, planFilters))
 
   override def readSchema(): StructType =
     if (prunedSchema == null) table.schema() else prunedSchema
@@ -1460,9 +1512,11 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     * PROVE no row can match.
     */
   override def filter(predicates: Array[V2Predicate]): Unit =
-    if (statsReliable)
-      groups = groups.filter(g => predicates.forall(p =>
-        GroupPredicate.coverage(g, p) != GroupPredicate.MatchesNone))
+    groups = groups.filter { g =>
+      (!statsReliable || predicates.forall(p =>
+        GroupPredicate.coverage(g, p) != GroupPredicate.MatchesNone)) &&
+      !bloomRefutes(g, predicates)
+    }
 
   /** Bucketed layout is reportable iff EVERY planned group carries a
     * bucket tag (all writes route, so normally all do; a manifest edited

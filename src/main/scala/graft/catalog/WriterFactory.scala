@@ -45,6 +45,10 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
         val mins = Array.fill(longCols.length)(Long.MaxValue)
         val maxs = Array.fill(longCols.length)(Long.MinValue)
         val nonNulls = Array.fill(longCols.length)(0L)
+        // bloom per long column, keyed by STABLE FIELD ID (or position
+        // when the table predates field ids) — the equality-pruning
+        // complement to the (min,max) range stats
+        val blooms = Array.fill(longCols.length)(new GroupBloom.Builder)
         var nRows = 0L
 
         def write(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Unit = {
@@ -56,6 +60,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
               if (v < mins(s)) mins(s) = v
               if (v > maxs(s)) maxs(s) = v
               nonNulls(s) += 1
+              blooms(s).add(v)
             }
             s += 1
           }
@@ -67,6 +72,12 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
         def seal(): Group = {
           out.close()
           Files.move(tmpPath, finalPath, StandardCopyOption.ATOMIC_MOVE)
+          if (longCols.nonEmpty && nRows > 0)
+            GroupBloom.write(finalPath.resolveSibling(fileName + ".bloom"),
+              longCols.indices.map { s =>
+                val id = if (fieldIds.nonEmpty) fieldIds(longCols(s)) else longCols(s)
+                id -> blooms(s).result()
+              })
           val stats = longCols.indices.flatMap { s =>
             if (mins(s) <= maxs(s))
               Some(writeSchema.fields(longCols(s)).name -> (mins(s), maxs(s)))
@@ -83,12 +94,14 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
                 // across later RENAME/DROP COLUMN
                 if (fieldIds.nonEmpty) Some(fieldIds) else None,
                 // size recorded once here so planning never stats files
-                deletes = None, bytes = Some(Files.size(finalPath)))
+                deletes = None, bytes = Some(Files.size(finalPath)),
+                bloom = longCols.nonEmpty && nRows > 0)
         }
 
         def drop(): Unit = {
           out.close()
           Files.deleteIfExists(tmpPath); Files.deleteIfExists(finalPath)
+          Files.deleteIfExists(finalPath.resolveSibling(fileName + ".bloom"))
         }
       }
 
