@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * byte-identical). This is the Iceberg copy-on-write shape: at 100 TB a
   * MERGE touching one day's keys rewrites one day's files.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path =
@@ -90,6 +91,94 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case "bucket" => GraftBucketFunction
       case _ => throw new NoSuchFunctionException(ident)
     }
+
+  /** MAINTENANCE PROCEDURES (`CALL <cat>.system.<proc>(...)`) — the SQL
+    * surface for the operations a table needs run periodically at scale
+    * (Iceberg's `CALL catalog.system.rewrite_data_files` shape):
+    * `compact(table, target_mb)` bin-packs small groups,
+    * `materialize_deletes(table)` folds merge-on-read vectors back into
+    * data files, `history(table)` lists the retained snapshots. Each
+    * returns a small result set describing what it did.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("compact", "materialize_deletes", "history")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+
+    def dirOf(tableName: String): Path = {
+      val parts = tableName.split('.')
+      val id = if (parts.length == 1) Identifier.of(Array("default"), parts.head)
+               else Identifier.of(parts.dropRight(1), parts.last)
+      Paths.get(loadTable(id).asInstanceOf[GraftTable].location)
+    }
+
+    def unbound(procName: String,
+                params: Array[procedures.ProcedureParameter],
+                schema: StructType,
+                run: InternalRow => Seq[InternalRow]): procedures.UnboundProcedure =
+      new procedures.UnboundProcedure {
+        override def name(): String = procName
+        override def bind(inputType: StructType): procedures.BoundProcedure =
+          new procedures.BoundProcedure {
+            override def name(): String = procName
+            override def parameters(): Array[procedures.ProcedureParameter] = params
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): util.Iterator[Scan] =
+              util.List.of[Scan](new GraftLocalScan(schema, run(input))).iterator()
+          }
+      }
+
+    def out(vals: Any*): Seq[InternalRow] =
+      Seq(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vals.toArray))
+
+    ident.name() match {
+      case "compact" => unbound("compact",
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("target_mb", IntegerType)
+                .defaultValue("128").build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("groups_before", LongType, false),
+          org.apache.spark.sql.types.StructField("groups_after", LongType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val before = GroupFiles.live(dir).size.toLong
+          GroupFiles.compact(dir, input.getInt(1).toLong << 20)
+          out(before, GroupFiles.live(dir).size.toLong)
+        })
+      case "materialize_deletes" => unbound("materialize_deletes",
+        Array(procedures.ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("groups_rewritten", LongType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val masked = GroupFiles.live(dir).count(_.deletes.isDefined).toLong
+          GroupFiles.materializeDeletes(dir)
+          out(masked)
+        })
+      case "history" => unbound("history",
+        Array(procedures.ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("version", LongType, false),
+          org.apache.spark.sql.types.StructField("committed_at", LongType, false),
+          org.apache.spark.sql.types.StructField("live_groups", LongType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          GroupFiles.history(dir).map { case (v, at, n) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](v, at, n.toLong)): InternalRow
+          }
+        })
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure system.$other")
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tables.keys.toArray.sorted.map { k =>
@@ -129,13 +218,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       n.equalsIgnoreCase(GraftTable.FILE_COL) || n.equalsIgnoreCase(GraftTable.POS_COL))
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved for scan metadata")
+    // `PARTITIONED BY (bucket(n, col))` is the transform spelling of the
+    // bucketed layout (TBLPROPERTIES bucket_by/buckets): map it through
+    // rather than silently ignoring it; any other transform is an
+    // unsupported layout and must fail the CREATE loudly
+    val bucketProps = partitions.toSeq.map {
+      case t if t.name().equalsIgnoreCase("bucket") =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException("bucket() needs a bucket count"))
+        val cols = t.references().toSeq
+        require(cols.length == 1, "bucket() over exactly one column is supported")
+        Map("bucket_by" -> cols.head.fieldNames().mkString("."),
+            "buckets" -> n.toString)
+      case other => throw new UnsupportedOperationException(
+        s"partition transform not supported: $other (only bucket(n, col))")
+    }.foldLeft(Map.empty[String, String])(_ ++ _)
     val location = warehouse.resolve(
       key(ident).replace('.', '/') + "_" + java.util.UUID.randomUUID().toString.take(8))
     GroupFiles.reset(location)
     // bucketSpec validation happens in the constructor — a bad spec fails
     // the CREATE, not the first write
     val t = new GraftTable(key(ident), schema, location.toString,
-                           props = properties.asScala.toMap)
+                           props = properties.asScala.toMap ++ bucketProps)
     tables.put(key(ident), t)
     t
   }
@@ -1366,6 +1472,17 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
   * manifest metadata.
   */
 case class GraftAggPartition(values: Seq[Option[Long]]) extends InputPartition
+
+/** Tiny driver-local result-set scan: what a maintenance procedure
+  * returns (a handful of status rows — never data-plane volume). Spark's
+  * procedure invocation requires the [[LocalScan]] marker — the rows are
+  * consumed driver-side, no job is launched for them.
+  */
+class GraftLocalScan(schema: StructType, resultRows: Seq[InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = resultRows.toArray
+}
 
 class GraftAggScan(aggSchema: StructType, values: Seq[Option[Long]]) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema

@@ -594,6 +594,62 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("CALL system procedures: compact, materialize_deletes, history") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_proc"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO $T SELECT id, 'b$i' FROM range(${i * 50}, ${i * 50 + 50}, 1, 1)"))
+    spark.sql(s"DELETE FROM $T WHERE k IN (7, 93)") // leaves MoR vectors
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_proc"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    assert(graft.catalog.GroupFiles.live(dir).count(_.deletes.isDefined) === 2)
+
+    val mat = spark.sql(s"CALL graft_fb.system.materialize_deletes('default.fb_proc')").head()
+    assert(mat.getLong(0) === 2, "two masked groups should have been rewritten")
+    assert(graft.catalog.GroupFiles.live(dir).forall(_.deletes.isEmpty))
+    assert(spark.table(T).count() === 198)
+
+    val comp = spark.sql(s"CALL graft_fb.system.compact('default.fb_proc', 128)").head()
+    assert(comp.getLong(0) === 4 && comp.getLong(1) === 1,
+      s"expected 4 groups compacting to 1, got $comp")
+    assert(spark.table(T).count() === 198)
+
+    val hist = spark.sql(s"CALL graft_fb.system.history('default.fb_proc')").collect()
+    assert(hist.nonEmpty)
+    assert(hist.map(_.getLong(0)).toSeq === hist.map(_.getLong(0)).toSeq.sorted.reverse,
+      "history must list newest first")
+    spark.sql(s"DROP TABLE $T")
+  }
+
+  test("PARTITIONED BY (bucket(n, col)) creates the bucketed layout") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_pbt"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    val t = spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_pbt"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    assert(t.bucketSpec === Some(("k", 4)))
+    spark.sql(s"INSERT INTO $T SELECT id, 'x' FROM range(40)")
+    val dir = java.nio.file.Paths.get(t.location)
+    assert(graft.catalog.GroupFiles.live(dir).forall(_.bucket.isDefined),
+      "transform-declared bucketing must route writes like the property spelling")
+    assert(spark.table(T).count() === 40)
+    // non-bucket transforms fail loudly instead of being ignored
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_fb.default.fb_pbt2 (k BIGINT) PARTITIONED BY (k)")
+    }
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
