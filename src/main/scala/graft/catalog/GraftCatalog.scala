@@ -102,7 +102,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "materialize_deletes", "history")
+      Array("compact", "materialize_deletes", "history", "expire_snapshots")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -174,6 +174,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](v, at, n.toLong)): InternalRow
           }
+        })
+      case "expire_snapshots" => unbound("expire_snapshots",
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("keep", IntegerType)
+                .defaultValue("2").build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("expired", LongType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          out(GroupFiles.expireSnapshots(dir, input.getInt(1)).toLong)
         })
       case other => throw new UnsupportedOperationException(
         s"unknown procedure system.$other")
@@ -818,21 +828,46 @@ object GroupFiles {
     // commit point passed — record the snapshot and expire old ones
     val newV = version(dir) + 1
     writeAtomic(dir, s"$MANIFEST.v$newV", bytes)
-    // a manifest references its group files AND their delete vectors:
-    // both stay on disk until no retained snapshot mentions them
-    def refs(gs: Seq[Group]): Set[String] =
-      gs.flatMap(g => g.file +: g.deletes.map(_._1).toSeq).toSet
-    val expired = versions(dir).filter(_ <= newV - RETAIN)
+    dropSnapshotsBefore(dir, newV - RETAIN + 1, refs(old))
+  }
+
+  /** A manifest references its group files AND their delete vectors:
+    * both stay on disk until no retained snapshot mentions them.
+    */
+  private def refs(gs: Seq[Group]): Set[String] =
+    gs.flatMap(g => g.file +: g.deletes.map(_._1).toSeq).toSet
+
+  /** Delete every snapshot with version < `keepFrom`, then physically
+    * sweep the files only those snapshots referenced. `extraCandidates`
+    * widens the sweep to files the caller knows just became
+    * unreferenced (publish passes the pre-commit live set).
+    */
+  private def dropSnapshotsBefore(dir: Path, keepFrom: Long,
+                                  extraCandidates: Set[String] = Set.empty): Int = {
+    val expired = versions(dir).filter(_ < keepFrom)
     val expiredRefs = expired.flatMap(v => refs(liveAt(dir, v))).toSet
     expired.foreach(v => Files.deleteIfExists(dir.resolve(s"$MANIFEST.v$v")))
     val retainedRefs =
-      versions(dir).flatMap(v => refs(liveAt(dir, v))).toSet ++ refs(groups)
-    ((refs(old) ++ expiredRefs) -- retainedRefs)
+      versions(dir).flatMap(v => refs(liveAt(dir, v))).toSet ++ refs(live(dir))
+    ((extraCandidates ++ expiredRefs) -- retainedRefs)
       .foreach { f =>
         Files.deleteIfExists(dir.resolve(f))
         // the bloom sidecar lives and dies with its group file
         if (f.endsWith(".rows")) Files.deleteIfExists(dir.resolve(f + ".bloom"))
       }
+    expired.size
+  }
+
+  /** EXPIRE SNAPSHOTS below the automatic [[RETAIN]] horizon: keep only
+    * the newest `keep` versions and sweep everything only the expired
+    * ones referenced. Shrinks time travel in exchange for space — the
+    * vacuum knob every production table format ships.
+    */
+  def expireSnapshots(dir: Path, keep: Int): Int = {
+    require(keep >= 1, s"must keep at least 1 snapshot, got $keep")
+    lockFor(dir).synchronized {
+      dropSnapshotsBefore(dir, version(dir) - keep + 1)
+    }
   }
 
   def delete(p: Path): Unit =

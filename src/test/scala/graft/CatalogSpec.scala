@@ -624,6 +624,19 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(hist.nonEmpty)
     assert(hist.map(_.getLong(0)).toSeq === hist.map(_.getLong(0)).toSeq.sorted.reverse,
       "history must list newest first")
+
+    // expire_snapshots: shrink time travel to the newest 2 versions and
+    // sweep what only the expired ones referenced
+    val nVersions = graft.catalog.GroupFiles.versions(dir).size
+    assert(nVersions > 2)
+    val exp = spark.sql(s"CALL graft_fb.system.expire_snapshots('default.fb_proc', 2)").head()
+    assert(exp.getLong(0) === (nVersions - 2).toLong)
+    val left = graft.catalog.GroupFiles.versions(dir)
+    assert(left.size === 2)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $T VERSION AS OF ${left.min - 1}").collect()
+    }
+    assert(spark.table(T).count() === 198, "expiry must not touch the live read")
     spark.sql(s"DROP TABLE $T")
   }
 

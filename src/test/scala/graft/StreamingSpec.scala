@@ -373,6 +373,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       q.processAllAvailable()
       assert(got().contains(2L -> "b2"), s"post-image of the MERGE must arrive: ${got()}")
+      // a MERGE-ON-READ delete adds no files — the commit becomes an
+      // EMPTY micro-batch (this source is the append/post-image feed;
+      // deletions are ChangeFeed.tableChanges' job)
+      val sizeBefore = got().size
+      spark.sql("DELETE FROM graft_fb.default.fb_streamsrc WHERE k = 1")
+      q.processAllAvailable()
+      assert(got().size === sizeBefore,
+        "a vector-only commit must not re-emit or emit rows into the append feed")
     } finally {
       q.stop()
       spark.sql("DROP TABLE graft_fb.default.fb_streamsrc")
