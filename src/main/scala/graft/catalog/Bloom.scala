@@ -113,17 +113,23 @@ object GroupBloom {
   /** Write a sidecar: per-field-id filters, atomic move. */
   def write(path: Path, perField: Seq[(Int, Array[Long])]): Unit = {
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
     try {
-      out.writeInt(MAGIC)
-      out.writeInt(perField.length)
-      perField.foreach { case (id, words) =>
-        out.writeInt(id)
-        out.writeInt(words.length)
-        words.foreach(out.writeLong)
-      }
-    } finally out.close()
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+      try {
+        out.writeInt(MAGIC)
+        out.writeInt(perField.length)
+        perField.foreach { case (id, words) =>
+          out.writeInt(id)
+          out.writeInt(words.length)
+          words.foreach(out.writeLong)
+        }
+      } finally out.close()
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      // a half-written tmp is referenced by nothing and swept by nothing:
+      // clean it here or it leaks forever
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   /** Read a sidecar; a malformed file reads as "no blooms" (pruning is

@@ -232,6 +232,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // bucketed layout (TBLPROPERTIES bucket_by/buckets): map it through
     // rather than silently ignoring it; any other transform is an
     // unsupported layout and must fail the CREATE loudly
+    require(partitions.length <= 1,
+      "at most one bucket(n, col) partition transform is supported")
     val bucketProps = partitions.toSeq.map {
       case t if t.name().equalsIgnoreCase("bucket") =>
         val n = t.arguments().collectFirst {
@@ -245,6 +247,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case other => throw new UnsupportedOperationException(
         s"partition transform not supported: $other (only bucket(n, col))")
     }.foldLeft(Map.empty[String, String])(_ ++ _)
+    require(bucketProps.isEmpty ||
+        !properties.asScala.keys.exists(k =>
+          k.equalsIgnoreCase("bucket_by") || k.equalsIgnoreCase("buckets")),
+      "bucketing declared both as a partition transform and in TBLPROPERTIES")
     val location = warehouse.resolve(
       key(ident).replace('.', '/') + "_" + java.util.UUID.randomUUID().toString.take(8))
     GroupFiles.reset(location)
@@ -559,18 +565,19 @@ private[catalog] object GroupPredicate {
   private def colValue(p: V2Predicate): Option[(String, Long)] =
     colValues(p).collect { case (c, Seq(v)) => (c, v) }
 
-  /** The equality values a predicate demands of one column, if it is a
-    * pure point-lookup form: `c = v`, `c IN (v...)`, or an AND containing
-    * one (an AND is at least as selective as each conjunct). These are
-    * the forms a BLOOM filter can refute when min/max stats cannot.
+  /** EVERY point-lookup demand a predicate makes: `c = v`, `c IN
+    * (v...)`, and all such conjuncts inside an AND (each is necessary,
+    * so refuting ANY ONE refutes the predicate). These are the forms a
+    * BLOOM filter can refute when min/max stats cannot.
     */
-  def equalityValues(p: V2Predicate): Option[(String, Seq[Long])] = p.name() match {
-    case "=" | "IN" => colValues(p)
+  def equalityValues(p: V2Predicate): Seq[(String, Seq[Long])] = p.name() match {
+    case "=" | "IN" => colValues(p).toSeq
     case "AND" =>
-      p.children().toSeq.collectFirst {
-        case c: V2Predicate if equalityValues(c).isDefined => equalityValues(c).get
+      p.children().toSeq.flatMap {
+        case c: V2Predicate => equalityValues(c)
+        case _ => Seq.empty
       }
-    case _ => None
+    case _ => Seq.empty
   }
 
   private def colValues(p: V2Predicate): Option[(String, Seq[Long])] =
@@ -828,7 +835,7 @@ object GroupFiles {
     // commit point passed — record the snapshot and expire old ones
     val newV = version(dir) + 1
     writeAtomic(dir, s"$MANIFEST.v$newV", bytes)
-    dropSnapshotsBefore(dir, newV - RETAIN + 1, refs(old))
+    dropSnapshotsBefore(dir, newV - RETAIN + 1, refs(old), Some(groups))
   }
 
   /** A manifest references its group files AND their delete vectors:
@@ -843,12 +850,14 @@ object GroupFiles {
     * unreferenced (publish passes the pre-commit live set).
     */
   private def dropSnapshotsBefore(dir: Path, keepFrom: Long,
-                                  extraCandidates: Set[String] = Set.empty): Int = {
+                                  extraCandidates: Set[String] = Set.empty,
+                                  liveNow: Option[Seq[Group]] = None): Int = {
     val expired = versions(dir).filter(_ < keepFrom)
     val expiredRefs = expired.flatMap(v => refs(liveAt(dir, v))).toSet
     expired.foreach(v => Files.deleteIfExists(dir.resolve(s"$MANIFEST.v$v")))
     val retainedRefs =
-      versions(dir).flatMap(v => refs(liveAt(dir, v))).toSet ++ refs(live(dir))
+      versions(dir).flatMap(v => refs(liveAt(dir, v))).toSet ++
+        refs(liveNow.getOrElse(live(dir)))
     ((extraCandidates ++ expiredRefs) -- retainedRefs)
       .foreach { f =>
         Files.deleteIfExists(dir.resolve(f))
@@ -1581,16 +1590,14 @@ class GraftScan(table: GraftTable, holder: Option[ScanHolder],
     * refuting the non-null values refutes the predicate.
     */
   private def bloomRefutes(g: Group, ps: Iterable[V2Predicate]): Boolean =
-    g.bloom && ps.exists { p =>
-      GroupPredicate.equalityValues(p) match {
-        case Some((c, vs)) if vs.nonEmpty && table.schema().fieldNames.contains(c) =>
-          val id = table.fieldIdOf(c)
-          bloomCache.getOrElseUpdate(g.file, GroupBloom.read(
-              Paths.get(table.location).resolve(g.file + ".bloom")))
-            .get(id).exists(w => vs.forall(v => !GroupBloom.mightContain(w, v)))
-        case _ => false
-      }
-    }
+    g.bloom && ps.exists(p => GroupPredicate.equalityValues(p).exists {
+      case (c, vs) if vs.nonEmpty && table.schema().fieldNames.contains(c) =>
+        val id = table.fieldIdOf(c)
+        bloomCache.getOrElseUpdate(g.file, GroupBloom.read(
+            Paths.get(table.location).resolve(g.file + ".bloom")))
+          .get(id).exists(w => vs.forall(v => !GroupBloom.mightContain(w, v)))
+      case _ => false
+    })
 
   private var groups: Seq[Group] = table.pinnedGroups.getOrElse(
     table.pinnedVersion match {
@@ -2104,7 +2111,12 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     val dir = Paths.get(table.location)
     messages.foreach {
       case GraftCommitMessage(gs) =>
-        gs.foreach(g => Files.deleteIfExists(dir.resolve(g.file)))
+        gs.foreach { g =>
+          Files.deleteIfExists(dir.resolve(g.file))
+          // never-published files are invisible to the ref-driven sweep:
+          // their sidecars must go with them here or they leak forever
+          Files.deleteIfExists(dir.resolve(g.file + ".bloom"))
+        }
       case _ => ()
     }
   }
@@ -2150,7 +2162,10 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
     val dir = Paths.get(table.location)
     messages.foreach {
       case GraftDeltaMessage(_, gs) =>
-        gs.foreach(g => Files.deleteIfExists(dir.resolve(g.file)))
+        gs.foreach { g =>
+          Files.deleteIfExists(dir.resolve(g.file))
+          Files.deleteIfExists(dir.resolve(g.file + ".bloom"))
+        }
       case _ => ()
     }
   }

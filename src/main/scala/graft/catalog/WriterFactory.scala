@@ -102,6 +102,7 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
           out.close()
           Files.deleteIfExists(tmpPath); Files.deleteIfExists(finalPath)
           Files.deleteIfExists(finalPath.resolveSibling(fileName + ".bloom"))
+          Files.deleteIfExists(finalPath.resolveSibling(fileName + ".bloom.tmp"))
         }
       }
 
