@@ -353,6 +353,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           ids = ids.patch(i, Nil, 1)
           props += (GraftTable.DROPPED -> "true")
         }
+      case set: TableChange.SetProperty =>
+        // mode switches (delete_mode/update_mode/merge_mode), retention
+        // knobs, comments — but never the engine-owned metadata that
+        // encodes column identity, and never a layout change on data
+        // that was already routed under the old one
+        require(!set.property().startsWith("graft."),
+          s"property ${set.property()} is engine-managed")
+        require(!Seq("bucket_by", "buckets").exists(_.equalsIgnoreCase(set.property())),
+          "bucketing cannot be changed after CREATE (existing files are routed)")
+        props += (set.property() -> set.value())
+      case unset: TableChange.RemoveProperty =>
+        require(!unset.property().startsWith("graft."),
+          s"property ${unset.property()} is engine-managed")
+        require(!Seq("bucket_by", "buckets").exists(_.equalsIgnoreCase(unset.property())),
+          "bucketing cannot be removed after CREATE (existing files are routed)")
+        props -= unset.property()
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported: $other")

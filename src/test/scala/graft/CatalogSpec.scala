@@ -663,6 +663,44 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("SET TBLPROPERTIES switches row-level modes; engine props are protected") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_setprop"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 50, 1, 1)")
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_setprop"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    def rowsFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+    // flip DELETE to copy-on-write mid-life: the next delete rewrites
+    spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES('delete_mode'='copy-on-write')")
+    val before = rowsFiles()
+    spark.sql(s"DELETE FROM $T WHERE k = 7")
+    assert(rowsFiles() !== before, "copy-on-write mode must rewrite, not mask")
+    assert(graft.catalog.GroupFiles.live(dir).forall(_.deletes.isEmpty))
+    // flip back: masking resumes
+    spark.sql(s"ALTER TABLE $T UNSET TBLPROPERTIES('delete_mode')")
+    val before2 = rowsFiles()
+    spark.sql(s"DELETE FROM $T WHERE k = 9")
+    assert(rowsFiles() === before2, "merge-on-read mode must mask, not rewrite")
+    assert(graft.catalog.GroupFiles.live(dir).exists(_.deletes.isDefined))
+    assert(spark.table(T).count() === 48)
+    // engine-owned and layout props are rejected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES('graft.field_ids'='9')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES('bucket_by'='k')")
+    }
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
