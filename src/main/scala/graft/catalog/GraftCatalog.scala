@@ -1354,7 +1354,8 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder =
           new DeltaWriteBuilder {
             override def build(): DeltaWrite =
-              new GraftDeltaWrite(GraftTable.this, writeInfo.schema(), holder)
+              new GraftDeltaWrite(GraftTable.this, writeInfo.schema(), holder,
+                clusterInserts = info.command() != DELETE)
           }
         override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftTable.FILE_COL),
@@ -2146,8 +2147,28 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
   * swap). No data file is opened or written.
   */
 class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
-                      holder: Option[ScanHolder])
-    extends DeltaWrite with DeltaBatchWrite {
+                      holder: Option[ScanHolder],
+                      clusterInserts: Boolean = false)
+    extends DeltaWrite with DeltaBatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  /** Insert-carrying delta writes (UPDATE/MERGE) against a BUCKETED
+    * table cluster the stream by the bucket transform, so each task
+    * appends whole-bucket files instead of one sliver per bucket per
+    * task. Pure DELETEs never pay the shuffle — their output is
+    * position lists, bucket-local already. Preference, not a gate: the
+    * writer's routing map keeps unshuffled writes correct.
+    */
+  override def requiredDistribution(): Distribution =
+    table.bucketSpec.filter(_ => clusterInserts) match {
+      case Some((c, n)) => Distributions.clustered(Array(Expressions.bucket(n, c)))
+      case None => Distributions.unspecified()
+    }
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaWriterFactory(table.location, writeSchema,

@@ -94,14 +94,21 @@ class BucketedCatalogSpec extends AnyFunSuite with SparkFixture {
     }
     spark.sql("INSERT INTO graft_bk.default.bt_ul SELECT id, id * 2 FROM range(1000)")
     spark.sql("INSERT INTO graft_bk.default.bt_ur SELECT id, id * 3 FROM range(500)")
+    val dir = tableDir("graft_bk", "bt_ul")
+    val before = GroupFiles.live(dir).map(_.file).toSet
     // MoR UPDATE: old images mask, new images append — and the appended
     // per-bucket files must carry #b tags or SPJ dies for the whole table
     spark.sql("UPDATE graft_bk.default.bt_ul SET v = k * 20 WHERE k % 100 = 7")
-    val dir = tableDir("graft_bk", "bt_ul")
     val live = GroupFiles.live(dir)
     assert(live.exists(_.deletes.isDefined), "UPDATE must have gone merge-on-read")
     assert(live.forall(_.bucket.isDefined),
       s"appended update images lost bucket tags: $live")
+    // the write is clustered by bucket: all touched keys here land in
+    // ONE bucket (k % 100 == 7 ⇒ k % 4 == 3), so the appended images
+    // must arrive as a single whole-bucket file, not task slivers
+    val appended = live.filterNot(g => before(g.file))
+    assert(appended.size === 1 && appended.head.bucket === Some(3),
+      s"expected one whole-bucket appended file, got $appended")
     val joined = spark.sql(
       """SELECT l.k, l.v + r.v AS s
         |FROM graft_bk.default.bt_ul l JOIN graft_bk.default.bt_ur r ON l.k = r.k""".stripMargin)
