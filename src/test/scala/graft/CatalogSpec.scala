@@ -701,6 +701,74 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("property: random delete-vector masks equal filter semantics through every path") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_morprop"
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      spark.sql(s"DROP TABLE IF EXISTS $T")
+      spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+      val n = 50 + rnd.nextInt(200)
+      spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, $n, 1, 1)")
+      val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+        .asInstanceOf[graft.catalog.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("default"), "fb_morprop"))
+        .asInstanceOf[graft.catalog.GraftTable].location)
+      val g = graft.catalog.GroupFiles.live(dir).head
+      // two rounds of random masks, unioned (positions == k here)
+      val m1 = (0 until n).filter(_ => rnd.nextBoolean()).map(_.toLong).toArray
+      val m2 = (0 until n).filter(_ => rnd.nextInt(4) == 0).map(_.toLong).toArray
+      if (m1.nonEmpty) graft.catalog.GroupFiles.addDeletes(dir, Map(g.file -> m1))
+      val both = (m1 ++ m2).toSet
+      if (m2.nonEmpty && graft.catalog.GroupFiles.live(dir).nonEmpty)
+        graft.catalog.GroupFiles.addDeletes(dir,
+          Map(graft.catalog.GroupFiles.live(dir).head.file -> m2))
+      val expect = (0L until n.toLong).filterNot(both).toSet
+      def got() = spark.table(T).collect().map(_.getLong(0)).toSet
+      assert(got() === expect, s"trial $trial masked read diverged")
+      // COUNT pushdown agrees with the full read
+      assert(spark.sql(s"SELECT count(*) FROM $T").head().getLong(0) === expect.size.toLong)
+      // materialization then compaction preserve the content exactly
+      graft.catalog.GroupFiles.materializeDeletes(dir)
+      assert(got() === expect, s"trial $trial materialize diverged")
+      graft.catalog.GroupFiles.compact(dir, 1L << 30)
+      assert(got() === expect, s"trial $trial compact diverged")
+    }
+    spark.sql(s"DROP TABLE $T")
+  }
+
+  test("concurrent API delete-vector unions on one group lose nothing") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_morconc"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 800, 1, 1)")
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_morconc"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    val g = graft.catalog.GroupFiles.live(dir).head
+    // 8 threads each mask a disjoint stripe through the direct API (the
+    // commutative union path): the lock serializes read-union-publish,
+    // so no stripe may be lost
+    val threads = (0 until 8).map { t =>
+      new Thread(() =>
+        graft.catalog.GroupFiles.addDeletes(dir,
+          Map(g.file -> (t * 100 until (t * 100 + 50)).map(_.toLong).toArray)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val live = graft.catalog.GroupFiles.live(dir)
+    assert(live.head.deletes.map(_._2) === Some(400L),
+      s"union lost deletes: ${live.head.deletes}")
+    assert(spark.table(T).count() === 400)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE k % 100 < 50").head().getLong(0) === 0)
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
