@@ -124,6 +124,45 @@ class BucketedCatalogSpec extends AnyFunSuite with SparkFixture {
     for (t <- Seq("bt_ul", "bt_ur")) spark.sql(s"DROP TABLE IF EXISTS graft_bk.default.$t")
   }
 
+  test("MoR UPDATE that changes the bucket key re-routes the new image") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_rekey")
+    spark.sql("""CREATE TABLE graft_bk.default.bt_rekey (k BIGINT, v BIGINT)
+                 TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    spark.sql("INSERT INTO graft_bk.default.bt_rekey SELECT id, id FROM range(100)")
+    // move keys across buckets: k=1 (bucket 1) becomes k=101 (bucket 1?
+    // no: 101 % 4 = 1... use +2: k=1 -> 3, bucket 3)
+    spark.sql("UPDATE graft_bk.default.bt_rekey SET k = k + 202 WHERE k = 1")
+    val dir = tableDir("graft_bk", "bt_rekey")
+    val live = GroupFiles.live(dir)
+    assert(live.forall(_.bucket.isDefined))
+    // the new image's file must be tagged with ITS key's bucket, and its
+    // stats must place 203 there — otherwise SPJ reads the row from the
+    // wrong partition and co-partitioned joins silently drop it
+    val moved = live.find(g => g.stats.get("k").exists(s => s._1 <= 203 && 203 <= s._2)
+      && g.deletes.isEmpty && g.rows.contains(1L))
+    assert(moved.exists(_.bucket === Some((203 % 4).toInt)),
+      s"re-keyed image not routed to its new bucket: $live")
+    // the row is findable through the bucketed read path
+    assert(spark.sql("SELECT v FROM graft_bk.default.bt_rekey WHERE k = 203")
+      .head().getLong(0) === 1L)
+    assert(spark.table("graft_bk.default.bt_rekey").count() === 100)
+    // and a co-bucketed join still sees it with zero shuffle
+    spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_rekey_r")
+    spark.sql("""CREATE TABLE graft_bk.default.bt_rekey_r (k BIGINT, w BIGINT)
+                 TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    spark.sql("INSERT INTO graft_bk.default.bt_rekey_r VALUES (203, 7)")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT l.v + r.w FROM graft_bk.default.bt_rekey l
+          |JOIN graft_bk.default.bt_rekey_r r ON l.k = r.k""".stripMargin)
+      assert(j.collect().map(_.getLong(0)).toSeq === Seq(8L))
+      assert(shuffles(j.queryExecution.executedPlan).isEmpty)
+    }
+    spark.sql("DROP TABLE graft_bk.default.bt_rekey")
+    spark.sql("DROP TABLE graft_bk.default.bt_rekey_r")
+  }
+
   test("MERGE rewrite and compaction preserve bucket tags (SPJ survives maintenance)") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft_bk.default.bt_m")
