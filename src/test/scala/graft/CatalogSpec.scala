@@ -769,6 +769,50 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("schema evolution composes with merge-on-read updates") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_evomor"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, CAST(id AS STRING) FROM range(0, 60, 1, 1)")
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_evomor"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    def rowsFiles() = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rows")).toSet
+
+    // ADD a column, then MoR-update a slice: the masked old group is
+    // narrower (null-pads w), the appended images carry the full schema
+    spark.sql(s"ALTER TABLE $T ADD COLUMN w BIGINT")
+    val before = rowsFiles()
+    spark.sql(s"UPDATE $T SET w = k * 10 WHERE k < 5")
+    assert(before.subsetOf(rowsFiles()), "old group must survive masked, not rewritten")
+    assert(spark.table(T).count() === 60)
+    assert(spark.sql(s"SELECT CAST(SUM(w) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 5L).map(_ * 10).sum)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE w IS NULL").head().getLong(0) === 55)
+
+    // RENAME the updated column: appended and padded generations both follow
+    spark.sql(s"ALTER TABLE $T RENAME COLUMN w TO weight")
+    assert(spark.sql(s"SELECT CAST(SUM(weight) AS BIGINT) FROM $T").head().getLong(0) === 100L)
+
+    // DROP the original v: every generation serves (k, weight) only
+    spark.sql(s"ALTER TABLE $T DROP COLUMN v")
+    assert(spark.table(T).columns.toSeq === Seq("k", "weight"))
+    assert(spark.table(T).count() === 60)
+    assert(spark.sql(s"SELECT CAST(SUM(k) AS BIGINT) FROM $T").head().getLong(0)
+      === (0L until 60L).sum)
+    // and a further MoR delete on the evolved table still masks correctly
+    spark.sql(s"DELETE FROM $T WHERE k = 3")
+    assert(spark.table(T).count() === 59)
+    assert(spark.sql(s"SELECT CAST(SUM(weight) AS BIGINT) FROM $T").head().getLong(0) === 70L)
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("renaming the bucketing column keeps the bucketed layout routing") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_bkrn"
