@@ -56,8 +56,13 @@ object ChangeFeed {
     // surface as 'delete' — still O(changed groups), never O(table)
     def keyed(v: Long) =
       GroupFiles.liveAt(dir, v).map(g => (g.file, g.deletes.map(_._1)) -> g).toMap
-    val from = keyed(fromVersion)
-    val to = keyed(toVersion)
+    // version 0 = the never-committed table: the feed from 0 is simply
+    // "everything at toVersion is an insert" (a summary seeded on an
+    // empty base replays history from here)
+    val from = if (fromVersion == 0) Map.empty[(String, Option[String]), Group]
+               else keyed(fromVersion)
+    val to = if (toVersion == 0) Map.empty[(String, Option[String]), Group]
+             else keyed(toVersion)
 
     // each side feeds BOTH exceptAll branches — materialize once so the
     // changed files are read once, not twice

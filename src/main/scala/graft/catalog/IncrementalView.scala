@@ -61,6 +61,15 @@ object IncrementalView {
               dims: Seq[String], sums: Seq[String],
               state: DataFrame, fromVersion: Long, toVersion: Long): DataFrame = {
     if (fromVersion == toVersion) return state
+    // fail with an explanation, not an unresolved-column error: summaries
+    // persisted before the per-measure non-null counters existed cannot
+    // be refreshed (the NULL-sum decision needs the counter) — rebuild
+    // once with materialize/build to migrate
+    val missing = (Seq("__n") ++ sums.map(c => s"__nn_$c") ++ sums.map(c => s"__sum_$c"))
+      .filterNot(state.columns.contains)
+    require(missing.isEmpty,
+      s"summary state lacks ${missing.mkString(", ")} — it predates the " +
+      "per-measure non-null counters; rebuild it once with build/materialize")
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val deltaAggs = sum(sign).as("__dn") +: sums.flatMap(c => Seq(
       sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$c"),
@@ -113,13 +122,19 @@ object IncrementalView {
     // summarize the PINNED snapshot v, not the live table: a commit
     // landing between the version read and the scan would otherwise be
     // baked into the summary yet replayed by the next refresh (double
-    // counting). v == 0 ⇒ never-written table ⇒ empty live read is exact.
+    // counting). v == 0 ⇒ never-written table ⇒ the seed is EMPTY by
+    // definition (filter(false) reads schema only — a concurrent first
+    // commit must NOT leak in, the 0→v1 refresh will replay it).
     val snapshot =
-      if (v == 0) spark.table(baseTable)
-      else spark.sql(s"SELECT * FROM $baseTable VERSION AS OF $v")
+      if (v == 0) spark.table(baseTable).filter(lit(false))
+      else spark.sql(s"SELECT * FROM ${quoted(baseTable)} VERSION AS OF $v")
     overwrite(spark, viewTable, summarize(snapshot, dims, sums))
     v
   }
+
+  /** Backtick-quote a dotted identifier — table names are caller data. */
+  private def quoted(qualifiedName: String): String =
+    qualifiedName.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
 
   /** Advance the stored summary from `fromVersion` to the base's current
     * version using only the change feed; returns the new reflected

@@ -422,7 +422,10 @@ object Streaming {
     val w = Window.partitionBy(pk.map(col): _*).orderBy(col(seqCol).desc)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val view = s"__cdc_catalog_src_$batchId"
+    // UUID, not batchId: two concurrent streaming queries in one session
+    // can reach the same batchId simultaneously, and a shared name would
+    // let one stream's MERGE read the other's rows
+    val view = s"__cdc_catalog_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     latest.createOrReplaceTempView(view)
     try {
       // backtick-quote every identifier — pk/table names are caller

@@ -94,6 +94,34 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
 
+  test("a summary seeded on a NEVER-WRITTEN base refreshes through the first commits") {
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k STRING, id BIGINT, m BIGINT)")
+    val V = "graft_ivm.default.ivm_v0view"
+    spark.sql(s"DROP TABLE IF EXISTS $V")
+    spark.sql(s"CREATE TABLE $V (k STRING, __n BIGINT, __nn_m BIGINT, __sum_m BIGINT)")
+    // seed at version 0 (no manifest yet): the stored view is empty and
+    // the returned cursor must be consumable by the NEXT refresh
+    val v0 = IncrementalView.materialize(spark, T, V, Seq("k"), Seq("m"))
+    assert(v0 === 0L)
+    assert(spark.table(V).count() === 0)
+    // first-ever base commit, then the 0 -> v1 refresh replays it
+    spark.sql(s"INSERT INTO $T VALUES ('a', 1, 10), ('b', 2, 5)")
+    val v1 = IncrementalView.refreshMaterialized(spark, T, V, Seq("k"), Seq("m"), v0)
+    assert(v1 > 0)
+    assert(spark.table(V).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet === Set(("a", 1L, 10L), ("b", 1L, 5L)))
+    // pre-counter state schemas are rejected with an explanation
+    val legacy = spark.sql("SELECT 'a' AS k, 1L AS __n, 10L AS __sum_m")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, T, Seq("k"), Seq("m"), legacy, 0, v1)
+    }
+    assert(e.getMessage.contains("__nn_m"))
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"DROP TABLE IF EXISTS $V")
+  }
+
   test("NULL dimension values and NULL measures keep refresh == build") {
     val T3 = "graft_ivm.default.ivm_t3"
     spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
