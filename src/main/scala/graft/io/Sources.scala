@@ -27,38 +27,85 @@ object Sources {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark has no nanosecond
-    * TimestampType and refuses the file by default. Read the raw nanos as
-    * long and truncate to microseconds (integer DIV — exactly DuckDB's
-    * ns→us conversion), as TIMESTAMP_NTZ to match the other tables (all
-    * naive timestamps, session pinned UTC — SURVEY §2.1.4).
+  /** events.ts physical-unit handling. Across driver rounds the test
+    * generator has shipped events.ts BOTH as parquet INT64
+    * TIMESTAMP(NANOS) — which Spark has no type for and refuses by
+    * default — and as plain TIMESTAMP(MICROS). Hardcoding either unit
+    * misreads the other by 1000× SILENTLY (the raw longs parse fine and
+    * every date lands in Jan 1970), so the reader sniffs ONE parquet
+    * footer per path (a driver-side metadata read, no data pass; cached)
+    * and picks the plan:
     *
-    * The nanos-as-long flag is scoped to THIS read, not the session: the
-    * explicit schema (ts: long) skips inference — which only consults the
-    * session SQLConf — and the reader option is merged into THIS relation's
-    * hadoopConf, which the task-side parquet schema converter consults when
-    * mapping the file's TIMESTAMP(NANOS) column to the requested long. No
-    * session-global conf mutation, so other nanos-timestamp parquet reads
-    * in the same session keep their own semantics.
+    *  - NANOS: force ts to LongType (the nanos-as-long reader option is
+    *    scoped to this relation, not the session), then truncate with
+    *    integer DIV — exactly DuckDB's ns→us conversion — into
+    *    TIMESTAMP_NTZ to match the other tables (all naive timestamps,
+    *    session pinned UTC — SURVEY §2.1.4).
+    *  - MICROS (or anything Spark reads natively): request TIMESTAMP_NTZ
+    *    directly; the normalization is an identity cast.
     */
-  /** Raw on-disk events schema: ts as the nanosecond long it physically is
-    * (derived from Schemas.events — ONE source of truth for batch and
-    * streaming readers).
+  /** Raw on-disk events schema for the NANOS variant: ts as the
+    * nanosecond long it physically is (derived from Schemas.events — ONE
+    * source of truth for batch and streaming readers).
     */
   val eventsRawSchema: StructType = StructType(Schemas.events.fields.map {
     case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
     case f => f
   })
 
-  /** The shared ns→us ts normalization (DuckDB-identical integer DIV). */
+  /** The ns→us ts normalization (DuckDB-identical integer DIV). */
   val eventsTsNormalization: String = "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
 
-  def events(spark: SparkSession, dir: String): DataFrame =
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff the events parquet at `path` stores ts as TIMESTAMP(NANOS).
+    * One footer read, cached per path (testdata is immutable per round).
+    * A directory path sniffs its first data file — files of one dataset
+    * share the unit.
+    */
+  def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, _ => {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .sortBy(_.getName).headOption.getOrElse(
+              throw new IllegalArgumentException(s"no parquet files under $path"))
+        else p
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+          (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+      } finally reader.close()
+    })
+
+  /** The (forced schema, ts-normalization SQL) pair for an events source
+    * at `path` — shared by the batch reader and the readStream twin so
+    * the two can't drift.
+    */
+  def eventsReadPlan(spark: SparkSession, path: String): (StructType, String) =
+    if (eventsTsIsNanos(spark, path)) (eventsRawSchema, eventsTsNormalization)
+    else (Schemas.events, "CAST(ts AS TIMESTAMP_NTZ)")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, norm) = eventsReadPlan(spark, s"$dir/events.parquet")
     spark.read
-      .schema(eventsRawSchema)
+      .schema(schema)
       .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(eventsTsNormalization))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(norm))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

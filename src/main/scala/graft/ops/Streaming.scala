@@ -343,16 +343,19 @@ object Streaming {
   /** File-source streaming reader for the events table (the readStream
     * twin of Sources.events — same nanos→micros normalization).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // schema + ts normalization shared with Sources.events (one source of
-    // truth — the batch/stream twins can't drift); nanos flag scoped to
-    // this reader, no session-global conf mutation. File-stream sources
-    // take a directory; the glob selects just the events file.
-    spark.readStream.schema(graft.io.Sources.eventsRawSchema)
+    // truth — the batch/stream twins can't drift), including the per-path
+    // ns/us unit sniff; nanos flag scoped to this reader, no
+    // session-global conf mutation. File-stream sources take a directory;
+    // the glob selects just the events file.
+    val (schema, norm) = graft.io.Sources.eventsReadPlan(spark, s"$dir/events.parquet")
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(dir)
-      .withColumn("ts", expr(graft.io.Sources.eventsTsNormalization))
+      .withColumn("ts", expr(norm))
+  }
 
   /** Continuous CDC apply (the STREAMING route to postpy's upsert verb):
     * maintain a path-addressed parquet table as the running UPSERT of an
