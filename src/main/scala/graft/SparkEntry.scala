@@ -94,6 +94,7 @@ object SparkEntry {
     "q_chunk_docs" -> Text.chunkDocsQuery,
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_dedup_prefix" -> Text.dedupPrefixQuery,
+    "q_dedup_substring" -> Text.dedupSubstringQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_pagerank" -> Graph.pageRankQuery,
@@ -749,6 +750,26 @@ object SparkEntry {
         |    round(CAST(common AS DOUBLE)/(x.sz + y.sz - common), 6) AS jaccard
         |  FROM common JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_substring" ->
+      // Exact 30-char stride-1 window duplication profile. md5/substr/
+      // length are character-identical across engines on this corpus;
+      // range(1, n) is end-exclusive, so len-W+2 = len-28 yields
+      // positions 1..len-29 inclusive — the same 1..len-W+1 set Spark's
+      // sequence(1, length-29) generates. All-integer output.
+      """WITH g AS (
+        |  SELECT doc_id, md5(substr(text, i, 30)) AS h, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS i
+        |        FROM documents WHERE length(text) >= 30)
+        |  GROUP BY doc_id, h),
+        |n AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS nd FROM g)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_positions,
+        |  CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS dup_windows
+        |FROM n GROUP BY doc_id
+        |HAVING SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_prefix" ->
       // FULL-corpus exact 3-gram Jaccard at t=0.7. The Spark side runs

@@ -285,6 +285,45 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q_dedup_substring: EXACT cross-document substring-duplication
+    * profile — the Lee-et-al "Deduplicating Training Data" shape, the one
+    * dedup signal shingle-Jaccard misses (a verbatim 30-char span copied
+    * between otherwise-different documents). Every stride-1 character
+    * window of length W=30 is hashed (portable md5, computed INSIDE the
+    * generator lambda so the document text never rides through the
+    * shuffle); the (doc, window-hash) grain is aggregated once, a window
+    * count over the hash partition marks cross-document sharing (nd > 1
+    * ⇔ the 30-char span occurs verbatim in ≥2 docs — with stride 1,
+    * ANY duplicated span of length ≥ W is caught because all its aligned
+    * windows collide), and the per-document rollup reports total windows,
+    * distinct shared windows, and shared window positions. All-integer
+    * output: nothing to round, nothing engine-dependent. At 100 TB the
+    * shuffle carries 32-byte hashes (or an 8-byte prefix) — O(total
+    * chars) rows but never all-pairs; this is the hashed-window stand-in
+    * for the suffix-array pass, and it composes with q_dedup_clusters
+    * downstream.
+    */
+  def dedupSubstringQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 30
+    val grain = Sources.documents(spark, dir)
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"),
+        expr(s"explode(transform(sequence(1, length(text) - ${W - 1}), " +
+             s"i -> md5(substring(text, i, $W))))").as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    grain
+      // each (doc, h) row is one distinct doc for h, so a plain window
+      // count IS the document frequency — no join back to the grain
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_windows"),
+           sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0))).as("dup_positions"),
+           count(when(col("nd") > 1, lit(1))).as("dup_windows"))
+      .filter(col("dup_positions") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** q_chunk_docs: split every document into fixed-size token windows
     * with stride — the chunking primitive of RAG indexing and pretraining
     * sequence prep (overlap = window − stride keeps boundary context).
