@@ -102,7 +102,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "materialize_deletes", "history", "expire_snapshots")
+      Array("compact", "materialize_deletes", "history", "expire_snapshots",
+            "rollback_to")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -184,6 +185,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         { input =>
           val dir = dirOf(input.getUTF8String(0).toString)
           out(GroupFiles.expireSnapshots(dir, input.getInt(1)).toLong)
+        })
+      case "rollback_to" => unbound("rollback_to",
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("previous_version", LongType, false),
+          org.apache.spark.sql.types.StructField("current_version", LongType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val prev = GroupFiles.version(dir)
+          out(prev, GroupFiles.rollbackTo(dir, input.getLong(1)))
         })
       case other => throw new UnsupportedOperationException(
         s"unknown procedure system.$other")
@@ -882,6 +894,23 @@ object GroupFiles {
       }
     expired.size
   }
+
+  /** ROLLBACK to a retained snapshot: publish snapshot `v`'s live set as
+    * a NEW commit (the Iceberg `rollback_to_snapshot` shape — history
+    * moves forward, nothing is erased; the rolled-back commits stay
+    * time-travelable until they expire). Every file a retained snapshot
+    * references is still on disk by the retention invariant, so the
+    * restored live set is complete — including delete vectors, so a
+    * rollback across a MoR DELETE restores the pre-delete mask exactly.
+    * Schema is NOT rolled back: groups carry their field ids, so files
+    * restored from before a later ADD/RENAME/DROP read under the current
+    * schema exactly as live reads of old files do.
+    */
+  def rollbackTo(dir: Path, v: Long): Long =
+    lockFor(dir).synchronized {
+      publish(dir, liveAt(dir, v)) // liveAt fails loudly on an expired version
+      version(dir)
+    }
 
   /** EXPIRE SNAPSHOTS below the automatic [[RETAIN]] horizon: keep only
     * the newest `keep` versions and sweep everything only the expired

@@ -640,6 +640,47 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("CALL system.rollback_to restores a retained snapshot as a new commit") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_rollback"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, 'a' FROM range(0, 10, 1, 1)")   // v1
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_rollback"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    val v1 = graft.catalog.GroupFiles.version(dir)
+    spark.sql(s"INSERT INTO $T SELECT id, 'b' FROM range(10, 20, 1, 1)")  // v2
+    spark.sql(s"DELETE FROM $T WHERE k IN (3, 17)")                       // v3 (MoR vector)
+    val v3 = graft.catalog.GroupFiles.version(dir)
+    assert(spark.table(T).count() === 18)
+
+    // roll back to v1: a NEW commit whose live set is v1's
+    val r = spark.sql(s"CALL graft_fb.system.rollback_to('default.fb_rollback', $v1)").head()
+    assert(r.getLong(0) === v3 && r.getLong(1) === v3 + 1)
+    assert(spark.table(T).count() === 10)
+    assert(spark.sql(s"SELECT CAST(MAX(k) AS BIGINT) FROM $T").head().getLong(0) === 9L)
+    // history moved FORWARD — the rolled-back commits stay time-travelable
+    assert(spark.sql(s"SELECT COUNT(*) FROM $T VERSION AS OF $v3").head().getLong(0) === 18)
+
+    // rolling back ACROSS the MoR delete restores the mask exactly
+    spark.sql(s"CALL graft_fb.system.rollback_to('default.fb_rollback', $v3)")
+    assert(spark.table(T).count() === 18)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $T WHERE k IN (3, 17)").head().getLong(0) === 0)
+
+    // the table stays writable after a rollback
+    spark.sql(s"INSERT INTO $T VALUES (99, 'c')")
+    assert(spark.table(T).count() === 19)
+    // an expired version fails loudly
+    intercept[Exception] {
+      spark.sql(s"CALL graft_fb.system.rollback_to('default.fb_rollback', -1)").collect()
+    }
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("PARTITIONED BY (bucket(n, col)) creates the bucketed layout") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_pbt"
