@@ -77,6 +77,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are supported (`CREATE TABLE (c INT DEFAULT 5)`,
+    * `ALTER TABLE ADD COLUMN c INT DEFAULT 5`): without this capability
+    * Spark rejects the DDL before it ever reaches the catalog. INSERT-side
+    * defaults are the analyzer's job (driven by the CURRENT_DEFAULT field
+    * metadata this catalog stores); the READ side — rows in files written
+    * before the column existed must serve the add-time default, not NULL —
+    * is [[GroupRowsReader]]'s (the Iceberg initial-default model, still
+    * metadata-only schema evolution).
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** FunctionCatalog surface: Spark resolves the `bucket` transform in
     * write distributions and scan-reported partitionings against the
     * TABLE'S OWN catalog — without this, RequiresDistributionAndOrdering
@@ -310,8 +323,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "only top-level ADD COLUMN is supported")
         require(!schema.fieldNames.contains(add.fieldNames().head),
           s"column ${add.fieldNames().head} already exists")
-        schema = StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
-          add.fieldNames().head, add.dataType(), nullable = true))
+        require(add.position() == null,
+          "ADD COLUMN FIRST/AFTER is not supported (columns append; " +
+          "field ids make position cosmetic anyway)")
+        // DEFAULT is metadata-only like the rest of schema evolution:
+        // CURRENT_DEFAULT drives the analyzer's INSERT-side fill;
+        // EXISTS_DEFAULT (frozen at add time, stored as the EVALUATED
+        // literal's SQL so later session state can't change it) is what
+        // the reader serves for rows in files that predate the column
+        var field = org.apache.spark.sql.types.StructField(
+          add.fieldNames().head, add.dataType(), nullable = true)
+        Option(add.defaultValue()).foreach { dv =>
+          val frozen = org.apache.spark.sql.catalyst.expressions.Literal(
+            dv.getValue.value, dv.getValue.dataType).sql
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+          field = field.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(field.metadata)
+            .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql)
+            .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, frozen)
+            .build())
+        }
+        schema = StructType(schema.fields :+ field)
         ids = ids :+ nextId
         nextId += 1
       case rn: TableChange.RenameColumn =>
@@ -1818,7 +1850,11 @@ case class GraftBucketPartition(bucket: Int, files: Seq[GroupSlice])
   * merge-on-read deletes address).
   */
 sealed trait ReadCol extends Serializable
-case class DataCol(fieldId: Int) extends ReadCol
+/** `default` is the column's EXISTENCE default in Catalyst internal form
+  * (null = no default): served instead of NULL when the field id is
+  * absent from a file — i.e. the file predates an ADD COLUMN … DEFAULT.
+  */
+case class DataCol(fieldId: Int, default: Any = null) extends ReadCol
 case object PosCol extends ReadCol
 case object FileCol extends ReadCol
 
@@ -1833,7 +1869,13 @@ object GroupRowsReader {
     */
   def colsFor(table: GraftTable, readSchema: StructType): Seq[ReadCol] =
     readSchema.fields.toSeq.map { f =>
-      if (table.schema().fieldNames.contains(f.name)) DataCol(table.fieldIdOf(f.name))
+      if (table.schema().fieldNames.contains(f.name))
+        // existence default resolved from the TABLE's field (the pruned
+        // read schema may or may not carry the metadata through)
+        DataCol(table.fieldIdOf(f.name),
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .getExistenceDefaultValue(
+              table.schema()(table.schema().fieldIndex(f.name))))
       else f.name match {
         case GraftTable.FILE_COL => FileCol
         case GraftTable.POS_COL => PosCol
@@ -1908,9 +1950,15 @@ object GroupRowsReader {
         // (serve the raw row) or a null-pad (JoinedRow) in the common
         // full-schema add-only cases.
         private val mapping: Array[Int] = cols.map {
-          case DataCol(id) => fids.indexOf(id) // -1 when absent → NULL
+          case DataCol(id, _) => fids.indexOf(id) // -1 when absent → default/NULL
           case PosCol => ReorderedRow.POS
           case FileCol => ReorderedRow.FILE
+        }.toArray
+        // per-output-ordinal existence defaults: consulted only where
+        // mapping(i) == -1 (the file predates the column)
+        private val defaults: Array[Any] = cols.map {
+          case DataCol(_, d) => d
+          case _ => null
         }.toArray
         // identity/null-pad fast paths serve the RAW row (possibly
         // JoinedRow-padded): only valid when the requested width covers
@@ -1922,14 +1970,16 @@ object GroupRowsReader {
             (i < numFields && m == i) || (i >= numFields && m == -1) }
         private val pad =
           if (!identityPrefix || numFields == mapping.length) null
+          // the padded tail holds the absent columns' existence defaults
+          // (null where none — the pre-DEFAULT behavior)
           else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
             row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              mapping.length - numFields))
+              defaults.slice(numFields, mapping.length)))
         private val reshaped =
           if (identityPrefix) null
           else new ReorderedRow(row, mapping,
             org.apache.spark.unsafe.types.UTF8String.fromString(
-              Paths.get(path).getFileName.toString))
+              Paths.get(path).getFileName.toString), defaults)
         // EOF is only legal at a ROW BOUNDARY — i.e. exactly BEFORE a
         // length prefix. A torn file (truncated mid-row OR mid-prefix by
         // disk corruption / a non-atomic copy) must fail LOUDLY:
@@ -1986,13 +2036,17 @@ object GroupRowsReader {
   }
   private[catalog] class ReorderedRow(
       under: InternalRow, map: Array[Int],
-      file: org.apache.spark.unsafe.types.UTF8String = null)
+      file: org.apache.spark.unsafe.types.UTF8String = null,
+      defaults: Array[Any] = null)
       extends InternalRow {
     var pos: Long = -1L
+    // existence default for an absent-id ordinal (files older than the
+    // column); null = no default, the ordinal reads NULL
+    private def dflt(i: Int): Any = if (defaults == null) null else defaults(i)
     override def numFields: Int = map.length
     override def isNullAt(i: Int): Boolean = {
       val p = map(i)
-      if (p == -1) true
+      if (p == -1) dflt(i) == null
       else if (p < -1) false // metadata slots are never null
       else under.isNullAt(p)
     }
@@ -2001,29 +2055,67 @@ object GroupRowsReader {
       while (i < map.length) { if (isNullAt(i)) return true; i += 1 }
       false
     }
-    override def getBoolean(i: Int): Boolean = under.getBoolean(map(i))
-    override def getByte(i: Int): Byte = under.getByte(map(i))
-    override def getShort(i: Int): Short = under.getShort(map(i))
-    override def getInt(i: Int): Int = under.getInt(map(i))
+    override def getBoolean(i: Int): Boolean = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Boolean] else under.getBoolean(p)
+    }
+    override def getByte(i: Int): Byte = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Byte] else under.getByte(p)
+    }
+    override def getShort(i: Int): Short = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Short] else under.getShort(p)
+    }
+    override def getInt(i: Int): Int = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Int] else under.getInt(p)
+    }
     override def getLong(i: Int): Long = {
-      val p = map(i); if (p == ReorderedRow.POS) pos else under.getLong(p)
+      val p = map(i)
+      if (p == ReorderedRow.POS) pos
+      else if (p == -1) dflt(i).asInstanceOf[Long]
+      else under.getLong(p)
     }
-    override def getFloat(i: Int): Float = under.getFloat(map(i))
-    override def getDouble(i: Int): Double = under.getDouble(map(i))
-    override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
-      under.getDecimal(map(i), precision, scale)
+    override def getFloat(i: Int): Float = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Float] else under.getFloat(p)
+    }
+    override def getDouble(i: Int): Double = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Double] else under.getDouble(p)
+    }
+    override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.sql.types.Decimal]
+      else under.getDecimal(p, precision, scale)
+    }
     override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String = {
-      val p = map(i); if (p == ReorderedRow.FILE) file else under.getUTF8String(p)
+      val p = map(i)
+      if (p == ReorderedRow.FILE) file
+      else if (p == -1) dflt(i).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      else under.getUTF8String(p)
     }
-    override def getBinary(i: Int): Array[Byte] = under.getBinary(map(i))
+    override def getBinary(i: Int): Array[Byte] = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[Array[Byte]] else under.getBinary(p)
+    }
     override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
       under.getInterval(map(i))
-    override def getStruct(i: Int, numFields: Int): InternalRow =
-      under.getStruct(map(i), numFields)
-    override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
-      under.getArray(map(i))
-    override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
-      under.getMap(map(i))
+    override def getStruct(i: Int, numFields: Int): InternalRow = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[InternalRow] else under.getStruct(p, numFields)
+    }
+    override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      else under.getArray(p)
+    }
+    override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      else under.getMap(p)
+    }
     override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
       under.getVariant(map(i))
     override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
@@ -2034,11 +2126,11 @@ object GroupRowsReader {
       val p = map(i)
       if (p == ReorderedRow.POS) Long.box(pos)
       else if (p == ReorderedRow.FILE) file
-      else if (p < 0) null
+      else if (p < 0) dflt(i).asInstanceOf[AnyRef]
       else under.get(p, dataType)
     }
     override def copy(): InternalRow = {
-      val c = new ReorderedRow(under.copy(), map, file)
+      val c = new ReorderedRow(under.copy(), map, file, defaults)
       c.pos = pos
       c
     }
@@ -2085,7 +2177,8 @@ class GraftMicroBatchStream(table: GraftTable)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GroupRowsReader.factory(table.fieldIds.map(DataCol(_)))
+    // full-schema read via colsFor so existence defaults apply here too
+    GroupRowsReader.factory(GroupRowsReader.colsFor(table, table.schema()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -681,6 +681,58 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"DROP TABLE $T")
   }
 
+  test("ADD COLUMN DEFAULT: old files serve the default, metadata-only") {
+    import java.nio.file.Paths
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_default"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, concat('r', id) FROM range(0, 5, 1, 1)")
+    val dir = Paths.get(spark.sessionState.catalogManager.catalog("graft_fb")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("default"), "fb_default"))
+      .asInstanceOf[graft.catalog.GraftTable].location)
+    val filesBefore = graft.catalog.GroupFiles.live(dir).map(_.file).toSet
+
+    spark.sql(s"ALTER TABLE $T ADD COLUMN score BIGINT DEFAULT 42")
+    spark.sql(s"ALTER TABLE $T ADD COLUMN tag STRING DEFAULT 'warm'")
+    // metadata-only: zero data-file churn
+    assert(graft.catalog.GroupFiles.live(dir).map(_.file).toSet === filesBefore)
+
+    // full-width read (identity + default-pad fast path): pre-add rows
+    // serve the add-time defaults, NOT null
+    val full = spark.table(T).orderBy("k").collect()
+    assert(full.length === 5)
+    assert(full.forall(r => r.getLong(r.fieldIndex("score")) === 42L))
+    assert(full.forall(r => r.getString(r.fieldIndex("tag")) === "warm"))
+    // pruned projection (ReorderedRow path) serves the same defaults
+    assert(spark.sql(s"SELECT score, tag FROM $T WHERE k = 3").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((42L, "warm")))
+    // predicates on the defaulted column see the default
+    assert(spark.sql(s"SELECT COUNT(*) FROM $T WHERE score = 42").head().getLong(0) === 5)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $T WHERE tag IS NULL").head().getLong(0) === 0)
+
+    // INSERT-side: a column list omitting the new columns fills the
+    // CURRENT default; an explicit NULL stays NULL
+    spark.sql(s"INSERT INTO $T (k, v) VALUES (100, 'new')")
+    spark.sql(s"INSERT INTO $T VALUES (101, 'x', NULL, NULL)")
+    val newRows = spark.sql(s"SELECT k, score, tag FROM $T WHERE k >= 100 ORDER BY k").collect()
+    assert(newRows(0).getLong(1) === 42L && newRows(0).getString(2) === "warm")
+    assert(newRows(1).isNullAt(1) && newRows(1).isNullAt(2))
+
+    // the default survives RENAME (it rides the field, id-keyed)
+    spark.sql(s"ALTER TABLE $T RENAME COLUMN tag TO label")
+    assert(spark.sql(s"SELECT label FROM $T WHERE k = 0").head().getString(0) === "warm")
+
+    // aggregates over mixed old/new files are computed, not mis-pushed:
+    // old groups have no stats for score, so MIN must come from a real
+    // scan serving defaults (42), not from partial manifest stats
+    assert(spark.sql(s"SELECT CAST(MIN(score) AS BIGINT) FROM $T WHERE score IS NOT NULL")
+      .head().getLong(0) === 42L)
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("PARTITIONED BY (bucket(n, col)) creates the bucketed layout") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     val T = "graft_fb.default.fb_pbt"
