@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // iteration aid: SPARK_GRAFT_ONLY=q_a,q_b benches just those keys
+    // (driver runs leave it unset → full suite, behavior unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +19,11 @@ object Bench {
     // caches and shuffle machinery all spin up here, so the timed pass
     // measures the engine, not JVM start-of-world costs (BASELINE.md
     // records steady-state numbers for exactly this reason)
-    SparkEntry.queries.values.foreach { fn =>
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
+    selected.values.foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // two timed passes, min per query: local-machine contention adds
@@ -24,7 +31,7 @@ object Bench {
     // A failing query must NOT pass off its elapsed-to-failure time as a
     // benchmark result — failures are tracked and published in the JSON.
     val failed = scala.collection.mutable.SortedSet[String]()
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         failed += name

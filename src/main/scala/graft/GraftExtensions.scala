@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, JaroWinklerSimilarity}
+import graft.functions.{CosineSimilarity, JaroWinklerSimilarity, Md5MinHashSignature}
 
 /** SparkSessionExtensions entry point — the engine's `install_extension`
   * analogue (postpy extensions.install_extension [unverified, SURVEY §0]):
@@ -31,7 +31,17 @@ object GraftExtensions {
      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (new FunctionIdentifier("jaro_winkler"),
      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
-     (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
+     (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("minhash_md5"),
+     new ExpressionInfo(classOf[Md5MinHashSignature].getName, "minhash_md5"),
+     // SQL form: minhash_md5(shingle_array, k) — k must be an int literal
+     // (it sizes the output schema, so it cannot be data-dependent)
+     (children: Seq[Expression]) => Md5MinHashSignature(children(0),
+       children(1) match {
+         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+         case other => throw new IllegalArgumentException(
+           s"minhash_md5 k must be an INT literal, got $other")
+       })))
 
   /** Register on an already-running session (spark.udf-style, but native —
     * the expression stays codegen-able, unlike a Scala UDF).

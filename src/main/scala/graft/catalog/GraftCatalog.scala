@@ -207,8 +207,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           org.apache.spark.sql.types.StructField("current_version", LongType, false))),
         { input =>
           val dir = dirOf(input.getUTF8String(0).toString)
-          val prev = GroupFiles.version(dir)
-          out(prev, GroupFiles.rollbackTo(dir, input.getLong(1)))
+          val (prev, cur) = GroupFiles.rollbackToVersions(dir, input.getLong(1))
+          out(prev, cur)
         })
       case other => throw new UnsupportedOperationException(
         s"unknown procedure system.$other")
@@ -938,10 +938,18 @@ object GroupFiles {
     * restored from before a later ADD/RENAME/DROP read under the current
     * schema exactly as live reads of old files do.
     */
-  def rollbackTo(dir: Path, v: Long): Long =
+  def rollbackTo(dir: Path, v: Long): Long = rollbackToVersions(dir, v)._2
+
+  /** Rollback returning (previous_version, current_version), BOTH read
+    * inside the commit lock — reading `previous` outside would let a
+    * concurrent commit land between the read and the publish, reporting
+    * a stale previous_version that disagrees with current by more than 1.
+    */
+  def rollbackToVersions(dir: Path, v: Long): (Long, Long) =
     lockFor(dir).synchronized {
+      val prev = version(dir)
       publish(dir, liveAt(dir, v)) // liveAt fails loudly on an expired version
-      version(dir)
+      (prev, version(dir))
     }
 
   /** EXPIRE SNAPSHOTS below the automatic [[RETAIN]] horizon: keep only
@@ -2100,8 +2108,11 @@ object GroupRowsReader {
       val p = map(i)
       if (p == -1) dflt(i).asInstanceOf[Array[Byte]] else under.getBinary(p)
     }
-    override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
-      under.getInterval(map(i))
+    override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+      else under.getInterval(p)
+    }
     override def getStruct(i: Int, numFields: Int): InternalRow = {
       val p = map(i)
       if (p == -1) dflt(i).asInstanceOf[InternalRow] else under.getStruct(p, numFields)
@@ -2116,12 +2127,21 @@ object GroupRowsReader {
       if (p == -1) dflt(i).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
       else under.getMap(p)
     }
-    override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
-      under.getVariant(map(i))
-    override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
-      under.getGeography(map(i))
-    override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
-      under.getGeometry(map(i))
+    override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+      else under.getVariant(p)
+    }
+    override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.unsafe.types.GeographyVal]
+      else under.getGeography(p)
+    }
+    override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal = {
+      val p = map(i)
+      if (p == -1) dflt(i).asInstanceOf[org.apache.spark.unsafe.types.GeometryVal]
+      else under.getGeometry(p)
+    }
     override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef = {
       val p = map(i)
       if (p == ReorderedRow.POS) Long.box(pos)

@@ -60,35 +60,53 @@ object Sources {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** True iff the events parquet at `path` stores ts as TIMESTAMP(NANOS).
-    * One footer read, cached per path (testdata is immutable per round).
-    * A directory path sniffs its first data file — files of one dataset
-    * share the unit.
+    * Footer reads only (driver-side metadata, no data pass). ALL data files
+    * under a directory are sniffed and must agree — a mixed-unit directory
+    * would otherwise have its remaining files silently misread by 1000×, so
+    * disagreement fails loudly here. The cache key carries each file's
+    * (mtime, length): regenerating the data at the same path within one JVM
+    * invalidates the entry instead of silently replaying the stale plan.
     */
-  def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
-    tsNanosCache.computeIfAbsent(path, _ => {
+  def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val root = fs.getFileStatus(p)
+    val files =
+      if (root.isDirectory) {
+        val fl = fs.listStatus(p)
+          .filter(f => f.getPath.getName.endsWith(".parquet") &&
+                       !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+        if (fl.isEmpty) throw new IllegalArgumentException(s"no parquet files under $path")
+        fl.toSeq
+      } else Seq(root)
+    val key = files.map(f =>
+      s"${f.getPath}@${f.getModificationTime}:${f.getLen}").mkString("|")
+    tsNanosCache.computeIfAbsent(key, _ => {
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-            .sortBy(_.getName).headOption.getOrElse(
-              throw new IllegalArgumentException(s"no parquet files under $path"))
-        else p
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        schema.containsField("ts") &&
-          (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-            case _ => false
-          })
-      } finally reader.close()
+      def fileIsNanos(file: org.apache.hadoop.fs.Path): Boolean = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.containsField("ts") &&
+            (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            })
+        } finally reader.close()
+      }
+      val units = files.map(f => f.getPath -> fileIsNanos(f.getPath))
+      val distinct = units.map(_._2).distinct
+      require(distinct.size == 1,
+        s"mixed ts timestamp units across parquet files at $path: " +
+          units.map { case (f, n) => s"${f.getName}=${if (n) "NANOS" else "MICROS"}" }
+            .mkString(", "))
+      distinct.head
     })
+  }
 
   /** The (forced schema, ts-normalization SQL) pair for an events source
     * at `path` — shared by the batch reader and the readStream twin so

@@ -86,6 +86,29 @@ object MinHash {
   def md5Signature(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     md5SignatureFromHashes(md5Hashes(shingleArr, k), k)
 
+  /** NATIVE form of [[md5Signature]] — graft.functions.Md5MinHashSignature,
+    * a single fused codegen'd pass (no intermediate hex strings, int-compare
+    * minima). Bit-identical output to the HOF chain (property-tested in
+    * MinHashSpec); production dedup paths (Text.lshScoredCandidates,
+    * Text.dedupMinhashQuery) use THIS; the HOF pair above stays as the
+    * portable executable spec the oracle SQL mirrors.
+    */
+  def md5SignatureNative(shingleArr: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Md5MinHashSignature(
+        org.apache.spark.sql.graftbridge.Bridge.expression(shingleArr), k))
+
+  /** Fully fused text → w-shingle → signature (graft.functions.
+    * Md5MinHashFromText): no token array, no shingle strings, no distinct.
+    * NULL when the text has < w tokens — callers filter `isNotNull` where
+    * the staged forms filtered `size(ss) > 0` (identical row set;
+    * property-tested). THE production form for corpus-scale dedup.
+    */
+  def md5SignatureFromTextNative(text: org.apache.spark.sql.Column, w: Int, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Md5MinHashFromText(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), w, k))
+
   /** Per-shingle concatenated md5 group hashes: 32·ceil(k/4) lowercase hex
     * chars per shingle. Stage this as its own projection, then feed
     * md5SignatureFromHashes.

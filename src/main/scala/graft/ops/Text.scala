@@ -242,14 +242,14 @@ object Text {
   def lshScoredCandidates(spark: SparkSession, dir: String): DataFrame = {
     val k = 8; val rows = 2; val nBands = k / rows
     val sigs = Sources.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
-      .filter(size(col("ss")) > 0)
-      // two-stage build: hash array once, then slice the k components;
-      // materialize ONCE — the banding frame self-joins (x and y sides),
-      // and without this the shingle+md5 chain (the dominant per-row
-      // cost, CodegenFallback HOFs) runs twice
-      .select(col("doc_id"), MinHash.md5Hashes(col("ss"), k).as("hs"))
-      .select(col("doc_id"), MinHash.md5SignatureFromHashes(col("hs"), k).as("sig"))
+      // fully fused native signature (graft.functions.Md5MinHashFromText —
+      // text bytes → token-window digests, no shingle strings ever built);
+      // null = fewer than 3 tokens, the old `size(ss) > 0` guard.
+      // Materialize ONCE — the banding frame self-joins (x and y sides),
+      // and without this the signature build (the dominant per-row cost)
+      // runs twice
+      .select(col("doc_id"), MinHash.md5SignatureFromTextNative(col("text"), 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
       .localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
@@ -449,10 +449,8 @@ object Text {
     */
   def dedupMinhashQuery(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ss"))
-      .filter(size(col("ss")) > 0)
-      .select(col("doc_id"), MinHash.md5Hashes(col("ss"), 8).as("hs"))
-      .select(col("doc_id"), MinHash.md5SignatureFromHashes(col("hs"), 8).as("sig"))
+      .select(col("doc_id"), MinHash.md5SignatureFromTextNative(col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
     Scale.allPairsBlocked(sigs, "doc_id")
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
         r6(aggregate(zip_with(col("sig_a"), col("sig_b"),

@@ -60,6 +60,72 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.forall(_.getDouble(2) === 1.0))
   }
 
+  test("native Md5MinHashSignature is bit-identical to the portable HOF chain") {
+    import spark.implicits._
+    // corpus shingle sets AND adversarial hand-built arrays: empty strings,
+    // multi-space runs, unicode (incl. supplementary plane), null elements,
+    // empty arrays, k not a multiple of 4
+    val corpus = docs100
+      .select(array_distinct(Text.shingles(col("text"), 3)).as("ss"))
+    val weird: Seq[Seq[String]] = Seq(
+      Seq(""), Seq("", ""), Seq("a  b", " ", "  "),
+      Seq("héllo wörld", "💩 emoji", "中文 分词"),
+      Seq("x"), Seq.empty[String])
+    val weirdDf = weird.toDF("ss")
+    for (df <- Seq(corpus, weirdDf); k <- Seq(1, 5, 8)) {
+      val both = df.select(
+        MinHash.md5SignatureNative(col("ss"), k).as("nat"),
+        MinHash.md5Signature(col("ss"), k).as("hof"))
+      val rows = both.collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"k=$k native/HOF mismatch on ${r.getSeq[String](0)}")
+      }
+    }
+    // null array element: HOF skips it (md5(null) → null, array_min skips)
+    val withNullElem = spark.sql("SELECT array('a b c', CAST(NULL AS STRING), 'd e f') AS ss")
+    val r = withNullElem.select(
+      MinHash.md5SignatureNative(col("ss"), 8).as("nat"),
+      MinHash.md5Signature(col("ss"), 8).as("hof")).head
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+    // null array → null out; empty array → k nulls
+    val edge = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS ss")
+      .select(MinHash.md5SignatureNative(col("ss"), 4)).head
+    assert(edge.isNullAt(0))
+  }
+
+  test("fused Md5MinHashFromText == staged HOF form, including the null guard") {
+    import spark.implicits._
+    // corpus texts + adversarial strings: space runs (empty tokens), exactly
+    // w tokens, fewer than w tokens, unicode, leading/trailing spaces
+    val texts = docs100.select(col("text")).as[String].collect().toSeq ++ Seq(
+      "a b c", "a  b  c", " a b", "a b ", "  ", "one two", "solo", "",
+      "héllo wörld münich", "中文 分词 测试 版", "a 💩 b c")
+    val df = texts.toDF("text")
+    for (w <- Seq(1, 2, 3); k <- Seq(5, 8)) {
+      val both = df.select(
+        MinHash.md5SignatureFromTextNative(col("text"), w, k).as("nat"),
+        when(size(array_distinct(Text.shingles(col("text"), w))) > 0,
+          MinHash.md5Signature(array_distinct(Text.shingles(col("text"), w)), k))
+          .as("hof"))
+      both.collect().foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(0), s"w=$w k=$k: HOF null but native not")
+        else assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"w=$w k=$k fused/staged mismatch")
+      }
+    }
+  }
+
+  test("minhash_md5 is SQL-callable via GraftExtensions with a literal k") {
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_md5(array('the quick fox', 'quick fox jumps'), 8) AS sig").head
+    val viaApi = spark.range(1).select(
+      MinHash.md5Signature(
+        typedLit(Seq("the quick fox", "quick fox jumps")), 8).as("sig")).head
+    assert(viaSql.getSeq[String](0) === viaApi.getSeq[String](0))
+  }
+
   test("dedupLshQuery: candidates come from band equality, scored by the full signature") {
     val cands = Text.dedupLshQuery(spark, sfDir).collect()
     assert(cands.nonEmpty, "the corpus must produce LSH candidates")
