@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Text.dedupNgramQuery,
     "q_dedup_prefix" -> Text.dedupPrefixQuery,
     "q_dedup_substring" -> Text.dedupSubstringQuery,
+    "q_dedup_substring_winnow" -> Text.dedupSubstringWinnowQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_pagerank" -> Graph.pageRankQuery,
@@ -756,9 +757,14 @@ object SparkEntry {
       // length are character-identical across engines on this corpus;
       // range(1, n) is end-exclusive, so len-W+2 = len-28 yields
       // positions 1..len-29 inclusive — the same 1..len-W+1 set Spark's
-      // sequence(1, length-29) generates. All-integer output.
+      // sequence(1, length-29) generates. The window hash is the SAME
+      // portable 60-bit md5-prefix BIGINT Spark shuffles
+      // (('0x'||substr(md5,1,15))::BIGINT == conv(...,16,10)), so the
+      // grouping is bit-identical in both engines even under truncation
+      // collisions. All-integer output.
       """WITH g AS (
-        |  SELECT doc_id, md5(substr(text, i, 30)) AS h, COUNT(*) AS cnt
+        |  SELECT doc_id, ('0x' || substr(md5(substr(text, i, 30)), 1, 15))::BIGINT AS h,
+        |         COUNT(*) AS cnt
         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS i
         |        FROM documents WHERE length(text) >= 30)
         |  GROUP BY doc_id, h),
@@ -769,6 +775,30 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS dup_windows
         |FROM n GROUP BY doc_id
         |HAVING SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring_winnow" ->
+      // Winnowed (Schleimer et al.) substring profile — the scale form:
+      // per doc, hash array hs over all stride-1 windows (same portable
+      // 60-bit BIGINT as q_dedup_substring), keep min(hs[j..j+7]) per
+      // winnowing window of 8, distinct per doc, then the cross-doc
+      // nd > 1 profile over SELECTED fingerprints only. hs[j:j+7] is
+      // DuckDB's 1-based INCLUSIVE slice = Spark's slice(hs, j, 8);
+      // list_min == array_min on BIGINTs. All-integer output.
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 28),
+        |           i -> ('0x' || substr(md5(substr(text, i, 30)), 1, 15))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 37),
+        |f AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - 6),
+        |           j -> list_min(hs[j:j+7])))) AS f
+        |  FROM h),
+        |n AS (SELECT *, COUNT(*) OVER (PARTITION BY f) AS nd FROM f)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |  CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS dup_fp
+        |FROM n GROUP BY doc_id
+        |HAVING COUNT(CASE WHEN nd > 1 THEN 1 END) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_prefix" ->

@@ -303,14 +303,29 @@ object Text {
     * for the suffix-array pass, and it composes with q_dedup_clusters
     * downstream.
     */
+  /** Portable 60-bit window-hash array (native codegen'd expression
+    * graft.functions.Md5WindowHashes) — bit-identical to the declarable
+    * cast(conv(substring(md5(substring(text,i,W)),1,15),16,10) as bigint)
+    * per position (property-tested), with no substring/hex/decimal-string
+    * allocations.
+    */
+  private def windowHashes(text: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Md5WindowHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), w))
+
   def dedupSubstringQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = 30
     val grain = Sources.documents(spark, dir)
       .filter(length(col("text")) >= W)
-      .select(col("doc_id"),
-        expr(s"explode(transform(sequence(1, length(text) - ${W - 1}), " +
-             s"i -> md5(substring(text, i, $W))))").as("h"))
+      // the window hash rides the shuffle as a PORTABLE 60-bit BIGINT
+      // (md5 hex prefix — DuckDB computes the identical
+      // ('0x'||substr(md5,1,15))::BIGINT, so grouping is bit-identical in
+      // both engines even under truncation collisions), not the 32-hex
+      // string of the first cut: 8 bytes per character position instead
+      // of 32, a 4× shuffle-volume cut on the dominant stage
+      .select(col("doc_id"), explode(windowHashes(col("text"), W)).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
     grain
       // each (doc, h) row is one distinct doc for h, so a plain window
@@ -321,6 +336,41 @@ object Text {
            sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0))).as("dup_positions"),
            count(when(col("nd") > 1, lit(1))).as("dup_windows"))
       .filter(col("dup_positions") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_dedup_substring_winnow: WINNOWED substring-duplication profile —
+    * the 100 TB form of q_dedup_substring (Schleimer/Wilkerson/Aiken
+    * SIGMOD'03 winnowing, the MOSS fingerprinter). Instead of shuffling
+    * every stride-1 window hash, each document keeps only the MINIMUM
+    * hash of every k=8 consecutive window hashes (computed per row in the
+    * generator — array math, no per-position shuffle), then the distinct
+    * selected fingerprints meet cross-document. Guarantee: any verbatim
+    * span of length ≥ W+k−1 (= 37 chars) shared between two documents
+    * yields at least one shared fingerprint (the shared span contains a
+    * full winnowing window, and both documents select the same minimum
+    * inside it) — a bounded miss, not a heuristic. Shuffle volume drops
+    * to the winnow density ≈ 2/(k+1) of positions — ~4× fewer rows AND
+    * 8-byte keys, ~16× lighter than the first-cut exact form overall.
+    * Hashes are the same portable 60-bit md5-prefix BIGINTs as the exact
+    * key, so the DuckDB twin replays the selection bit-identically.
+    */
+  def dedupSubstringWinnowQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 30; val k = 8
+    val fps = Sources.documents(spark, dir)
+      .filter(length(col("text")) >= W + k - 1)
+      .select(col("doc_id"), windowHashes(col("text"), W).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, size(hs) - ${k - 1}), " +
+               s"j -> array_min(slice(hs, j, $k)))"))).as("f"))
+    fps
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("f")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+           count(when(col("nd") > 1, lit(1))).as("dup_fp"))
+      .filter(col("dup_fp") > 0)
       .orderBy(col("doc_id"))
   }
 

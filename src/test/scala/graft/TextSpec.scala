@@ -240,4 +240,63 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(h0) < 1e-12)
   }
 
+  test("native Md5WindowHashes == the declarable conv(md5-substring) SQL form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nat = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Md5WindowHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("text")), 30))
+    // corpus texts + unicode (multi-byte code points shift every byte
+    // offset) + exact-length and under-length edges
+    val texts = io.Sources.documents(spark, sfDir).select("text")
+      .as[String].collect().toSeq ++ Seq(
+      "中文字符" * 10, "héllo wörld " * 5, "x" * 30, "x" * 29, "💩" * 31, "")
+    val df = texts.toDF("text")
+    df.select(nat.as("nat"),
+        when(length(col("text")) >= 30,
+          expr("transform(sequence(1, length(text) - 29), " +
+               "i -> cast(conv(substring(md5(substring(text, i, 30)), 1, 15), 16, 10) as bigint))"))
+          .otherwise(array().cast("array<bigint>")).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), "window hash mismatch")
+      }
+  }
+
+  test("substring dedup: exact and winnowed forms agree on who is duplicated") {
+    import org.apache.spark.sql.functions._
+    val exact = Text.dedupSubstringQuery(spark, sfDir).collect()
+    val winnow = Text.dedupSubstringWinnowQuery(spark, sfDir).collect()
+    assert(exact.nonEmpty, "corpus must contain cross-doc 30-char spans")
+    // a doc the winnow flags shares a SELECTED fingerprint — the exact
+    // stride-1 form must flag it too (winnow hits ⊆ exact hits)
+    val exactIds = exact.map(_.getLong(0)).toSet
+    val winnowIds = winnow.map(_.getLong(0)).toSet
+    assert(winnowIds.subsetOf(exactIds),
+      s"winnow flagged non-duplicated docs: ${(winnowIds -- exactIds).take(5)}")
+    // selected fingerprints are a k-fold-ish compression of positions
+    val sumWindows = exact.map(_.getLong(1)).sum
+    val sumFp = winnow.map(_.getLong(1)).sum
+    assert(sumFp < sumWindows, "winnowing must select fewer fingerprints than positions")
+  }
+
+  test("winnowing guarantee: a shared span of length >= W+k-1 is always caught") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two docs sharing EXACTLY a 37-char span (W=30, k=8) amid different
+    // padding — the minimal span the guarantee covers
+    val span = "abcdefghijklmnopqrstuvwxyz0123456789!" // 37 chars
+    require(span.length == 37)
+    val docs = Seq(
+      (1L, "en", ("U" * 50) + span + ("V" * 50), 137L),
+      (2L, "en", ("X" * 61) + span + ("Y" * 40), 138L),
+      (3L, "en", "Z" * 140, 140L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow_docs")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val flagged = Text.dedupSubstringWinnowQuery(spark, tmp.toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 2L),
+      s"docs 1,2 share a 37-char span and MUST be flagged; doc 3 must not: got $flagged")
+  }
+
 }
