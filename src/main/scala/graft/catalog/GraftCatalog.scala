@@ -97,11 +97,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * resolve and the storage-partitioned join never engages.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "days", "months").map(Identifier.of(namespace, _))
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketFunction
+      case "days" => GraftPartitionTransforms.daysFunction
+      case "months" => GraftPartitionTransforms.monthsFunction
       case _ => throw new NoSuchFunctionException(ident)
     }
 
@@ -253,12 +255,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       n.equalsIgnoreCase(GraftTable.FILE_COL) || n.equalsIgnoreCase(GraftTable.POS_COL))
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved for scan metadata")
-    // `PARTITIONED BY (bucket(n, col))` is the transform spelling of the
-    // bucketed layout (TBLPROPERTIES bucket_by/buckets): map it through
-    // rather than silently ignoring it; any other transform is an
-    // unsupported layout and must fail the CREATE loudly
+    // `PARTITIONED BY (...)` supports ONE transform: bucket(n, col) (the
+    // transform spelling of TBLPROPERTIES bucket_by/buckets), identity
+    // (`PARTITIONED BY (col)`), days(ts) or months(ts) — the Iceberg-style
+    // value layouts. Anything else is an unsupported layout and must fail
+    // the CREATE loudly rather than be silently ignored.
     require(partitions.length <= 1,
-      "at most one bucket(n, col) partition transform is supported")
+      "at most one partition transform is supported (bucket(n, col), identity col, days(ts) or months(ts))")
     val bucketProps = partitions.toSeq.map {
       case t if t.name().equalsIgnoreCase("bucket") =>
         val n = t.arguments().collectFirst {
@@ -269,13 +272,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(cols.length == 1, "bucket() over exactly one column is supported")
         Map("bucket_by" -> cols.head.fieldNames().mkString("."),
             "buckets" -> n.toString)
+      case t if GraftPartitionTransforms.names.contains(t.name().toLowerCase) =>
+        val cols = t.references().toSeq
+        require(cols.length == 1, s"${t.name()}() over exactly one column is supported")
+        Map("partition_by" -> cols.head.fieldNames().mkString("."),
+            "partition_transform" -> t.name().toLowerCase)
       case other => throw new UnsupportedOperationException(
-        s"partition transform not supported: $other (only bucket(n, col))")
+        s"partition transform not supported: $other " +
+        "(only bucket(n, col), identity col, days(ts), months(ts))")
     }.foldLeft(Map.empty[String, String])(_ ++ _)
     require(bucketProps.isEmpty ||
         !properties.asScala.keys.exists(k =>
-          k.equalsIgnoreCase("bucket_by") || k.equalsIgnoreCase("buckets")),
-      "bucketing declared both as a partition transform and in TBLPROPERTIES")
+          k.equalsIgnoreCase("bucket_by") || k.equalsIgnoreCase("buckets") ||
+          k.equalsIgnoreCase("partition_by") || k.equalsIgnoreCase("partition_transform")),
+      "layout declared both as a partition transform and in TBLPROPERTIES")
     val location = warehouse.resolve(
       key(ident).replace('.', '/') + "_" + java.util.UUID.randomUUID().toString.take(8))
     GroupFiles.reset(location)
@@ -360,9 +370,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         manifestEdits += (_.map(g => g.copy(
           stats = g.stats.map { case (c, v) => (if (c == old) rn.newName() else c) -> v },
           nonNull = g.nonNull.map { case (c, v) => (if (c == old) rn.newName() else c) -> v })))
-        // a bucketed table's layout follows its column through the rename
+        // a bucketed/partitioned table's layout follows its column
+        // through the rename
         if (props.get("bucket_by").exists(_.equalsIgnoreCase(old)))
           props += ("bucket_by" -> rn.newName())
+        if (props.get("partition_by").exists(_.equalsIgnoreCase(old)))
+          props += ("partition_by" -> rn.newName())
         // retained snapshots still key their stats by the OLD name under
         // an unknowable old schema: pinned-version reads stop trusting
         // name-keyed stats once any rename happened (see statsReliable)
@@ -377,6 +390,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           require(schema.length > 1, "cannot drop the only column")
           require(!props.get("bucket_by").exists(_.equalsIgnoreCase(name)),
             s"cannot drop the bucketing column $name")
+          require(!props.get("partition_by").exists(_.equalsIgnoreCase(name)),
+            s"cannot drop the partitioning column $name")
           val i = schema.fieldIndex(name)
           val preIds = ids
           // materialize ids on legacy (pre-token) groups — their columns
@@ -404,14 +419,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // that was already routed under the old one
         require(!set.property().startsWith("graft."),
           s"property ${set.property()} is engine-managed")
-        require(!Seq("bucket_by", "buckets").exists(_.equalsIgnoreCase(set.property())),
-          "bucketing cannot be changed after CREATE (existing files are routed)")
+        require(!Seq("bucket_by", "buckets", "partition_by", "partition_transform")
+            .exists(_.equalsIgnoreCase(set.property())),
+          "layout cannot be changed after CREATE (existing files are routed)")
         props += (set.property() -> set.value())
       case unset: TableChange.RemoveProperty =>
         require(!unset.property().startsWith("graft."),
           s"property ${unset.property()} is engine-managed")
-        require(!Seq("bucket_by", "buckets").exists(_.equalsIgnoreCase(unset.property())),
-          "bucketing cannot be removed after CREATE (existing files are routed)")
+        require(!Seq("bucket_by", "buckets", "partition_by", "partition_transform")
+            .exists(_.equalsIgnoreCase(unset.property())),
+          "layout cannot be removed after CREATE (existing files are routed)")
         props -= unset.property()
       case other =>
         throw new UnsupportedOperationException(
@@ -506,6 +523,65 @@ object GraftBucketFunction
   }
 }
 
+/** The VALUE partition transforms (`PARTITIONED BY (col)` / `(days(ts))` /
+  * `(months(ts))`): one pure long→long function per transform, applied
+  * identically by the row-routing writer and the write-side clustered
+  * distribution. `days`/`months` operate on TIMESTAMP_NTZ micros (UTC
+  * civil time — the engine pins session UTC, SURVEY §2.1.4); `identity`
+  * is the raw long. These are the Iceberg partition-transform analogues —
+  * the time layouts a 100 TB event lake is actually organized by.
+  */
+object GraftPartitionTransforms {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType}
+
+  val MICROS_PER_DAY = 86400000000L
+
+  def apply(transform: String, v: Long): Long = transform match {
+    case "identity" => v
+    case "days" => Math.floorDiv(v, MICROS_PER_DAY)
+    case "months" =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(v, MICROS_PER_DAY))
+      (d.getYear - 1970) * 12L + (d.getMonthValue - 1)
+  }
+
+  /** Column types a transform accepts (physical representation must be a
+    * long for the writer's getLong routing).
+    */
+  def accepts(transform: String, dt: DataType): Boolean = transform match {
+    case "identity" => dt == LongType || dt == TimestampNTZType
+    case "days" | "months" => dt == TimestampNTZType
+    case _ => false
+  }
+
+  val names: Set[String] = Set("identity", "days", "months")
+
+  /** V2 function forms, so Spark can resolve the transform in a write's
+    * clustered distribution against the table's own FunctionCatalog
+    * (the GraftBucketFunction pattern).
+    */
+  class TimeUnbound(fname: String) extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+    override def name(): String = fname
+    override def description(): String = s"$fname(ts): $fname partition value of a TIMESTAMP_NTZ column"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+              inputType.fields(0).dataType == TimestampNTZType,
+        s"$fname expects (TIMESTAMP_NTZ), got ${inputType.simpleString}")
+      new ScalarFunction[java.lang.Long] {
+        override def inputTypes(): Array[DataType] = Array(TimestampNTZType)
+        override def resultType(): DataType = LongType
+        override def name(): String = fname
+        override def canonicalName(): String = s"graft.$fname"
+        override def produceResult(input: InternalRow): java.lang.Long =
+          if (input.isNullAt(0)) null
+          else GraftPartitionTransforms(fname, input.getLong(0))
+      }
+    }
+  }
+  val daysFunction = new TimeUnbound("days")
+  val monthsFunction = new TimeUnbound("months")
+}
+
 case class Group(file: String, stats: Map[String, (Long, Long)],
                  rows: Option[Long] = None,
                  nonNull: Map[String, Long] = Map.empty,
@@ -513,7 +589,8 @@ case class Group(file: String, stats: Map[String, (Long, Long)],
                  fieldIds: Option[Seq[Int]] = None,
                  deletes: Option[(String, Long)] = None,
                  bytes: Option[Long] = None,
-                 bloom: Boolean = false) {
+                 bloom: Boolean = false,
+                 part: Option[String] = None) {
   /** Conservative containment test: can this group hold `v` in `col`?
     * Unknown columns → true (no stats, no pruning).
     */
@@ -773,6 +850,12 @@ object GroupFiles {
       val bucket = parts.tail.collectFirst {
         case s if s.startsWith("#b=") => s.stripPrefix("#b=").toIntOption
       }.flatten
+      // "#p=<value>" tags the group with its VALUE partition (identity/
+      // days/months transform of the partition column; "null" for the
+      // NULL partition). The transform itself lives in table props.
+      val part = parts.tail.collectFirst {
+        case s if s.startsWith("#p=") => s.stripPrefix("#p=")
+      }
       // "#f=<id,id,…>" records the STABLE FIELD IDS this file's columns
       // were written with, in file position order — the Iceberg-style
       // identity that makes RENAME/DROP COLUMN metadata-only (the reader
@@ -828,7 +911,7 @@ object GroupFiles {
       }
       Group(parts.head, parsed.map(t => t._1 -> t._2).toMap, rows,
             parsed.flatMap(t => t._3.map(t._1 -> _)).toMap, bucket, fids, dv, size,
-            bloom)
+            bloom, part)
     }
   }
 
@@ -881,6 +964,7 @@ object GroupFiles {
       (g.file +:
         (g.rows.map(n => s"#n=$n").toSeq ++
          g.bucket.map(b => s"#b=$b").toSeq ++
+         g.part.map(p => s"#p=$p").toSeq ++
          g.fieldIds.map(ids => s"#f=${ids.mkString(",")}").toSeq ++
          g.deletes.map { case (f, n) => s"#d=$f:$n" }.toSeq ++
          g.bytes.map(z => s"#z=$z").toSeq ++
@@ -1151,13 +1235,14 @@ object GroupFiles {
       g.fieldIds.map(ids => s"f:${ids.mkString(",")}").getOrElse(s"w:${fieldsOf(g)}")
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[(Group, Long)]]
-    // bucketed tables additionally bin WITHIN a bucket only: a merged
+    // bucketed tables additionally bin WITHIN a bucket only (a merged
     // group keeps one unambiguous #b tag, preserving the reported
-    // KeyGroupedPartitioning across compactions
-    groups.groupBy(g => (schemaKey(g), g.bucket)).toSeq
-      // sort the FULL key: hash-map order on bucket ties would make the
-      // compacted manifest nondeterministic run to run
-      .sortBy { case ((f, b), _) => (f, b.getOrElse(-1)) }
+    // KeyGroupedPartitioning across compactions); value-partitioned
+    // tables bin WITHIN a partition only for the same reason (#p)
+    groups.groupBy(g => (schemaKey(g), g.bucket, g.part)).toSeq
+      // sort the FULL key: hash-map order on bucket/partition ties would
+      // make the compacted manifest nondeterministic run to run
+      .sortBy { case ((f, b, p), _) => (f, b.getOrElse(-1), p.getOrElse("")) }
       .foreach { case (_, gen) =>
       bins += scala.collection.mutable.ArrayBuffer.empty[(Group, Long)]
       gen.foreach { g =>
@@ -1207,7 +1292,8 @@ object GroupFiles {
         // merged groups drop their members' blooms (different sizes do
         // not OR); the next rewrite of the data rebuilds one
         Group(merged, stats, rows, nn, bin.head._1.bucket, bin.head._1.fieldIds,
-              bytes = Some(Files.size(dir.resolve(merged))))
+              bytes = Some(Files.size(dir.resolve(merged))),
+              part = bin.head._1.part)
       }
     }.toSeq
     })
@@ -1314,6 +1400,43 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
         s"bucket_by column $c must be BIGINT, got ${f.dataType.simpleString}")
       (f.name, n) // canonical schema casing — downstream fieldIndex lookups are exact
     }
+
+  /** VALUE-PARTITIONED layout (`PARTITIONED BY (col)` / `(days(ts))` /
+    * `(months(ts))`): every writer routes each row to its partition's
+    * group file (transform of the raw long/micros; NULLs to the `null`
+    * partition), the manifest tags groups `#p=<value>`, and time-range
+    * queries prune statically through the per-column (min,max) stats —
+    * which per-partition routing makes TIGHT per group (a day-partition
+    * file's ts range spans one day, so a day-range predicate opens
+    * exactly the in-range groups: the hive-layout partition-prune
+    * behavior, manifest-driven). (colName canonical-cased, transform).
+    */
+  val partitionSpec: Option[(String, String)] =
+    props.get("partition_by").map { c =>
+      val t = props.getOrElse("partition_transform", "identity").toLowerCase
+      require(GraftPartitionTransforms.names.contains(t),
+        s"unknown partition transform $t")
+      val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"partition_by column $c not in schema"))
+      require(GraftPartitionTransforms.accepts(t, f.dataType),
+        s"partition transform $t does not accept column $c: ${f.dataType.simpleString} " +
+        "(identity needs BIGINT or TIMESTAMP_NTZ; days/months need TIMESTAMP_NTZ)")
+      require(bucketSpec.isEmpty,
+        "a table cannot be both bucketed and value-partitioned")
+      (f.name, t)
+    }
+
+  /** Report the layout to Spark (DESCRIBE, write distribution planning). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    bucketSpec.map { case (c, n) => Expressions.bucket(n, c) }.toArray[Transform] ++
+      partitionSpec.map {
+        case (c, "identity") => Expressions.identity(c)
+        case (c, "days") => Expressions.days(c)
+        case (c, "months") => Expressions.months(c)
+        case (c, t) => Expressions.apply(t, Expressions.column(c))
+      }.toArray[Transform]
+  }
 
   /** METADATA-ONLY DELETE (SupportsDeleteV2): when the manifest stats
     * prove every live group either matches the predicate COMPLETELY or
@@ -1568,9 +1691,14 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
       case (m: Min, i) =>
         // a group with a delete vector may have lost exactly the row
         // holding the recorded extreme: bounds stay valid for PRUNING
-        // (superset) but are no longer exact — refuse MIN/MAX pushdown
+        // (superset) but are no longer exact — refuse MIN/MAX pushdown.
+        // BIGINT columns only: stats also cover TIMESTAMP_NTZ (for
+        // pruning), but this pushdown's result schema is LongType — a
+        // timestamp answered as a raw long would be a silent type bug
         if (pinnedStatsUnsafe || groups.exists(_.deletes.isDefined)) return None
-        colOf(m.column()).filter(c => groups.nonEmpty &&
+        colOf(m.column()).filter(c =>
+            table.schema().fields.exists(f => f.name == c && f.dataType == LongType) &&
+            groups.nonEmpty &&
             groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
             fields += StructField(s"agg$i", LongType, nullable = true)
@@ -1579,7 +1707,9 @@ class GraftScanBuilder(table: GraftTable, holder: Option[ScanHolder])
         }
       case (m: Max, i) =>
         if (pinnedStatsUnsafe || groups.exists(_.deletes.isDefined)) return None
-        colOf(m.column()).filter(c => groups.nonEmpty &&
+        colOf(m.column()).filter(c =>
+            table.schema().fields.exists(f => f.name == c && f.dataType == LongType) &&
+            groups.nonEmpty &&
             groups.forall(g => g.stats.contains(c) && statsTrusted(g, c))) match {
           case Some(c) =>
             fields += StructField(s"agg$i", LongType, nullable = true)
@@ -2222,7 +2352,14 @@ class GraftWriteBuilder(table: GraftTable, writeSchema: StructType, replaceAll: 
     // this exists to avoid.
     override def requiredDistribution(): Distribution = table.bucketSpec match {
       case Some((c, n)) => Distributions.clustered(Array(Expressions.bucket(n, c)))
-      case None => Distributions.unspecified()
+      case None => table.partitionSpec match {
+        // value-partitioned: cluster by the transform so a task emits one
+        // file per partition it owns, not a sliver of every partition
+        case Some((c, "identity")) => Distributions.clustered(Array(Expressions.identity(c)))
+        case Some((c, "days")) => Distributions.clustered(Array(Expressions.days(c)))
+        case Some((c, "months")) => Distributions.clustered(Array(Expressions.months(c)))
+        case _ => Distributions.unspecified()
+      }
     }
     // distribution is a preference, not a gate: an unshuffled write is
     // still correct (the writer routes rows), so never fail a write plan
@@ -2245,7 +2382,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // field ids resolved BY NAME against the write schema: a row-level
       // write's schema is the table's, but resolving positionally would
       // silently mislabel columns if a future write path reordered them
-      writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq)
+      writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq,
+      table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
@@ -2306,7 +2444,12 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
   override def requiredDistribution(): Distribution =
     table.bucketSpec.filter(_ => clusterInserts) match {
       case Some((c, n)) => Distributions.clustered(Array(Expressions.bucket(n, c)))
-      case None => Distributions.unspecified()
+      case None => table.partitionSpec.filter(_ => clusterInserts) match {
+        case Some((c, "identity")) => Distributions.clustered(Array(Expressions.identity(c)))
+        case Some((c, "days")) => Distributions.clustered(Array(Expressions.days(c)))
+        case Some((c, "months")) => Distributions.clustered(Array(Expressions.months(c)))
+        case _ => Distributions.unspecified()
+      }
     }
   override def distributionStrictlyRequired(): Boolean = false
   override def requiredOrdering(): Array[SortOrder] = Array.empty
@@ -2315,7 +2458,8 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaWriterFactory(table.location, writeSchema,
       table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) },
-      writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq)
+      writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq,
+      table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
@@ -2357,7 +2501,9 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
   */
 case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
                                    bucketed: Option[(Int, Int)],
-                                   fieldIds: Seq[Int]) extends DeltaWriterFactory {
+                                   fieldIds: Seq[Int],
+                                   partitioned: Option[(Int, String)] = None)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val dels =
@@ -2371,7 +2517,8 @@ case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
           "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
       override def insert(row: InternalRow): Unit = {
         if (inserts == null)
-          inserts = GraftWriterFactory(location, writeSchema, bucketed, fieldIds)
+          inserts = GraftWriterFactory(location, writeSchema, bucketed, fieldIds,
+                                       partitioned)
             .createWriter(partitionId, taskId)
         inserts.write(row)
       }

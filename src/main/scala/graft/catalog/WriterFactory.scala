@@ -23,19 +23,25 @@ import org.apache.spark.sql.types.StructType
   * Bucketed tables (`bucketed = Some((colIdx, numBuckets))`) route every
   * row to a PER-BUCKET group file using the same pmod rule as
   * [[GraftBucketFunction]] (nulls to bucket 0) and tag each emitted Group
-  * with its bucket id. The write-side clustered distribution means a task
-  * normally sees one bucket; the routing map is the correctness backstop
-  * when it doesn't (unshuffled small inserts, distribution disabled).
+  * with its bucket id. Value-PARTITIONED tables
+  * (`partitioned = Some((colIdx, transform))`, transform ∈ identity/days/
+  * months over the column's physical long) route to a PER-PARTITION group
+  * file (NULLs to the `null` partition) and tag each Group with its
+  * partition value. The write-side clustered distribution means a task
+  * normally sees one bucket/partition; the routing map is the correctness
+  * backstop when it doesn't (unshuffled small inserts, distribution
+  * disabled).
   */
 case class GraftWriterFactory(location: String, writeSchema: StructType,
                               bucketed: Option[(Int, Int)] = None,
-                              fieldIds: Seq[Int] = Seq.empty)
+                              fieldIds: Seq[Int] = Seq.empty,
+                              partitioned: Option[(Int, String)] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // one open group file + its pruning stats
-      private class FileSink(val bucket: Option[Int]) {
+      private class FileSink(val bucket: Option[Int], val part: Option[String]) {
         val fileName = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.rows"
         val tmpPath = Paths.get(location).resolve(fileName + ".tmp")
         val finalPath = Paths.get(location).resolve(fileName)
@@ -95,7 +101,8 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
                 if (fieldIds.nonEmpty) Some(fieldIds) else None,
                 // size recorded once here so planning never stats files
                 deletes = None, bytes = Some(Files.size(finalPath)),
-                bloom = longCols.nonEmpty && nRows > 0)
+                bloom = longCols.nonEmpty && nRows > 0,
+                part = part)
         }
 
         def drop(): Unit = {
@@ -108,26 +115,41 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
 
       private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
       private val copyBuffer = new Array[Byte](8192) // for off-heap-backed rows
-      // per-file min/max pruning stats for the long-typed columns
+      // per-file min/max pruning stats for the physically-long columns:
+      // BIGINT and TIMESTAMP_NTZ (micros) — timestamp stats are what make
+      // time-range queries prune groups, and per-partition routing makes
+      // them tight (a day-partition file spans one day)
       private val longCols = writeSchema.fields.zipWithIndex
-        .filter(_._1.dataType == org.apache.spark.sql.types.LongType).map(_._2)
-      private val sinks = scala.collection.mutable.LinkedHashMap.empty[Int, FileSink]
+        .filter(f => f._1.dataType == org.apache.spark.sql.types.LongType ||
+                     f._1.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        .map(_._2)
+      // routing key: bucket id, or the partition transform value (with a
+      // NULL flag — the null partition must not collide with any value)
+      private val sinks =
+        scala.collection.mutable.LinkedHashMap.empty[(Long, Boolean), FileSink]
       // hot-path cache: unbucketed writes always hit one sink, and the
-      // clustered write distribution makes long same-bucket runs the norm
-      // for bucketed ones — skip the map lookup for the common row
-      private var lastBucket = Int.MinValue
+      // clustered write distribution makes long same-key runs the norm
+      // for bucketed/partitioned ones — skip the map lookup per row
+      private var lastKey: (Long, Boolean) = null
       private var lastSink: FileSink = _
 
       private def sinkFor(u: org.apache.spark.sql.catalyst.expressions.UnsafeRow): FileSink = {
-        val b = bucketed match {
-          case None => 0
+        val k: (Long, Boolean) = bucketed match {
           case Some((idx, n)) =>
-            if (u.isNullAt(idx)) 0 else GraftBucketFunction.bucketOf(u.getLong(idx), n)
+            (if (u.isNullAt(idx)) 0L
+             else GraftBucketFunction.bucketOf(u.getLong(idx), n).toLong, false)
+          case None => partitioned match {
+            case Some((idx, t)) =>
+              if (u.isNullAt(idx)) (0L, true)
+              else (GraftPartitionTransforms(t, u.getLong(idx)), false)
+            case None => (0L, false)
+          }
         }
-        if (b != lastBucket) {
-          lastSink = sinks.getOrElseUpdate(b,
-            new FileSink(bucketed.map(_ => b)))
-          lastBucket = b
+        if (k != lastKey) {
+          lastSink = sinks.getOrElseUpdate(k, new FileSink(
+            bucketed.map(_ => k._1.toInt),
+            partitioned.map(_ => if (k._2) "null" else k._1.toString)))
+          lastKey = k
         }
         lastSink
       }

@@ -749,10 +749,15 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(graft.catalog.GroupFiles.live(dir).forall(_.bucket.isDefined),
       "transform-declared bucketing must route writes like the property spelling")
     assert(spark.table(T).count() === 40)
-    // non-bucket transforms fail loudly instead of being ignored
+    // unsupported transforms still fail loudly instead of being ignored
+    // (identity/days/months are now real layouts — PartitionedCatalogSpec)
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_pbt2")
     intercept[Exception] {
-      spark.sql("CREATE TABLE graft_fb.default.fb_pbt2 (k BIGINT) PARTITIONED BY (k)")
+      spark.sql("""CREATE TABLE graft_fb.default.fb_pbt2 (ts TIMESTAMP_NTZ)
+                   PARTITIONED BY (years(ts))""")
+      spark.sql("INSERT INTO graft_fb.default.fb_pbt2 VALUES (timestamp_ntz'2024-01-01 00:00:00')")
     }
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_pbt2")
     spark.sql(s"DROP TABLE $T")
   }
 
