@@ -131,6 +131,7 @@ object SparkEntry {
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_join_asof" -> Streaming.asofClickSignup,
+    "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
     "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
@@ -1261,6 +1262,16 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q_join_asof" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
+        |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
+        |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_bucketed" ->
+      // the oracle is the PLAIN ASOF JOIN on flat parquet: the catalog's
+      // bucketed layout must be semantically invisible (only the plan —
+      // zero hash Exchange before the window — changes)
       """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
         |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
         |SELECT c.event_id, c.user_id, c.click_us, s.signup_us

@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
   * all-NULL group, and "did the last non-null value just get deleted" is
   * undecidable from the running sum alone. The summary schema is
   * therefore dims ++ __n ++ per-measure (__nn_c, __sum_c). AVG is served
-  * as sum/count at read time. MIN/MAX are deliberately NOT offered: a
-  * delete of the current extremum forces a rescan of the group — that is
-  * a different (and at 100 TB, far more expensive) maintenance class.
+  * as sum/count at read time.
+  *
+  * MIN/MAX (the `minmax` columns, state __min_c/__max_c) use the standard
+  * RESCAN-ON-RETRACTION form: inserts maintain them incrementally
+  * (least/greatest against the delta's insert extremes — monotone, no
+  * base access), and ONLY a group whose deletes reach its tentative new
+  * extremum is re-aggregated, by a scan of THAT group's rows at the
+  * target version (dims semi-join, broadcast of the flagged key set).
+  * A delete of a non-extremal value is as cheap as a count update; the
+  * expensive per-group rescan happens exactly when information was
+  * genuinely destroyed — at 100 TB the flagged set is the handful of
+  * groups whose extremum was retracted, not the table.
   *
   * Scale shape: `refresh` reads ONLY the change feed of the version
   * window — ChangeFeed diffs manifests first, so a commit that touched 2
@@ -29,9 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
-  private def summarize(base: DataFrame, dims: Seq[String], sums: Seq[String]): DataFrame = {
-    val a = count(lit(1)).as("__n") +: sums.flatMap(c =>
-      Seq(count(col(c)).as(s"__nn_$c"), sum(col(c)).as(s"__sum_$c")))
+  private def summarize(base: DataFrame, dims: Seq[String], sums: Seq[String],
+                        minmax: Seq[String] = Seq.empty): DataFrame = {
+    val a = (count(lit(1)).as("__n") +: sums.flatMap(c =>
+      Seq(count(col(c)).as(s"__nn_$c"), sum(col(c)).as(s"__sum_$c")))) ++
+      minmax.flatMap(c =>
+        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     base.groupBy(dims.map(col): _*).agg(a.head, a.tail: _*)
   }
 
@@ -39,8 +51,9 @@ object IncrementalView {
     * aggregate over the base table. Use once to seed, then `refresh`.
     */
   def build(spark: SparkSession, qualifiedName: String,
-            dims: Seq[String], sums: Seq[String]): DataFrame =
-    summarize(spark.table(qualifiedName), dims, sums)
+            dims: Seq[String], sums: Seq[String],
+            minmax: Seq[String] = Seq.empty): DataFrame =
+    summarize(spark.table(qualifiedName), dims, sums, minmax)
 
   /** Advance a summary built at snapshot `fromVersion` to snapshot
     * `toVersion` using only the change feed between them: signed partial
@@ -59,22 +72,32 @@ object IncrementalView {
     */
   def refresh(spark: SparkSession, qualifiedName: String,
               dims: Seq[String], sums: Seq[String],
-              state: DataFrame, fromVersion: Long, toVersion: Long): DataFrame = {
+              state: DataFrame, fromVersion: Long, toVersion: Long,
+              minmax: Seq[String] = Seq.empty): DataFrame = {
     if (fromVersion == toVersion) return state
     // fail with an explanation, not an unresolved-column error: summaries
     // persisted before the per-measure non-null counters existed cannot
     // be refreshed (the NULL-sum decision needs the counter) — rebuild
     // once with materialize/build to migrate
-    val missing = (Seq("__n") ++ sums.map(c => s"__nn_$c") ++ sums.map(c => s"__sum_$c"))
+    val missing = (Seq("__n") ++ sums.map(c => s"__nn_$c") ++ sums.map(c => s"__sum_$c") ++
+        minmax.flatMap(c => Seq(s"__min_$c", s"__max_$c")))
       .filterNot(state.columns.contains)
     require(missing.isEmpty,
       s"summary state lacks ${missing.mkString(", ")} — it predates the " +
-      "per-measure non-null counters; rebuild it once with build/materialize")
+      "per-measure counters; rebuild it once with build/materialize")
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val deltaAggs = sum(sign).as("__dn") +: sums.flatMap(c => Seq(
+    val isIns = col("_change_type") === "insert"
+    val deltaAggs = (sum(sign).as("__dn") +: sums.flatMap(c => Seq(
       sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$c"),
-      sum(col(c) * sign).as(s"__dsum_$c")))
-    val deltaCols = Seq("__dn") ++ sums.flatMap(c => Seq(s"__dnn_$c", s"__dsum_$c"))
+      sum(col(c) * sign).as(s"__dsum_$c")))) ++
+      minmax.flatMap(c => Seq(
+        min(when(isIns, col(c))).as(s"__dins_min_$c"),
+        max(when(isIns, col(c))).as(s"__dins_max_$c"),
+        min(when(!isIns, col(c))).as(s"__ddel_min_$c"),
+        max(when(!isIns, col(c))).as(s"__ddel_max_$c")))
+    val deltaCols = Seq("__dn") ++ sums.flatMap(c => Seq(s"__dnn_$c", s"__dsum_$c")) ++
+      minmax.flatMap(c => Seq(s"__dins_min_$c", s"__dins_max_$c",
+                              s"__ddel_min_$c", s"__ddel_max_$c"))
     val delta = ChangeFeed.tableChanges(spark, qualifiedName, fromVersion, toVersion)
       .groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -86,7 +109,23 @@ object IncrementalView {
     val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
     def addOrZero(a: Column, b: Column): Column =
       coalesce(a, lit(0L)) + coalesce(b, lit(0L))
-    state.join(delta, cond, "full_outer")
+    // MIN/MAX maintenance: inserts are monotone (least/greatest with the
+    // delta's insert extremes — least/greatest skip NULLs); a group needs
+    // a RESCAN exactly when its deletes reach the tentative new extremum
+    // (the deleted value could have been the last occurrence — multiplicity
+    // is not tracked, so equality must be conservative). Deletes strictly
+    // inside the tentative range can never change the extremum.
+    def tentMin(c: String) = least(col(s"__min_$c"), col(s"__dins_min_$c"))
+    def tentMax(c: String) = greatest(col(s"__max_$c"), col(s"__dins_max_$c"))
+    def rescanNeeded(c: String): Column =
+      (col(s"__ddel_min_$c").isNotNull &&
+        (tentMin(c).isNull || col(s"__ddel_min_$c") <= tentMin(c))) ||
+      (col(s"__ddel_max_$c").isNotNull &&
+        (tentMax(c).isNull || col(s"__ddel_max_$c") >= tentMax(c)))
+    val rescanFlag =
+      if (minmax.isEmpty) lit(false)
+      else minmax.map(rescanNeeded).reduce(_ || _)
+    val merged = state.join(delta, cond, "full_outer")
       .select(
         dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
           Seq(addOrZero(col("__n"), col("__dn")).as("__n")) ++
@@ -99,8 +138,27 @@ object IncrementalView {
                   .otherwise(coalesce(col(s"__sum_$c"), lit(0)) +
                              coalesce(col(s"__dsum_$c"), lit(0)))
                   .as(s"__sum_$c"))
-          }: _*)
+          } ++
+          minmax.flatMap(c =>
+            Seq(tentMin(c).as(s"__min_$c"), tentMax(c).as(s"__max_$c"))) ++
+          Seq(rescanFlag.as("__rescan")): _*)
       .filter(col("__n") > 0)
+    if (minmax.isEmpty) return merged.drop("__rescan")
+    // the retracted-extremum groups: re-aggregate ONLY their rows at the
+    // target snapshot. The flagged key set is summary-cardinality small —
+    // broadcast it into a null-safe semi-join so the base scan stays one
+    // pruned pass, never a full re-summarize.
+    val mergedCk = merged.localCheckpoint()
+    val flagged = mergedCk.filter(col("__rescan"))
+      .select(dims.map(c => col(c).as(s"__r_$c")): _*)
+    if (flagged.isEmpty) return mergedCk.drop("__rescan")
+    val baseAt = spark.sql(
+      s"SELECT * FROM ${quoted(qualifiedName)} VERSION AS OF $toVersion")
+    val rescanCond = dims.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    val rescanned = summarize(
+      baseAt.join(broadcast(flagged), rescanCond, "left_semi"),
+      dims, sums, minmax)
+    mergedCk.filter(!col("__rescan")).drop("__rescan").unionByName(rescanned)
   }
 
   /** MATERIALIZED form: the summary lives in a catalog table of its own,
@@ -117,7 +175,8 @@ object IncrementalView {
     * summary would make the summary's content depend on its own history).
     */
   def materialize(spark: SparkSession, baseTable: String, viewTable: String,
-                  dims: Seq[String], sums: Seq[String]): Long = {
+                  dims: Seq[String], sums: Seq[String],
+                  minmax: Seq[String] = Seq.empty): Long = {
     val v = currentVersion(spark, baseTable)
     // summarize the PINNED snapshot v, not the live table: a commit
     // landing between the version read and the scan would otherwise be
@@ -128,7 +187,7 @@ object IncrementalView {
     val snapshot =
       if (v == 0) spark.table(baseTable).filter(lit(false))
       else spark.sql(s"SELECT * FROM ${quoted(baseTable)} VERSION AS OF $v")
-    overwrite(spark, viewTable, summarize(snapshot, dims, sums))
+    overwrite(spark, viewTable, summarize(snapshot, dims, sums, minmax))
     v
   }
 
@@ -142,11 +201,12 @@ object IncrementalView {
     */
   def refreshMaterialized(spark: SparkSession, baseTable: String, viewTable: String,
                           dims: Seq[String], sums: Seq[String],
-                          fromVersion: Long): Long = {
+                          fromVersion: Long,
+                          minmax: Seq[String] = Seq.empty): Long = {
     val v = currentVersion(spark, baseTable)
     if (v == fromVersion) return v
     val next = refresh(spark, baseTable, dims, sums,
-                       spark.table(viewTable), fromVersion, v)
+                       spark.table(viewTable), fromVersion, v, minmax)
     overwrite(spark, viewTable, next)
     v
   }

@@ -119,6 +119,52 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q_join_asof_bucketed: the SAME as-of semantics run over the CATALOG'S
+    * bucketed layout — events loaded once into a GraftCatalog table
+    * `PARTITIONED BY (bucket(8, user_id))`, whose scan reports
+    * KeyGroupedPartitioning over the bucket transform. The as-of window
+    * (partitionBy user_id) is then satisfied by the STORAGE partitioning:
+    * no hash Exchange before the window at all — the only shuffle in the
+    * plan is the final presentation sort (PlanGateSpec asserts exactly
+    * that). This ties the table format to the time-series query surface
+    * the way q_bucket_join ties it to equi-joins: at 100 TB the per-user
+    * shuffle of every as-of/sessionize/lag query is paid ONCE at write
+    * time. The oracle twin is the plain ASOF JOIN over flat parquet — the
+    * layout must be semantically invisible.
+    *
+    * Single-scan formulation (filter to signup+click, kind-tagged running
+    * window) — union-of-two-scans would discard the scan's reported
+    * partitioning even when both sides are the same bucketed table.
+    */
+  def asofBucketedCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val confKey = "graft.asof.bucketed.src"
+    val T = "graft_ev.default.events_by_user"
+    spark.conf.set("spark.sql.catalog.graft_ev", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    if (!spark.conf.getOption(confKey).contains(dir)) {
+      spark.sql(s"DROP TABLE IF EXISTS $T")
+      spark.sql(s"""CREATE TABLE $T (event_id BIGINT, user_id BIGINT, us BIGINT, kind INT)
+                    PARTITIONED BY (bucket(8, user_id))""")
+      val src = "graft_asof_bucketed_src"
+      Sources.events(spark, dir)
+        .filter(col("event_type").isin("signup", "click"))
+        .select(col("event_id"), col("user_id"), us(col("ts")).as("us"),
+                when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+        .createOrReplaceTempView(src)
+      spark.sql(s"INSERT INTO $T SELECT * FROM $src")
+      spark.catalog.dropTempView(src)
+      spark.conf.set(confKey, dir)
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.table(T)
+      .withColumn("signup_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("signup_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"), col("signup_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_join_asof_tol: as-of join with a match tolerance — a click only
     * pairs with a prior signup at most 7 days old (time-series joins
     * almost always carry a staleness bound). Same single-shuffle plan as

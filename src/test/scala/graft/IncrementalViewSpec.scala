@@ -279,4 +279,78 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"DROP TABLE IF EXISTS $B"); spark.sql(s"DROP TABLE IF EXISTS $V")
     }
   }
+
+  test("MIN/MAX refresh chain == rebuild, including extremum-deleting commits") {
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k STRING, id BIGINT, m BIGINT)")
+    // duplicate minimum in 'a' (10 twice) — deleting ONE occurrence must
+    // keep min 10 (the conservative rescan recomputes it)
+    spark.sql(s"INSERT INTO $T VALUES ('a', 1, 10), ('a', 2, 10), ('a', 3, 50), ('b', 4, 5)")
+
+    val dir = tableDir("ivm_t")
+    def v(): Long = GroupFiles.versions(dir).max
+    val dims = Seq("k"); val sums = Seq("m"); val mm = Seq("m")
+    def mmOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+                   Option(r.get(r.fieldIndex("__min_m"))),
+                   Option(r.get(r.fieldIndex("__max_m"))))).toSeq
+    def rebuilt() = mmOf(IncrementalView.build(spark, T, dims, sums, mm))
+
+    var at = v()
+    var state = IncrementalView.build(spark, T, dims, sums, mm).localCheckpoint()
+    assert(mmOf(state) === Seq(("a", 3L, Some(10L), Some(50L)), ("b", 1L, Some(5L), Some(5L))))
+
+    // commit: insert-only — extends extremes incrementally (no rescan path)
+    spark.sql(s"INSERT INTO $T VALUES ('a', 5, 3), ('b', 6, 99)")
+    var nv = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, at, nv, mm).localCheckpoint()
+    at = nv
+    assert(mmOf(state) === Seq(("a", 4L, Some(3L), Some(50L)), ("b", 2L, Some(5L), Some(99L))))
+    assert(mmOf(state) === rebuilt())
+
+    // commit: DELETE the current max of 'a' (50) — retraction, rescan path
+    spark.sql(s"DELETE FROM $T WHERE id = 3")
+    nv = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, at, nv, mm).localCheckpoint()
+    at = nv
+    assert(mmOf(state) === Seq(("a", 3L, Some(3L), Some(10L)), ("b", 2L, Some(5L), Some(99L))))
+    assert(mmOf(state) === rebuilt())
+
+    // commit: delete ONE of the duplicate 10s — min must survive as 10
+    spark.sql(s"DELETE FROM $T WHERE id = 1")
+    spark.sql(s"DELETE FROM $T WHERE id = 5") // and then the actual min 3
+    nv = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, at, nv, mm).localCheckpoint()
+    at = nv
+    assert(mmOf(state) === Seq(("a", 1L, Some(10L), Some(10L)), ("b", 2L, Some(5L), Some(99L))))
+    assert(mmOf(state) === rebuilt())
+
+    // commit: MERGE-update b's max away (99 -> 1): delete+insert feed pair
+    spark.sql(
+      s"""MERGE INTO $T t USING (SELECT 6 AS id, 1 AS m) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET m = s.m""".stripMargin)
+    nv = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, at, nv, mm).localCheckpoint()
+    at = nv
+    assert(mmOf(state) === Seq(("a", 1L, Some(10L), Some(10L)), ("b", 2L, Some(1L), Some(5L))))
+    assert(mmOf(state) === rebuilt())
+
+    // commit: group vanishes entirely — no summary row, no rescan residue
+    spark.sql(s"DELETE FROM $T WHERE k = 'a'")
+    nv = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, at, nv, mm).localCheckpoint()
+    assert(mmOf(state) === rebuilt())
+    assert(!mmOf(state).exists(_._1 == "a"))
+
+    // NULL measures: all-NULL group has NULL min/max through the chain
+    spark.sql(s"INSERT INTO $T VALUES ('n', 100, NULL), ('n', 101, NULL)")
+    val nv2 = v()
+    state = IncrementalView.refresh(spark, T, dims, sums, state, nv, nv2, mm).localCheckpoint()
+    assert(mmOf(state).find(_._1 == "n").get === (("n", 2L, None, None)))
+    assert(mmOf(state) === rebuilt())
+
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+  }
 }

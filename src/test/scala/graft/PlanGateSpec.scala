@@ -99,6 +99,22 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
       s"join-key shuffle under the bucketed join — bucket co-location lost:\n$p")
   }
 
+  test("q_join_asof_bucketed: as-of window runs on storage partitioning — no hash Exchange") {
+    val df = ops.Streaming.asofBucketedCatalog(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("Window"), s"as-of must plan a Window:\n$p")
+    // the per-user window must be fed by the catalog scan's
+    // KeyGroupedPartitioning (bucket(8, user_id)) — a hashpartitioning
+    // Exchange under the Window means the storage layout was lost. The
+    // only legal shuffle is the final presentation sort (rangepartitioning
+    // on event_id).
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.isEmpty,
+      s"hash Exchange under the bucketed as-of window — storage partitioning lost:\n$p")
+    // and the result is non-trivial (clicks with a prior signup exist)
+    assert(df.limit(1).count() === 1)
+  }
+
   test("runtime bloom filter: selective dim filter injects might_contain into the fact scan side") {
     import org.apache.spark.sql.functions._
     // At 100 TB the runtime bloom filter is the row-level sibling of DPP:
