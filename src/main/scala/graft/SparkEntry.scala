@@ -63,6 +63,7 @@ object SparkEntry {
     "q_json_roundtrip" -> Etl.jsonRoundtrip,
     "q_json_extract" -> Etl.jsonExtract,
     "q_partition_prune" -> Etl.partitionPrune,
+    "q_partition_catalog" -> Etl.partitionCatalog,
     "q_orc_roundtrip" -> Etl.orcRoundtrip,
     "q_xml_roundtrip" -> Etl.xmlRoundtrip,
     "q_partition_dpp" -> Etl.partitionDpp,
@@ -1042,6 +1043,16 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-03'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_partition_catalog" ->
+      // the oracle reads FLAT parquet: the catalog's days(ts) layout and
+      // its manifest-pruned scan must be lossless vs the plain scan
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_orc_roundtrip" ->
       // the oracle reads PARQUET directly: the ORC roundtrip must be lossless

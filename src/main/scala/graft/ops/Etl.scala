@@ -182,6 +182,42 @@ object Etl {
       .orderBy(col("o_month"))
   }
 
+  /** q_partition_catalog: the CATALOG twin of q_partition_prune — events
+    * loaded once into a GraftCatalog table `PARTITIONED BY (days(ts))`
+    * (per-day group files, #p manifest tags, tight per-group ts stats),
+    * then a 5-day range aggregate. The manifest's stats prune the scan to
+    * the in-range day groups at PLAN time (PlanGateSpec asserts the
+    * planned-partition count); the oracle twin runs the same aggregate on
+    * flat parquet — the partitioned layout must be semantically
+    * invisible, only the files-opened change. This puts round-7's
+    * catalog time-partitioning under the oracle gate the way
+    * q_bucket_join gates the bucketed layout.
+    */
+  def partitionCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val confKey = "graft.partition.catalog.src"
+    val T = "graft_ev.default.events_by_day"
+    spark.conf.set("spark.sql.catalog.graft_ev", "graft.catalog.GraftCatalog")
+    if (!spark.conf.getOption(confKey).contains(dir)) {
+      spark.sql(s"DROP TABLE IF EXISTS $T")
+      spark.sql(s"""CREATE TABLE $T (event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+                    event_type STRING, value DOUBLE)
+                    PARTITIONED BY (days(ts))""")
+      val src = "graft_partition_catalog_src"
+      Sources.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView(src)
+      spark.sql(s"INSERT INTO $T SELECT * FROM $src")
+      spark.catalog.dropTempView(src)
+      spark.conf.set(confKey, dir)
+    }
+    spark.table(T)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+              col("ts") < lit("2024-01-15").cast("timestamp_ntz"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_json_extract: JSON field extraction from a string column — the
     * codegen'd get_json_object path, no UDF.
     */

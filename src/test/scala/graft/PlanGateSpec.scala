@@ -99,6 +99,21 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
       s"join-key shuffle under the bucketed join — bucket co-location lost:\n$p")
   }
 
+  test("q_partition_catalog: 5-day range plans only the in-range day groups") {
+    val df = ops.Etl.partitionCatalog(spark, sfDir)
+    assert(df.count() > 0) // builds the table on first call
+    // the events span 30 day-partitions; the declared 5-day range must
+    // plan exactly the 5 in-range groups (manifest-stat pruning, made
+    // exact by per-day routing). Probe the scan WITHOUT the aggregate so
+    // AQE doesn't wrap the plan: one RDD partition per planned group.
+    import org.apache.spark.sql.functions.{col, lit}
+    val probe = spark.table("graft_ev.default.events_by_day")
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+              col("ts") < lit("2024-01-15").cast("timestamp_ntz"))
+    assert(probe.rdd.getNumPartitions === 5,
+      s"expected 5 in-range day groups planned out of ~30, got ${probe.rdd.getNumPartitions}")
+  }
+
   test("q_join_asof_bucketed: as-of window runs on storage partitioning — no hash Exchange") {
     val df = ops.Streaming.asofBucketedCatalog(spark, sfDir)
     val p = plan(df)
