@@ -314,6 +314,15 @@ object Text {
       graft.functions.Md5WindowHashes(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), w))
 
+  /** Sorted distinct xxhash64 of the w-token shingles (native codegen'd
+    * graft.functions.XxShingleHashes) — the hashed-set generator the
+    * exact-Jaccard family joins on.
+    */
+  private def xxShingleHashes(text: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.XxShingleHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), w))
+
   def dedupSubstringQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = 30
@@ -632,9 +641,8 @@ object Text {
     // the union-size denominators then ride through the pair join for free
     // instead of costing a separate aggregate plus two re-joins
     val sh = df
-      .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("ss"))
-      .select(col("id"), size(col("ss")).as("sz"), explode(col("ss")).as("s"))
-      .select(col("id"), col("sz"), xxhash64(col("s")).as("h"))
+      .select(col(idCol).as("id"), xxShingleHashes(col(textCol), w).as("hs"))
+      .select(col("id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
     // merge hint: the shingle stream is corpus-sized on BOTH sides — a
     // sort-merge shuffle join is the only plan that survives real scale
     // (the planner would happily broadcast the ~6 MB side at test SFs),
@@ -678,11 +686,12 @@ object Text {
                          w: Int = 3, t: Double = 0.7): DataFrame = {
     // materialize the hashed shingle sets ONCE: this subtree otherwise
     // evaluates four times (df-count branch, prefix branch, both
-    // verification joins) — shingling is the dominant per-row cost
+    // verification joins) — shingling is the dominant per-row cost.
+    // Native fused generator (graft.functions.XxShingleHashes): sorted
+    // distinct xxhash64 per shingle byte-span, no shingle strings built.
     val docs = df
-      .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), w)).as("ss"))
-      .filter(size(col("ss")) > 0)
-      .select(col("id"), transform(col("ss"), s => xxhash64(s)).as("hs"))
+      .select(col(idCol).as("id"), xxShingleHashes(col(textCol), w).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("id"), col("hs"), size(col("hs")).as("sz"))
       .localCheckpoint()
     val ex = docs.select(col("id"), col("sz"), explode(col("hs")).as("h"))

@@ -262,6 +262,24 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("native XxShingleHashes == array_distinct(shingles)+xxhash64 as a set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nat = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.XxShingleHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("text")), 3))
+    val texts = io.Sources.documents(spark, sfDir).select("text")
+      .as[String].collect().toSeq ++ Seq(
+      "a b c", "a b c a b c", "a  b  c", " x y z", "one two", "", "中文 分词 测试 版")
+    texts.toDF("text")
+      .select(nat.as("natv"),
+        array_sort(transform(array_distinct(Text.shingles(col("text"), 3)),
+          s => xxhash64(s))).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), "shingle hash set mismatch")
+      }
+  }
+
   test("substring dedup: exact and winnowed forms agree on who is duplicated") {
     import org.apache.spark.sql.functions._
     val exact = Text.dedupSubstringQuery(spark, sfDir).collect()
