@@ -39,6 +39,7 @@ object SparkEntry {
     "q_corr_subquery" -> Relational.corrSubquery,
     "q_exists_subquery" -> Relational.existsSubquery,
     "q_lateral_join" -> Relational.lateralJoin,
+    "q_recursive_cte" -> Relational.recursiveCte,
     "q_window_time_range" -> Windows.windowTimeRange,
     "q_window_time_range_hours" -> Windows.windowTimeRangeHours,
     "q_bucket_join" -> Scale.bucketJoinQuery,
@@ -62,6 +63,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> Etl.csvRoundtrip,
     "q_json_roundtrip" -> Etl.jsonRoundtrip,
     "q_json_extract" -> Etl.jsonExtract,
+    "q_variant_extract" -> Etl.variantExtract,
     "q_partition_prune" -> Etl.partitionPrune,
     "q_partition_catalog" -> Etl.partitionCatalog,
     "q_orc_roundtrip" -> Etl.orcRoundtrip,
@@ -100,6 +102,7 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_pagerank" -> Graph.pageRankQuery,
+    "q_triangle_count" -> Graph.triangleCountQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
@@ -110,6 +113,8 @@ object SparkEntry {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_vector_stats" -> Similarity.vectorStatsQuery,
+    "q_cluster_assign" -> Similarity.clusterAssignQuery,
+    "q_semantic_dedup" -> Similarity.semanticDedupQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -433,6 +438,62 @@ object SparkEntry {
     "q_dedup_clusters" -> clustersOracle,
 
     "q_pagerank" -> pagerankOracle,
+
+    // Degree-oriented triangle counting, mirrored step for step: weighted
+    // co-order edges (>= 5 shared orders), degrees, (deg, id) orientation,
+    // directed wedges, closure against the undirected edge set.
+    "q_triangle_count" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM ls a JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |deg AS (SELECT n, COUNT(*) AS deg
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |                  THEN e.u ELSE e.v END AS src,
+        |             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |                  THEN e.v ELSE e.u END AS dst
+        |      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |w AS (SELECT least(w1.dst, w2.dst) AS u, greatest(w1.dst, w2.dst) AS v
+        |      FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT COUNT(*) FROM w
+        |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)) AS n_triangles""".stripMargin,
+
+    "q_cluster_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.centroid_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent), 6) AS sim
+        |      FROM embeddings e CROSS JOIN c),
+        |asg AS (SELECT vec_id, centroid_id, sim,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        |        FROM s)
+        |SELECT centroid_id, COUNT(*) AS n, MIN(sim) AS min_sim, MAX(sim) AS max_sim
+        |FROM asg WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SemDeDup twin: the same coarse assignment, then pairs only WITHIN a
+    // cluster, thresholded on the ROUNDED cosine (boundary cannot flip).
+    "q_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent
+        |           FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, centroid_id FROM (
+        |          SELECT e.vec_id, e.embedding, c.centroid_id,
+        |            row_number() OVER (PARTITION BY e.vec_id
+        |              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent), 6) DESC,
+        |                       c.centroid_id) AS rn
+        |          FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+        |prs0 AS (SELECT x.centroid_id AS cl, x.vec_id AS a, y.vec_id AS b,
+        |           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                                        CAST(y.embedding AS DOUBLE[])), 6) AS sim
+        |         FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+        |prs AS (SELECT * FROM prs0 WHERE sim >= 0.3),
+        |pc AS (SELECT cl, COUNT(*) AS n_pairs, MAX(sim) AS max_sim FROM prs GROUP BY 1),
+        |mem AS (SELECT cl, COUNT(DISTINCT vec) AS n_vecs FROM
+        |        (SELECT cl, a AS vec FROM prs UNION ALL SELECT cl, b AS vec FROM prs) t GROUP BY 1)
+        |SELECT pc.cl AS cluster_id, pc.n_pairs, mem.n_vecs, pc.max_sim
+        |FROM pc JOIN mem ON pc.cl = mem.cl ORDER BY 1""".stripMargin,
 
     "q_vector_stats" ->
       // dim is 0-based on both sides (Spark posexplode pos; DuckDB i-1);
@@ -998,6 +1059,20 @@ object SparkEntry {
         |WHERE t.n_orders > 0
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
+    // Identical WITH RECURSIVE text runs on both engines — the binary-tree
+    // parent join makes the recursion finite and every depth deterministic.
+    "q_recursive_cte" ->
+      """WITH RECURSIVE h(ck, depth, bal) AS (
+        |  SELECT c_custkey, CAST(0 AS BIGINT) AS depth,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1, CAST(c.c_acctbal AS DECIMAL(18,2))
+        |  FROM customer c JOIN h ON CAST(floor(c.c_custkey / 2) AS BIGINT) = h.ck
+        |  WHERE c.c_custkey > 0)
+        |SELECT depth, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS sum_bal
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin,
+
     "q_predicates" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS bal_uplift
@@ -1106,6 +1181,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The VARIANT path's oracle is plain JSON extraction — the gate proves
+    // the binary-encoded route is semantically invisible.
+    "q_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_upsert_merge" ->

@@ -229,6 +229,27 @@ object Etl {
            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** q_variant_extract: Spark 4 VARIANT ingestion of semi-structured
+    * event properties — parse_json into the binary VARIANT encoding once,
+    * then typed path extraction (variant_get) drives the aggregate. At
+    * 100 TB this is the schema-on-read shape for heterogeneous event
+    * payloads: VARIANT decodes fields by offset (no re-tokenizing the
+    * JSON text per extraction, unlike get_json_object — q_json_extract is
+    * the string-path twin of this key), stays columnar through the scan,
+    * and shreds to typed columns at the first reference. The oracle twin
+    * is DuckDB's JSON extraction — same values, so the gate proves the
+    * VARIANT path is semantically invisible.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(col("event_type"),
+              variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+           count_distinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
   /** Data-quality expectations over a table: each check is a (name,
     * violation-predicate) pair evaluated in ONE conditional-aggregation
     * pass — the ingest-gate report a 100 TB pipeline runs before

@@ -366,4 +366,32 @@ object Relational {
            bit_or(col("l_linenumber")).cast("long").as("bor"),
            bit_xor(col("l_linenumber")).cast("long").as("bxor"))
       .orderBy(col("l_returnflag"))
+
+  /** q_recursive_cte: WITH RECURSIVE hierarchy walk — Spark 4's recursive
+    * common table expressions (UnionLoop execution), the engine surface
+    * behind org charts, BOM explosions and graph reachability in plain
+    * SQL. The hierarchy is the deterministic binary tree parent(c) =
+    * floor(c/2) over customers (root 0): the recursion computes every
+    * customer's depth, then rolls up count + exact-decimal balance per
+    * level. The recursive step is one equi-join per level against the
+    * previous frontier — exactly the iterative-join dataflow pageRank/
+    * connectedComponents hand-write, but planned by the engine; depth =
+    * log₂(N) levels, so the loop count grows logarithmically, not with
+    * data volume. Identical SQL runs on DuckDB (its recursive CTE is the
+    * oracle twin); DECIMAL(18,2) through the sum per §2.1.
+    */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Sources.customer(spark, dir).createOrReplaceTempView("rc_customer")
+    spark.sql(
+      """WITH RECURSIVE h(ck, depth, bal) AS (
+        |  SELECT c_custkey, CAST(0 AS BIGINT) AS depth,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM rc_customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1, CAST(c.c_acctbal AS DECIMAL(18,2))
+        |  FROM rc_customer c JOIN h ON CAST(floor(c.c_custkey / 2) AS BIGINT) = h.ck
+        |  WHERE c.c_custkey > 0)
+        |SELECT depth, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS sum_bal
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
 }

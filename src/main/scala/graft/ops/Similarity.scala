@@ -322,4 +322,70 @@ object Similarity {
            min(col("x")).as("min_x"), max(col("x")).as("max_x"))
       .orderBy(col("dim"))
   }
+
+  /** Coarse cluster assignment of the FULL embedding corpus against a
+    * fixed centroid set — the partition/shuffle step of IVF indexing and
+    * of SemDeDup-style semantic dedup. Centroids broadcast (k×dim is tiny
+    * by construction); the corpus streams through one codegen'd cosine per
+    * centroid and a per-vector argmax window partitioned by vec_id — no
+    * corpus shuffle at all until the final k-row rollup. Determinism: the
+    * argmax ranks the ROUNDED similarity with centroid-id tiebreak, so a
+    * boundary can never flip between engines (§2.1).
+    */
+  def clusterAssign(e: DataFrame, k: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+              r6(cosineNative(col("embedding"), col("cent_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("sim"))
+  }
+
+  /** q_cluster_assign: per-cluster population profile of the coarse
+    * assignment (k = 8 fixed centroids = vec_id 0..7): n members, min and
+    * max assignment similarity — the balance/quality check run before
+    * trusting an IVF index or a cluster-bucketed dedup pass. Counts are
+    * integers and min/max of rounded doubles are order-free.
+    */
+  def clusterAssignQuery(spark: SparkSession, dir: String): DataFrame =
+    clusterAssign(Sources.embeddings(spark, dir), 8)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .orderBy(col("centroid_id"))
+
+  /** q_semantic_dedup: SemDeDup-shape near-duplicate mining over the FULL
+    * corpus (Abbas et al. 2023: cluster the embeddings, then compare only
+    * WITHIN clusters): pairs sharing a coarse cluster with rounded cosine
+    * ≥ 0.3, rolled up per cluster (pair count, distinct vectors involved,
+    * max similarity). The cluster equi-join is what makes this the 100 TB
+    * shape — candidate pairs are Σ|cluster|² instead of |corpus|², and at
+    * real scale k grows with N to hold |cluster| bounded (k is fixed at 8
+    * here so the declared result is a deterministic function of the data).
+    * The declared semantics ARE the bucketed semantics — a cross-cluster
+    * near-dup is invisible by design, exactly as in SemDeDup; the oracle
+    * twin computes the identical two-stage pipeline.
+    */
+  def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val assign = clusterAssign(Sources.embeddings(spark, dir), 8)
+      .select(col("centroid_id").as("cl"), col("vec_id"), col("embedding"))
+      .localCheckpoint() // both sides of the pair join + the member rollup
+    val pairs = assign.select(col("cl"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(assign.select(col("cl"), col("vec_id").as("b"), col("embedding").as("eb")), Seq("cl"))
+      .filter(col("a") < col("b"))
+      .select(col("cl"), col("a"), col("b"),
+              r6(cosineNative(col("ea"), col("eb"))).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .localCheckpoint() // pair rollup + distinct-member rollup
+    val perCluster = pairs.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("sim")).as("max_sim"))
+    val members = pairs.select(col("cl"), explode(array(col("a"), col("b"))).as("vec"))
+      .distinct()
+      .groupBy(col("cl")).agg(count(lit(1)).as("n_vecs"))
+    perCluster.join(members, Seq("cl"))
+      .select(col("cl").as("cluster_id"), col("n_pairs"), col("n_vecs"), col("max_sim"))
+      .orderBy(col("cluster_id"))
+  }
 }

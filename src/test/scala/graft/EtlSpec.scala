@@ -213,4 +213,12 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(viaXml.nonEmpty)
   }
 
+  test("VARIANT extraction agrees with the string-path JSON extraction") {
+    val viaVariant = Etl.variantExtract(spark, sfDir)
+      .select("event_type", "n", "sum_k", "min_k", "max_k").collect()
+    val viaJson = Etl.jsonExtract(spark, sfDir).collect()
+    assert(viaVariant.toSeq === viaJson.toSeq)
+    assert(viaVariant.nonEmpty)
+  }
+
 }

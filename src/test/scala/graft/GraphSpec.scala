@@ -99,4 +99,46 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
     }
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleCount(edges.toDF("u", "v")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangle count: known small graphs") {
+    // one triangle
+    assert(triangles(Seq((1L, 2L), (1L, 3L), (2L, 3L))) === ((3L, 3L, 1L)))
+    // square without diagonals: 0 triangles
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))._3 === 0L)
+    // K4: 4 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triangles(k4) === ((4L, 6L, 4L)))
+    // K4 plus a pendant edge: still 4
+    assert(triangles(k4 :+ (4L -> 9L))._3 === 4L)
+  }
+
+  test("triangle count: orientation is semantically invisible (matches naive count)") {
+    // random-ish deterministic graph; naive count via triple loop
+    val rng = new scala.util.Random(7)
+    val edges = (for (_ <- 1 to 120) yield {
+      val a = rng.nextInt(20).toLong; val b = rng.nextInt(20).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val adj = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var naive = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if adj((a, b)) && adj((b, c)) && adj((a, c))
+    } naive += 1
+    assert(triangles(edges)._3 === naive)
+  }
+
+  test("q_triangle_count declared query: sf0.001 co-order graph is complete K10") {
+    // all 45 supplier pairs share >= 5 orders at sf0.001 -> C(10,3) triangles
+    val r = Graph.triangleCountQuery(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((10L, 45L, 120L)))
+  }
 }

@@ -118,4 +118,19 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("recursive CTE: binary-tree walk reaches every customer exactly once") {
+    val rows = Relational.recursiveCte(spark, sfDir).collect()
+    val n = graft.io.Sources.customer(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === n, "every customer at exactly one depth")
+    // depth(c) = floor(log2(c)) + 1 for c >= 1, 0 for the root: level sizes
+    // are the binary-tree level sizes truncated by N
+    val depths = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(depths(0L) === 1L)
+    assert(depths(1L) === 1L)   // node 1
+    assert(depths(2L) === 2L)   // nodes 2, 3
+    assert(depths(3L) === 4L)
+    val maxDepth = depths.keys.max
+    assert(maxDepth === (63 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 1,
+      s"deepest level is floor(log2(maxkey)) + 1, got $maxDepth for n=$n")
+  }
 }

@@ -145,4 +145,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("cluster assignment: total partition of the corpus; centroids self-assign") {
+    val assign = Similarity.clusterAssign(emb, 8)
+      .select(col("vec_id"), col("centroid_id")).collect()
+    val n = emb.count()
+    assert(assign.length === n, "every vector assigned exactly once")
+    assert(assign.map(_.getLong(0)).distinct.length === n)
+    // each centroid's own vector lands in its own cluster (self-cosine ~ 1)
+    assign.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(1) === r.getLong(0), s"centroid ${r.getLong(0)} self-assignment")
+    }
+    // declared rollup covers the same total
+    val rollup = Similarity.clusterAssignQuery(spark, sfDir).collect()
+    assert(rollup.map(_.getLong(1)).sum === n)
+  }
+
+  test("semantic dedup: pairs stay within a cluster and meet the threshold") {
+    val assign = Similarity.clusterAssign(emb, 8)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.semanticDedupQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty, "sf0.001 must yield >= 1 cluster with near pairs")
+    rows.foreach { r =>
+      val (cl, nPairs, nVecs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nVecs >= 2 && nVecs <= 2 * nPairs, s"cluster $cl member/pair bounds")
+      assert(r.getDouble(3) >= 0.3, s"cluster $cl max_sim under threshold")
+      assert(assign.values.toSet.contains(cl))
+    }
+  }
 }
