@@ -271,6 +271,63 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** The same running per-user totals on Spark 4's MODERN arbitrary-state
+    * surface: transformWithState + StatefulProcessor with a typed
+    * ValueState and NATIVE state TTL (TTLConfig) — the successor API to
+    * flatMapGroupsWithState (runningUserTotals above is the classic
+    * form; both stay because both are public surface). Differences that
+    * matter at 100 TB/day: named state variables (schema'd, evolvable,
+    * inspectable via the state data source), per-state-variable TTL
+    * enforced by the store itself (no hand-written timeout dance), and
+    * composable state types (value/list/map) under one processor.
+    * Requires the RocksDB state store provider — which is also the right
+    * provider at scale (state spills off-heap instead of living on the
+    * executor heap).
+    *
+    * `ttl = None` runs in TimeMode.None (state lives until overwritten;
+    * batch-deterministic — micro-batches fire only on data).
+    * `ttl = Some(d)` opts into TimeMode.ProcessingTime + per-state TTL —
+    * the production form, with the caveat that a processing-time query
+    * schedules timer-evaluation micro-batches CONTINUOUSLY (state expiry
+    * must be checked even with no input), so `processAllAvailable` never
+    * quiesces; drive it with a real trigger and poll the sink.
+    */
+  def runningUserTotalsTws(events: DataFrame,
+                           ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+                          timeMode, OutputMode.Append())
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** StatefulProcessor for runningUserTotalsTws: one named ValueState
+    * holding (n, sum) per user, expired by the store's own TTL when
+    * configured.
+    */
+  private class RunningTotalsProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", org.apache.spark.sql.Encoders.product[(Long, Double)],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator((user, n, s))
+    }
+  }
+
   /** Streaming as-of enrichment via custom state: each arriving click is
     * joined to the latest signup SEEN SO FAR for its user — the CDC/
     * enrichment form of the as-of join, running incrementally instead of

@@ -152,6 +152,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("transformWithState: per-user totals accumulate; ValueState + TTL under RocksDB") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[Ev]
+      val base = 1700000000000L
+      qn += 1
+      val name = s"stream_result_$qn"
+      val q = graft.ops.Streaming.runningUserTotalsTws(events.toDF)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      events.addData(Ev(1, new Timestamp(base), 1, "view", 10.0),
+                     Ev(2, new Timestamp(base + 1000), 1, "view", 5.0))
+      q.processAllAvailable()
+      events.addData(Ev(3, new Timestamp(base + 2000), 1, "view", 2.5),
+                     Ev(4, new Timestamp(base + 2000), 2, "view", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // identical cross-batch accumulation semantics as the classic
+      // flatMapGroupsWithState form below
+      assert(out === Set((1L, 2L, 15.0), (1L, 3L, 17.5), (2L, 1L, 4.0)))
+
+      // TTL form: ProcessingTime mode triggers timer-evaluation batches
+      // continuously, so poll the sink instead of processAllAvailable
+      val events2 = MemoryStream[Ev]
+      qn += 1
+      val name2 = s"stream_result_$qn"
+      val q2 = graft.ops.Streaming
+        .runningUserTotalsTws(events2.toDF, Some(java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName(name2).outputMode("append").start()
+      events2.addData(Ev(1, new Timestamp(base), 7, "view", 3.0))
+      val deadline = System.currentTimeMillis() + 30000
+      var got = Array.empty[(Long, Long, Double)]
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        got = spark.table(name2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      q2.stop()
+      assert(got.toSet === Set((7L, 1L, 3.0)), "TTL-configured processor emits batch-1 totals")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: per-user totals accumulate across micro-batches") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
