@@ -355,6 +355,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // table metadata this method then never installs
     val manifestEdits =
       scala.collection.mutable.ArrayBuffer.empty[Seq[Group] => Seq[Group]]
+    // partition EVOLUTION marker: any change to the value-partition props
+    // bumps the spec seq ONCE for the whole ALTER (multi-prop ALTERs are
+    // one layout edition, not one per property)
+    var layoutChanged = false
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -443,24 +447,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case set: TableChange.SetProperty =>
         // mode switches (delete_mode/update_mode/merge_mode), retention
         // knobs, comments — but never the engine-owned metadata that
-        // encodes column identity, and never a layout change on data
-        // that was already routed under the old one
+        // encodes column identity. The BUCKET layout stays immutable (the
+        // scan reports it as a KeyGroupedPartitioning — a mixed-layout
+        // table would hand Spark a shuffle-free join plan that is wrong);
+        // the VALUE-partition layout is EVOLVABLE (see partitionSpecSeq —
+        // pruning is stats-driven, so old files stay correct, just less
+        // tightly routed).
         require(!set.property().startsWith("graft."),
           s"property ${set.property()} is engine-managed")
-        require(!Seq("bucket_by", "buckets", "partition_by", "partition_transform")
+        require(!Seq("bucket_by", "buckets")
             .exists(_.equalsIgnoreCase(set.property())),
-          "layout cannot be changed after CREATE (existing files are routed)")
-        props += (set.property() -> set.value())
+          "bucket layout cannot be changed after CREATE (existing files are routed " +
+          "and the scan reports the layout as a key-grouped partitioning)")
+        if (Seq("partition_by", "partition_transform")
+            .exists(_.equalsIgnoreCase(set.property()))) {
+          layoutChanged = true
+          props += (set.property().toLowerCase -> set.value())
+        } else props += (set.property() -> set.value())
       case unset: TableChange.RemoveProperty =>
         require(!unset.property().startsWith("graft."),
           s"property ${unset.property()} is engine-managed")
-        require(!Seq("bucket_by", "buckets", "partition_by", "partition_transform")
+        require(!Seq("bucket_by", "buckets")
             .exists(_.equalsIgnoreCase(unset.property())),
-          "layout cannot be removed after CREATE (existing files are routed)")
-        props -= unset.property()
+          "bucket layout cannot be removed after CREATE (existing files are routed " +
+          "and the scan reports the layout as a key-grouped partitioning)")
+        if (Seq("partition_by", "partition_transform")
+            .exists(_.equalsIgnoreCase(unset.property()))) {
+          layoutChanged = true
+          props -= unset.property().toLowerCase
+        } else props -= unset.property()
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported: $other")
+    }
+    if (layoutChanged) {
+      require(!(props.contains("partition_transform") && !props.contains("partition_by")),
+        "partition_transform requires partition_by")
+      val seq = props.get(GraftTable.PART_SEQ).map(_.toInt).getOrElse(0)
+      props += (GraftTable.PART_SEQ -> (seq + 1).toString)
     }
     if (manifestEdits.nonEmpty && GroupFiles.version(dir) > 0)
       GroupFiles.mutate(dir)(gs => manifestEdits.foldLeft(gs)((acc, f) => f(acc)))
@@ -1454,6 +1478,22 @@ class GraftTable(tableName: String, tableSchema: StructType, val location: Strin
       (f.name, t)
     }
 
+  /** Which partition-spec edition routes NEW writes (0 = the CREATE-time
+    * layout). PARTITION EVOLUTION (`ALTER TABLE … SET TBLPROPERTIES(
+    * 'partition_by'=…, 'partition_transform'=…)`) only changes how FUTURE
+    * rows are routed — existing group files keep the layout that wrote
+    * them, exactly like Iceberg spec evolution. That is SOUND here by
+    * construction because scan pruning never interprets the layout: it
+    * reads per-column (min,max)/bloom stats, which describe the file
+    * regardless of which spec routed it (old files just prune less
+    * tightly than freshly-routed ones). Post-evolution groups tag their
+    * partition value `<seq>.<value>` so groups from different specs never
+    * share a compaction bin (a bare-value collision across transforms
+    * would merge files of two layouts and loosen both their stats).
+    */
+  val partitionSpecSeq: Int =
+    props.get(GraftTable.PART_SEQ).map(_.toInt).getOrElse(0)
+
   /** Report the layout to Spark (DESCRIBE, write distribution planning). */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -1607,6 +1647,9 @@ object GraftTable {
   val RENAMED = "graft.renamed"
   /** Table property holding the never-reused field-id high-water mark. */
   val NEXT_ID = "graft.next_field_id"
+  /** Table property: monotone value-partition spec counter (the Iceberg
+    * spec-id analogue), bumped by every layout-changing ALTER. */
+  val PART_SEQ = "graft.partition.spec.seq"
 }
 
 /** Scan builder with AGGREGATE PUSHDOWN: COUNT(*) / MIN / MAX with no
@@ -2411,7 +2454,8 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // write's schema is the table's, but resolving positionally would
       // silently mislabel columns if a future write path reordered them
       writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq,
-      table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) })
+      table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) },
+      table.partitionSpecSeq)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
@@ -2487,7 +2531,8 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
     GraftDeltaWriterFactory(table.location, writeSchema,
       table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) },
       writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq,
-      table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) })
+      table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) },
+      table.partitionSpecSeq)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
@@ -2530,7 +2575,8 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
 case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
                                    bucketed: Option[(Int, Int)],
                                    fieldIds: Seq[Int],
-                                   partitioned: Option[(Int, String)] = None)
+                                   partitioned: Option[(Int, String)] = None,
+                                   partSeq: Int = 0)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -2546,7 +2592,7 @@ case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
       override def insert(row: InternalRow): Unit = {
         if (inserts == null)
           inserts = GraftWriterFactory(location, writeSchema, bucketed, fieldIds,
-                                       partitioned)
+                                       partitioned, partSeq)
             .createWriter(partitionId, taskId)
         inserts.write(row)
       }

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
 case class GraftWriterFactory(location: String, writeSchema: StructType,
                               bucketed: Option[(Int, Int)] = None,
                               fieldIds: Seq[Int] = Seq.empty,
-                              partitioned: Option[(Int, String)] = None)
+                              partitioned: Option[(Int, String)] = None,
+                              partSeq: Int = 0)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -146,9 +147,14 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
           }
         }
         if (k != lastKey) {
+          // post-evolution specs (partSeq > 0) prefix the tag so groups
+          // written under different layouts never share a compaction bin
           lastSink = sinks.getOrElseUpdate(k, new FileSink(
             bucketed.map(_ => k._1.toInt),
-            partitioned.map(_ => if (k._2) "null" else k._1.toString)))
+            partitioned.map { _ =>
+              val v = if (k._2) "null" else k._1.toString
+              if (partSeq == 0) v else s"$partSeq.$v"
+            }))
           lastKey = k
         }
         lastSink

@@ -147,12 +147,133 @@ class PartitionedCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(
       "SELECT * FROM graft_pt.default.pt_merge WHERE event_ts >= timestamp_ntz'2024-06-03 00:00:00'")
       .count() === 1)
-    // the partition column cannot be dropped; the layout cannot be altered
+    // the partition column cannot be dropped; an evolution that leaves the
+    // days transform pointing at a BIGINT column must fail loudly
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_pt.default.pt_merge DROP COLUMN event_ts") }
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_pt.default.pt_merge SET TBLPROPERTIES('partition_by'='v')") }
     spark.sql("DROP TABLE graft_pt.default.pt_merge")
+  }
+
+  test("partition evolution: days -> months; old files keep their layout, new writes re-route") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_evolve")
+    spark.sql("""CREATE TABLE graft_pt.default.pt_evolve (ts TIMESTAMP_NTZ, v BIGINT)
+                 PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft_pt.default.pt_evolve VALUES
+                 (timestamp_ntz'2024-03-01 01:00:00', 1),
+                 (timestamp_ntz'2024-03-02 01:00:00', 2),
+                 (timestamp_ntz'2024-03-03 01:00:00', 3)""")
+    spark.sql("""ALTER TABLE graft_pt.default.pt_evolve
+                 SET TBLPROPERTIES('partition_transform'='months')""")
+    spark.sql("""INSERT INTO graft_pt.default.pt_evolve VALUES
+                 (timestamp_ntz'2024-04-05 01:00:00', 4),
+                 (timestamp_ntz'2024-04-20 01:00:00', 5),
+                 (timestamp_ntz'2024-05-07 01:00:00', 6)""")
+    val live = GroupFiles.live(tableDir("graft_pt", "pt_evolve"))
+    val (newG, oldG) = live.partition(_.part.exists(_.contains(".")))
+    // spec-0 groups keep their bare epoch-day tags
+    val day0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay
+    assert(oldG.nonEmpty && oldG.flatMap(_.part).map(_.toLong).toSet ===
+      (day0 until day0 + 3).toSet)
+    // spec-1 groups are month-routed and seq-tagged: 2024-04 = 651, 2024-05 = 652
+    assert(newG.nonEmpty && newG.flatMap(_.part).toSet === Set("1.651", "1.652"))
+    // both generations read back together
+    assert(spark.table("graft_pt.default.pt_evolve").count() === 6)
+    assert(spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) s FROM graft_pt.default.pt_evolve").collect()(0).getLong(0) === 21)
+    // pruning stays exact on BOTH generations (stats-driven, not layout-
+    // driven): an April range opens only the April group, a March-day
+    // range only that day's group
+    val april = spark.sql(
+      """SELECT * FROM graft_pt.default.pt_evolve
+        |WHERE ts >= timestamp_ntz'2024-04-01 00:00:00'
+        |  AND ts <  timestamp_ntz'2024-05-01 00:00:00'""".stripMargin)
+    assert(april.rdd.getNumPartitions === 1 && april.count() === 2)
+    val march2 = spark.sql(
+      """SELECT * FROM graft_pt.default.pt_evolve
+        |WHERE ts >= timestamp_ntz'2024-03-02 00:00:00'
+        |  AND ts <  timestamp_ntz'2024-03-03 00:00:00'""".stripMargin)
+    assert(march2.rdd.getNumPartitions === 1 && march2.count() === 1)
+    // DESCRIBE reports the CURRENT spec
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_pt.default.pt_evolve")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("months"))
+    spark.sql("DROP TABLE graft_pt.default.pt_evolve")
+  }
+
+  test("partition evolution: a plain table gains a layout; UNSET removes it for future writes") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_gain")
+    spark.sql("CREATE TABLE graft_pt.default.pt_gain (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_pt.default.pt_gain VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""ALTER TABLE graft_pt.default.pt_gain
+                 SET TBLPROPERTIES('partition_by'='k')""")
+    spark.sql("INSERT INTO graft_pt.default.pt_gain VALUES (1, 'c'), (3, 'd')")
+    val live = GroupFiles.live(tableDir("graft_pt", "pt_gain"))
+    val (tagged, untagged) = live.partition(_.part.isDefined)
+    assert(untagged.nonEmpty, "pre-evolution groups carry no partition tag")
+    assert(tagged.flatMap(_.part).toSet === Set("1.1", "1.3"))
+    assert(spark.table("graft_pt.default.pt_gain").count() === 4)
+    // drop the layout again: spec bumps, future writes stop routing
+    spark.sql("""ALTER TABLE graft_pt.default.pt_gain
+                 UNSET TBLPROPERTIES('partition_by')""")
+    spark.sql("INSERT INTO graft_pt.default.pt_gain VALUES (9, 'e')")
+    val after = GroupFiles.live(tableDir("graft_pt", "pt_gain"))
+    assert(after.size === live.size + 1)
+    assert(after.count(_.part.isEmpty) === untagged.size + 1)
+    assert(spark.table("graft_pt.default.pt_gain").count() === 5)
+    spark.sql("DROP TABLE graft_pt.default.pt_gain")
+  }
+
+  test("partition evolution guards: dangling transform, bucketed tables, bucket props") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_guard")
+    spark.sql("CREATE TABLE graft_pt.default.pt_guard (k BIGINT, v STRING)")
+    // transform without a column is a dangling layout
+    intercept[Exception] {
+      spark.sql("""ALTER TABLE graft_pt.default.pt_guard
+                   SET TBLPROPERTIES('partition_transform'='days')""") }
+    // bucket layout stays immutable either way
+    intercept[Exception] {
+      spark.sql("""ALTER TABLE graft_pt.default.pt_guard
+                   SET TBLPROPERTIES('bucket_by'='k','buckets'='4')""") }
+    spark.sql("DROP TABLE graft_pt.default.pt_guard")
+    spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_guard_b")
+    spark.sql("""CREATE TABLE graft_pt.default.pt_guard_b (k BIGINT, v STRING)
+                 TBLPROPERTIES('bucket_by'='k','buckets'='4')""")
+    // a bucketed table cannot gain a value partition
+    intercept[Exception] {
+      spark.sql("""ALTER TABLE graft_pt.default.pt_guard_b
+                   SET TBLPROPERTIES('partition_by'='k')""") }
+    spark.sql("DROP TABLE graft_pt.default.pt_guard_b")
+  }
+
+  test("compaction never merges groups written under different partition specs") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_cx")
+    spark.sql("""CREATE TABLE graft_pt.default.pt_cx (ts TIMESTAMP_NTZ, v BIGINT)
+                 PARTITIONED BY (days(ts))""")
+    // two small spec-0 commits into ONE day
+    spark.sql("INSERT INTO graft_pt.default.pt_cx VALUES (timestamp_ntz'2024-08-01 01:00:00', 1)")
+    spark.sql("INSERT INTO graft_pt.default.pt_cx VALUES (timestamp_ntz'2024-08-01 02:00:00', 2)")
+    spark.sql("""ALTER TABLE graft_pt.default.pt_cx
+                 SET TBLPROPERTIES('partition_transform'='months')""")
+    // two small spec-1 commits into the SAME day (now routed by month)
+    spark.sql("INSERT INTO graft_pt.default.pt_cx VALUES (timestamp_ntz'2024-08-01 03:00:00', 3)")
+    spark.sql("INSERT INTO graft_pt.default.pt_cx VALUES (timestamp_ntz'2024-08-01 04:00:00', 4)")
+    val dir = tableDir("graft_pt", "pt_cx")
+    assert(GroupFiles.live(dir).size === 4)
+    spark.sql("CALL graft_pt.system.compact('default.pt_cx', 64)")
+    val after = GroupFiles.live(dir)
+    // one bin per (spec, partition-value): the day bin and the month bin
+    assert(after.size === 2, s"expected 2 spec-separated bins, got ${after.size}")
+    assert(after.flatMap(_.part).toSet ===
+      Set(java.time.LocalDate.of(2024, 8, 1).toEpochDay.toString, "1.655"))
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) s FROM graft_pt.default.pt_cx")
+      .collect()(0).getLong(0) === 10)
+    spark.sql("DROP TABLE graft_pt.default.pt_cx")
   }
 
   test("CREATE rejections: wrong column type; two transforms; bucket+identity conflict") {
