@@ -198,11 +198,22 @@ object Graph {
     * coefficient numerator every graph-shape audit starts with.
     */
   def triangleCountQuery(spark: SparkSession, dir: String): DataFrame = {
-    val ls = Sources.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val edges = ls.select(col("l_orderkey"), col("l_suppkey").as("u"))
-      .join(ls.select(col("l_orderkey"), col("l_suppkey").as("v")), Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
+    // per-order supplier sets are TINY (~4-7), so pair generation runs as
+    // a map-side HOF over one collect_set aggregate instead of the
+    // distinct + self-join spelling (two fewer shuffles over the fact;
+    // the oracle twin keeps the equivalent join spelling — semantics are
+    // identical, candidates = supplier pairs co-filling an order).
+    // NB the round-3 note: for LARGE per-key lists (doc shingles) the
+    // explode-pairs form measured slower — list size decides, not taste.
+    val perOrder = Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+                y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u"), col("p.v"))
+    val edges = pairs
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 5)
       .select(col("u"), col("v"))

@@ -381,7 +381,13 @@ object Relational {
     * oracle twin); DECIMAL(18,2) through the sum per §2.1.
     */
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
-    Sources.customer(spark, dir).createOrReplaceTempView("rc_customer")
+    // materialize the projected join side ONCE: UnionLoop re-executes the
+    // recursive step per level, and without this each of the ~log2(N)
+    // levels would re-scan the parquet file
+    Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .localCheckpoint()
+      .createOrReplaceTempView("rc_customer")
     spark.sql(
       """WITH RECURSIVE h(ck, depth, bal) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) AS depth,
