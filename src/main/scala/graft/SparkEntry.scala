@@ -475,9 +475,11 @@ object SparkEntry {
 
     // SemDeDup twin: the same coarse assignment, then pairs only WITHIN a
     // cluster, thresholded on the ROUNDED cosine (boundary cannot flip).
+    // k = ceil(N/250) mirrors the engine's adaptive cluster count.
     "q_semantic_dedup" ->
-      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent
-        |           FROM embeddings WHERE vec_id < 8),
+      """WITH k AS (SELECT CAST(ceil(COUNT(*) / 250.0) AS BIGINT) AS k FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent
+        |           FROM embeddings, k WHERE vec_id < k.k),
         |asg AS (SELECT vec_id, embedding, centroid_id FROM (
         |          SELECT e.vec_id, e.embedding, c.centroid_id,
         |            row_number() OVER (PARTITION BY e.vec_id

@@ -161,7 +161,8 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("semantic dedup: pairs stay within a cluster and meet the threshold") {
-    val assign = Similarity.clusterAssign(emb, 8)
+    val k = math.max(1L, (emb.count() + 249L) / 250L) // the query's adaptive k
+    val assign = Similarity.clusterAssign(emb, k)
       .select(col("vec_id"), col("centroid_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rows = Similarity.semanticDedupQuery(spark, sfDir).collect()
