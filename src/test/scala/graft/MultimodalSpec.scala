@@ -98,4 +98,75 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  /** Encode a REAL png/jpeg/bmp/gif with the JDK's own ImageIO — the
+    * sniffer is then tested against genuine encoder output, not
+    * hand-crafted byte mimicry.
+    */
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
+  /** A genuine RIFF/WAVE file via the JDK's own sound API. */
+  private def encodeWav(sampleRate: Int, channels: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val af = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](sampleRate / 100 * 2 * channels)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), af,
+      pcm.length / af.getFrameSize)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("sniffHeader: real JDK-encoded PNG/JPEG/BMP/GIF/WAV parse to true dimensions") {
+    for (fmt <- Seq("png", "jpeg", "bmp", "gif")) {
+      val (got, w, h, _, _) = Multimodal.sniffHeader(encodeImage(fmt, 37, 21))
+      assert(got === fmt, s"format $fmt")
+      assert(w === Some(37) && h === Some(21), s"$fmt dims: $w x $h")
+    }
+    val (f1, _, _, sr1, ch1) = Multimodal.sniffHeader(encodeWav(44100, 2))
+    assert(f1 === "wav" && sr1 === Some(44100) && ch1 === Some(2))
+    val (f2, _, _, sr2, ch2) = Multimodal.sniffHeader(encodeWav(16000, 1))
+    assert(f2 === "wav" && sr2 === Some(16000) && ch2 === Some(1))
+    // big images exercise the multi-byte-dimension paths
+    val (_, bw, bh, _, _) = Multimodal.sniffHeader(encodeImage("png", 1920, 1080))
+    assert(bw === Some(1920) && bh === Some(1080))
+  }
+
+  test("sniffHeader: garbage, truncation and empty input degrade to unknown, never throw") {
+    assert(Multimodal.sniffHeader(Array.empty[Byte])._1 === "unknown")
+    assert(Multimodal.sniffHeader("plain text".getBytes)._1 === "unknown")
+    val png = encodeImage("png", 37, 21)
+    // cut inside the IHDR: magic matches but dims are unreadable
+    val cut = java.util.Arrays.copyOf(png, 10)
+    assert(Multimodal.sniffHeader(cut)._1 === "unknown")
+    // JPEG cut right after SOI: format recognized, no dimensions
+    val (f, w, h, _, _) = Multimodal.sniffHeader(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+    assert(f === "jpeg" && w.isEmpty && h.isEmpty)
+  }
+
+  test("mediaMetadata: the partition-batched header kernel over a mixed binary frame") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, encodeImage("png", 40, 30)),
+      org.apache.spark.sql.Row(2L, encodeImage("jpeg", 64, 48)),
+      org.apache.spark.sql.Row(3L, encodeWav(8000, 1)),
+      org.apache.spark.sql.Row(4L, "garbage".getBytes))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType, false)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = Multimodal.mediaMetadata(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(1L) === (("png", Some(40), Some(30), None, None)))
+    assert(got(2L) === (("jpeg", Some(64), Some(48), None, None)))
+    assert(got(3L) === (("wav", None, None, Some(8000), Some(1))))
+    assert(got(4L)._1 === "unknown")
+  }
 }
