@@ -115,6 +115,7 @@ object SparkEntry {
     "q_vector_stats" -> Similarity.vectorStatsQuery,
     "q_cluster_assign" -> Similarity.clusterAssignQuery,
     "q_semantic_dedup" -> Similarity.semanticDedupQuery,
+    "q_kmeans" -> Similarity.kmeansQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -460,6 +461,30 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT COUNT(*) FROM w
         |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)) AS n_triangles""".stripMargin,
+
+    // Two fixed Lloyd rounds, every cross-engine boundary rounded: the
+    // assignment ranks round-6 cosine (cid tiebreak) and the centroid
+    // update rounds each dimension, so round 2's inputs are bit-identical.
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, emb AS cent FROM e WHERE vec_id < 4),
+        |s0 AS (SELECT e.vec_id, e.emb, c0.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.emb, c0.cent), 6) DESC, c0.cid) AS rn
+        |       FROM e CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, emb, cid FROM s0 WHERE rn = 1),
+        |d AS (SELECT cid, unnest(list_transform(range(1, len(emb)+1),
+        |        i -> {'dim': i, 'x': emb[i]})) AS s FROM a0),
+        |m AS (SELECT cid, s.dim AS dim, round(AVG(s.x), 6) AS m FROM d GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(m ORDER BY dim) AS cent FROM m GROUP BY 1),
+        |s1 AS (SELECT e.vec_id, c1.cid, c1.cent,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.emb, c1.cent), 6) DESC, c1.cid) AS rn
+        |       FROM e CROSS JOIN c1),
+        |a1 AS (SELECT vec_id, cid, cent FROM s1 WHERE rn = 1)
+        |SELECT cid AS cluster_id, COUNT(*) AS n,
+        |  MIN(cent[1]) AS c0, MIN(cent[2]) AS c1
+        |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cluster_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent

@@ -359,6 +359,51 @@ object Similarity {
       .agg(count(lit(1)).as("n"), min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
       .orderBy(col("centroid_id"))
 
+  /** q_kmeans: two fixed Lloyd rounds of k-means (k = 4, init = the
+    * embeddings of vec_id 0..3) under the oracle gate — the clustering
+    * primitive behind IVF index build and cluster-balanced data curation.
+    * Fixed rounds (not convergence) for the same reason as q_pagerank: a
+    * deterministic function of the data can hash-match an oracle.
+    * Determinism per §2.1: assignments rank the ROUNDED cosine with
+    * centroid-id tiebreak; the Lloyd update rounds each centroid
+    * dimension (per-dim avg of exact float→double casts) to 6 dp in BOTH
+    * engines, so the next round's inputs are bit-identical.
+    *
+    * Scale shape: centroids broadcast both rounds (k×dim is tiny); the
+    * corpus never shuffles for assignment — only the per-dim update
+    * aggregates shuffle, at dims × partitions rows (the q_vector_stats
+    * bound, flat in corpus size). That IS distributed Lloyd at 100 TB.
+    */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // consumed by init + both assignment rounds
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    val c0 = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val a0 = e.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+              r6(cosineNative(col("embedding"), col("cent_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // Lloyd update: per-dim rounded means, re-assembled in dim order
+    val c1 = a0.select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(r6(avg(col("xf").cast("double"))).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+                     s => s.getField("m")).as("cent_emb"))
+    val a1 = e.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("centroid_id"),
+              element_at(col("cent_emb"), 1).as("c0"),
+              element_at(col("cent_emb"), 2).as("c1"),
+              r6(cosineNative(col("embedding"), col("cent_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    a1.groupBy(col("centroid_id").as("cluster_id"), col("c0"), col("c1"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("n"), col("c0"), col("c1"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q_semantic_dedup: SemDeDup-shape near-duplicate mining over the FULL
     * corpus (Abbas et al. 2023: cluster the embeddings, then compare only
     * WITHIN clusters): pairs sharing a coarse cluster with rounded cosine

@@ -160,6 +160,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rollup.map(_.getLong(1)).sum === n)
   }
 
+  test("kmeans: two Lloyd rounds partition the corpus; update moves centroids toward members") {
+    val rows = graft.ops.Similarity.kmeansQuery(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getLong(1)).sum === emb.count(), "every vector in exactly one cluster")
+    // updated centroids are means of ~100+ near-zero-mean random vectors:
+    // far smaller in magnitude than any single member, but not all zero
+    val dims = rows.flatMap(r => Seq(r.getDouble(2), r.getDouble(3)))
+    assert(dims.forall(d => math.abs(d) < 0.2))
+    assert(dims.exists(_ != 0.0))
+  }
+
   test("semantic dedup: pairs stay within a cluster and meet the threshold") {
     val k = math.max(1L, (emb.count() + 249L) / 250L) // the query's adaptive k
     val assign = Similarity.clusterAssign(emb, k)
