@@ -202,6 +202,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("state data source: a stopped query's named ValueState is queryable offline") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[Ev]
+      val base = 1700000000000L
+      qn += 1
+      val name = s"stream_result_$qn"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      val q = graft.ops.Streaming.runningUserTotalsTws(events.toDF)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      events.addData(Ev(1, new Timestamp(base), 1, "view", 10.0),
+                     Ev(2, new Timestamp(base + 1000), 2, "view", 5.0))
+      q.processAllAvailable()
+      events.addData(Ev(3, new Timestamp(base + 2000), 1, "view", 2.5))
+      q.processAllAvailable()
+      q.stop()
+      // the operational story at 100 TB/day: debug a stateful job by
+      // QUERYING its state store from the checkpoint, no code changes
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "totals")
+        .load(ckpt)
+      val got = state.selectExpr("key.value AS user", "value.*").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got === Map(1L -> ((2L, 12.5)), 2L -> ((1L, 5.0))),
+        s"state snapshot after batch 2, got $got")
+      // operator metadata is queryable the same way
+      val meta = spark.read.format("state-metadata").load(ckpt)
+      assert(meta.selectExpr("operatorName").collect()
+        .map(_.getString(0)).contains("transformWithStateExec"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: per-user totals accumulate across micro-batches") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
