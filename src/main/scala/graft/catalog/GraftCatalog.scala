@@ -250,8 +250,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val parts = k.split('.'); Identifier.of(parts.dropRight(1), parts.last)
     }.filter(_.namespace().sameElements(namespace))
 
+  /** Plain loads, plus Iceberg-style METADATA TABLES: `t.files` and
+    * `t.snapshots` resolve as read-only driver-side tables over the
+    * manifest (the multipart identifier arrives as namespace […, t] +
+    * name "files"/"snapshots"). They answer the two operational questions
+    * a 100 TB table gets asked daily — what files back you, what commits
+    * exist — without opening a data file, and make the manifest auditable
+    * from plain SQL instead of engine internals.
+    */
   override def loadTable(ident: Identifier): Table =
-    tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    tables.get(key(ident)) match {
+      case Some(t) => t
+      case None =>
+        val kind = ident.name().toLowerCase
+        if (ident.namespace().nonEmpty && GraftMetadataTable.KINDS.contains(kind)) {
+          val parent = Identifier.of(
+            ident.namespace().dropRight(1), ident.namespace().last)
+          tables.get(key(parent)) match {
+            case Some(base) =>
+              new GraftMetadataTable(s"${base.name()}.$kind", base, kind)
+            case None => throw new NoSuchTableException(ident)
+          }
+        } else throw new NoSuchTableException(ident)
+    }
+
+  /** TIME TRAVEL by wall clock (`SELECT … FROM t TIMESTAMP AS OF ts`):
+    * Spark hands the timestamp in MICROSECONDS; resolve to the newest
+    * retained snapshot committed at or before it (snapshot commit time =
+    * the manifest snapshot file's mtime — the same clock DESCRIBE HISTORY
+    * reports). A timestamp before every retained snapshot fails loudly,
+    * exactly like an expired VERSION AS OF.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    val tsMillis = Math.floorDiv(timestamp, 1000L)
+    val hist = GroupFiles.history(Paths.get(t.location)) // newest first
+    val v = hist.collectFirst { case (ver, at, _) if at <= tsMillis => ver }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained snapshot of ${t.name()} at or before epoch-ms $tsMillis " +
+        s"(oldest retained: ${hist.lastOption.map(h => s"v${h._1} @ ${h._2}").getOrElse("none")})"))
+    new GraftTable(t.name(), t.schema(), t.location, pinnedVersion = Some(v), props = t.props)
+  }
 
   /** TIME TRAVEL (`SELECT … FROM t VERSION AS OF k`): every commit keeps a
     * numbered manifest snapshot (`manifest.v<k>`), so a versioned load is
@@ -1813,6 +1852,64 @@ class GraftLocalScan(schema: StructType, resultRows: Seq[InternalRow])
     extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] = resultRows.toArray
+}
+
+/** Read-only metadata tables (`t.files`, `t.snapshots`) — manifest-backed
+  * LocalScans; rows are built at scan-plan time so each query sees the
+  * manifest as of its own planning, consistent with a plain read.
+  */
+object GraftMetadataTable {
+  val KINDS: Set[String] = Set("files", "snapshots")
+}
+
+class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = name0
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType),
+      StructField("bucket", IntegerType),
+      StructField("partition", StringType),
+      StructField("n_deleted", LongType, nullable = false),
+      StructField("has_bloom", BooleanType, nullable = false)))
+    case "snapshots" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val s = schema()
+    () => {
+      val dir = Paths.get(base.location)
+      val rows: Seq[InternalRow] = kind match {
+        case "files" => GroupFiles.live(dir).map { g =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+            UTF8String.fromString(g.file),
+            g.rows.map(Long.box).orNull,
+            g.bytes.map(Long.box).orNull,
+            g.bucket.map(Int.box).orNull,
+            g.part.map(UTF8String.fromString).orNull,
+            g.deletes.map(_._2).getOrElse(0L),
+            g.bloom))
+        }
+        case "snapshots" => GroupFiles.history(dir).map { case (v, at, n) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](v, at, n))
+        }
+      }
+      new GraftLocalScan(s, rows)
+    }
+  }
 }
 
 class GraftAggScan(aggSchema: StructType, values: Seq[Option[Long]]) extends Scan with Batch {

@@ -1004,6 +1004,52 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_tt")
   }
 
+  test("time travel: TIMESTAMP AS OF resolves the newest snapshot at-or-before the instant") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_ts")
+    spark.sql("CREATE TABLE graft_fb.default.fb_ts (k BIGINT)")
+    spark.sql("INSERT INTO graft_fb.default.fb_ts SELECT id FROM range(5)")
+    Thread.sleep(1100) // snapshot clock is file-mtime millis
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO graft_fb.default.fb_ts SELECT id FROM range(100, 103)")
+    assert(spark.table("graft_fb.default.fb_ts").count() === 8)
+    val asOf = java.time.Instant.ofEpochMilli(betweenMs).toString
+    assert(spark.sql(
+      s"SELECT * FROM graft_fb.default.fb_ts TIMESTAMP AS OF '$asOf'").count() === 5,
+      "the instant between the commits must read commit 1")
+    // a timestamp before every snapshot fails loudly
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_fb.default.fb_ts TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    spark.sql("DROP TABLE graft_fb.default.fb_ts")
+  }
+
+  test("metadata tables: t.files and t.snapshots answer from the manifest in plain SQL") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_meta")
+    spark.sql("CREATE TABLE graft_fb.default.fb_meta (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_fb.default.fb_meta SELECT id, 'a' FROM range(10)")
+    spark.sql("INSERT INTO graft_fb.default.fb_meta SELECT id, 'b' FROM range(10, 15)")
+    spark.sql("DELETE FROM graft_fb.default.fb_meta WHERE k = 3") // MoR vector
+    val files = spark.sql("SELECT * FROM graft_fb.default.fb_meta.files").collect()
+    assert(files.nonEmpty)
+    assert(files.map(_.getAs[Long]("n_rows")).sum === 15, "physical rows per file")
+    assert(files.map(_.getAs[Long]("n_deleted")).sum === 1, "one masked row")
+    assert(files.forall(_.getAs[Long]("bytes") > 0))
+    val snaps = spark.sql(
+      "SELECT * FROM graft_fb.default.fb_meta.snapshots ORDER BY version").collect()
+    assert(snaps.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L, 3L))
+    assert(snaps.map(_.getAs[Long]("committed_at_ms")).toSeq.sorted ===
+      snaps.map(_.getAs[Long]("committed_at_ms")).toSeq)
+    // a metadata table of a missing base table is a missing table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_fb.default.no_such_table.files").collect()
+    }
+    spark.sql("DROP TABLE graft_fb.default.fb_meta")
+  }
+
   test("change feed: MERGE surfaces exactly its inserts and delete+insert update pairs") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_cdf")
