@@ -148,6 +148,7 @@ object SparkEntry {
     "q_winsorize" -> Analytics.winsorize,
     "q_heavy_hitters" -> Sketch.heavyHittersQuery,
     "q_regression" -> Analytics.regression,
+    "q_autocorr" -> Analytics.autocorr,
     "q_entropy" -> Text.entropyQuery,
     "q_lm_score" -> Text.lmScoreQuery,
     "q_stratified_sample" -> Scale.stratifiedSampleQuery,
@@ -1446,6 +1447,21 @@ object SparkEntry {
         |FROM m
         |WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY event_type""".stripMargin,
+
+    "q_autocorr" ->
+      // exact daily counts; Pearson over (cnt, lag) with NULL-lag pairs
+      // dropped identically; round-6 absorbs double-sum order drift
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cnt,
+        |    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY d) AS l1,
+        |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS l7
+        |  FROM daily)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  round(corr(cnt, l1), 6) AS acf1, round(corr(cnt, l7), 6) AS acf7
+        |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_entropy" ->
       // exact (lang, token) counts; the double Σ of -p·ln(p) terms drifts

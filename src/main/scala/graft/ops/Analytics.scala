@@ -152,6 +152,34 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_autocorr: lag-1 and lag-7 AUTOCORRELATION of the per-type daily
+    * event-count series — the seasonality detector a pipeline runs before
+    * choosing partition/trigger cadence or alert baselines (lag-7 high =
+    * weekly rhythm; lag-1 high = bursty/trending). Daily counts are exact
+    * integers; corr is Pearson over (cnt, lag(cnt)) pairs with NULL-lag
+    * pairs dropped identically by both engines; round-6 absorbs the
+    * double-sum ordering (the q_agg_stats pattern). One (type, day)
+    * aggregate then a |types|-partition window — nothing scales with raw
+    * event count past the first shuffle.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l7", lag(col("cnt"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           r6(corr(col("cnt"), col("l1"))).as("acf1"),
+           r6(corr(col("cnt"), col("l7"))).as("acf7"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_sessionize: assign SESSION IDS to raw events — a gap of more than
     * 30 minutes between a user's consecutive events starts a new session
     * (the batch sibling of the streaming session window: that one
