@@ -150,6 +150,7 @@ object SparkEntry {
     "q_regression" -> Analytics.regression,
     "q_autocorr" -> Analytics.autocorr,
     "q_entropy" -> Text.entropyQuery,
+    "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
     "q_stratified_sample" -> Scale.stratifiedSampleQuery,
     "q_outlier_zscore" -> Analytics.outlierZscore,
@@ -1447,6 +1448,22 @@ object SparkEntry {
         |FROM m
         |WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY event_type""".stripMargin,
+
+    "q_token_pmi" ->
+      // adjacent-pair counts exact; PMI as ONE identical double tree
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |bi AS (SELECT u.a AS a, u.b AS b FROM (
+        |        SELECT unnest(list_transform(range(1, len(t)), i -> {'a': t[i], 'b': t[i+1]})) AS u
+        |        FROM t) z),
+        |bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT tok, COUNT(*) AS c FROM (SELECT unnest(t) AS tok FROM t) u GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uc),
+        |m AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS m FROM bc)
+        |SELECT bc.a, bc.b, bc.c_ab,
+        |  round(ln((CAST(bc.c_ab AS DOUBLE) / m.m) /
+        |           ((CAST(ua.c AS DOUBLE) / n.n) * (CAST(ub.c AS DOUBLE) / n.n))), 6) AS pmi
+        |FROM bc JOIN uc ua ON ua.tok = bc.a JOIN uc ub ON ub.tok = bc.b, n, m
+        |ORDER BY bc.c_ab DESC, bc.a, bc.b LIMIT 20""".stripMargin,
 
     "q_autocorr" ->
       // exact daily counts; Pearson over (cnt, lag) with NULL-lag pairs

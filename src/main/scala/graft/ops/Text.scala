@@ -82,6 +82,49 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** q_token_pmi: pointwise mutual information of ADJACENT token pairs —
+    * collocation mining (the "New York" detector), the classic corpus
+    * statistic behind multi-word-expression vocabularies and n-gram
+    * merge rules. Bigrams come from each doc's token ARRAY by slice+zip
+    * (pure generator, zero pre-shuffle joins); unigram and bigram counts
+    * are exact integers; PMI = ln((c_ab/M) / ((c_a/N)(c_b/N))) computed
+    * as ONE identical double expression tree in both engines, round-6.
+    * Declared output: top-20 bigrams by count (pair tiebreak) with their
+    * PMI — bounded regardless of corpus size (the tfidf pattern).
+    *
+    * Scale shape: one explode to bigram grain with map-side combine into
+    * the (a,b) count table; two hash joins against the unigram rollup
+    * (broadcast when vocab is small; they shuffle-join cleanly when it
+    * is not); scalar totals broadcast. Nothing is quadratic and nothing
+    * collects.
+    */
+  def tokenPmiQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val toks = Sources.documents(spark, dir)
+      .select(filter(tokens(col("text")), t => t =!= "").as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // joined twice (a-side and b-side) + totalled
+    val bi = toks
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("z"))
+      .select(col("z.0").as("a"), col("z.1").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val nTok = uni.agg(sum(col("c")).as("n"))
+    val nBi = bi.agg(sum(col("c_ab")).as("m"))
+    bi
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("a"), col("b"), col("c_ab"),
+        r6(log((col("c_ab").cast("double") / col("m").cast("double")) /
+               ((col("c_a").cast("double") / col("n").cast("double")) *
+                (col("c_b").cast("double") / col("n").cast("double"))))).as("pmi"))
+      .orderBy(col("c_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** q_lm_score: per-language SURPRISAL OUTLIERS under a corpus unigram
     * LM — the CCNet-style quality filter shape. The model is the corpus
     * itself (c(lang,tok)/n(lang); every doc token has c ≥ 1, so no

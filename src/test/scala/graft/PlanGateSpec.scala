@@ -21,7 +21,11 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_knn_majority",    // candidates × broadcast(10-row probe set)
     "q_bm25",            // term hits × broadcast(1-row corpus stats (N, Σdl))
     "q_event_bigrams",   // transition counts × broadcast(1-row grand total)
-    "q_fuzzy_match"      // master table × broadcast(8-row probe list)
+    "q_fuzzy_match",     // master table × broadcast(8-row probe list)
+    "q_cluster_assign",  // corpus × broadcast(k-row centroid frame)
+    "q_kmeans",          // corpus × broadcast(k-row centroids), both rounds
+    "q_triangle_count",  // final 1-row (nodes × edges × triangles) profile join
+    "q_token_pmi"        // count table × broadcast(1-row N and M totals)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
