@@ -173,8 +173,10 @@ object Multimodal {
         var done = false
         while (!done && i + 3 < b.length && u8(i) == 0xFF) {
           val m = u8(i + 1)
-          if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01 || m == 0xFF) {
-            i += 2 // standalone marker (or fill byte: advance past)
+          if (m == 0xFF) {
+            i += 1 // fill byte: the NEXT byte may itself start the marker
+          } else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
+            i += 2 // standalone marker
           } else {
             val len = be16(i + 2)
             if (len < 2) { done = true }

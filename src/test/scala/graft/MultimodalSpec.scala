@@ -148,6 +148,11 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     // JPEG cut right after SOI: format recognized, no dimensions
     val (f, w, h, _, _) = Multimodal.sniffHeader(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
     assert(f === "jpeg" && w.isEmpty && h.isEmpty)
+    // fill bytes (FF padding) before a marker must not derail the scan
+    val jpg = encodeImage("jpeg", 25, 17)
+    val padded = jpg.take(2) ++ Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ jpg.drop(2)
+    val (pf, pw, ph, _, _) = Multimodal.sniffHeader(padded)
+    assert(pf === "jpeg" && pw === Some(25) && ph === Some(17))
   }
 
   test("mediaMetadata: the partition-batched header kernel over a mixed binary frame") {
