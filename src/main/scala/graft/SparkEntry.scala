@@ -103,6 +103,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_pagerank" -> Graph.pageRankQuery,
     "q_triangle_count" -> Graph.triangleCountQuery,
+    "q_bfs_hops" -> Graph.bfsHopsQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
@@ -441,6 +442,26 @@ object SparkEntry {
     "q_dedup_clusters" -> clustersOracle,
 
     "q_pagerank" -> pagerankOracle,
+
+    // BFS unrolled: each hop joins the previous frontier and excludes
+    // every already-settled node, exactly like the engine's anti-join.
+    "q_bfs_hops" ->
+      """WITH p AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |h0 AS (SELECT CAST(0 AS BIGINT) AS id),
+        |h1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN h0 ON e.src = h0.id
+        |       WHERE e.dst NOT IN (SELECT id FROM h0)),
+        |h2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN h1 ON e.src = h1.id
+        |       WHERE e.dst NOT IN (SELECT id FROM h0 UNION ALL SELECT id FROM h1)),
+        |h3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN h2 ON e.src = h2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM h0 UNION ALL SELECT id FROM h1
+        |                           UNION ALL SELECT id FROM h2)),
+        |allh AS (SELECT id, 0 AS hop FROM h0 UNION ALL SELECT id, 1 FROM h1
+        |         UNION ALL SELECT id, 2 FROM h2 UNION ALL SELECT id, 3 FROM h3)
+        |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes,
+        |       CAST(SUM(CAST(floor(id / 2) AS BIGINT)) AS BIGINT) AS sum_key
+        |FROM allh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Degree-oriented triangle counting, mirrored step for step: weighted
     // co-order edges (>= 5 shared orders), degrees, (deg, id) orientation,

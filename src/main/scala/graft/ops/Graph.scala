@@ -136,6 +136,63 @@ object Graph {
     ranks
   }
 
+  /** Breadth-first search from a source node: hop distance for every node
+    * reachable within `maxHops`. One join + anti-join per level — the
+    * frontier-expansion dataflow (each level is a hash join on the node
+    * key; the anti-join against the visited set is what keeps a dense
+    * graph from re-expanding already-settled nodes). Levels are
+    * checkpointed so lineage stays O(1) per round, like
+    * connectedComponents. Rounds = the radius of interest, not data size.
+    */
+  def bfsHops(edges: DataFrame, src: Long, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var visited = Seq((src, 0)).toDF("id", "hop").localCheckpoint()
+    var frontier = visited.select(col("id"))
+    var h = 0
+    while (h < maxHops) {
+      h += 1
+      // only the new level materializes: `visited` is a union chain over
+      // already-checkpointed levels, so re-deriving it each round costs a
+      // union of cached blocks, not a recomputation (3 rounds deep)
+      val next = sym.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      visited = visited.union(next)
+      frontier = next.select(col("id"))
+    }
+    visited
+  }
+
+  /** q_bfs_hops: hop-distance distribution from customer 0 over the
+    * customer↔supplier trade graph (3 hops: the suppliers customer 0 buys
+    * from, their other customers, those customers' other suppliers) — the
+    * reachability/radius profile of the transaction network, and the
+    * shortest-path sibling of q_pagerank/q_dedup_clusters on the same
+    * edge machinery. Output: (hop, n_nodes, sum of original keys) —
+    * exact integers.
+    */
+  def bfsHopsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Sources.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Sources.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    bfsHops(pairs, src = 0L, maxHops = 3)
+      .groupBy(col("hop").cast("long").as("hop"))
+      .agg(count(lit(1)).as("n_nodes"),
+           sum(floor(col("id") / 2)).cast("long").as("sum_key"))
+      .orderBy(col("hop"))
+  }
+
   /** q_pagerank: PageRank over the customer↔supplier trade graph —
     * an edge per DISTINCT (customer, supplier) trading pair from
     * orders ⋈ lineitem, symmetrized so rank flows both ways (popular

@@ -136,6 +136,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(triangles(edges)._3 === naive)
   }
 
+  test("bfs hops: path graph distances; unreachable and beyond-horizon nodes absent") {
+    import spark.implicits._
+    // path 0-1-2-3-4 plus an island 10-11
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.bfsHops(edges, src = 0L, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3),
+      "node 4 is beyond the horizon; the island is unreachable")
+    // direction must not matter
+    val rev = Graph.bfsHops(edges, src = 4L, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rev === Map(4L -> 0, 3L -> 1, 2L -> 2))
+  }
+
   test("q_triangle_count declared query: sf0.001 co-order graph is complete K10") {
     // all 45 supplier pairs share >= 5 orders at sf0.001 -> C(10,3) triangles
     val r = Graph.triangleCountQuery(spark, sfDir).collect().head
