@@ -150,6 +150,7 @@ object SparkEntry {
     "q_heavy_hitters" -> Sketch.heavyHittersQuery,
     "q_regression" -> Analytics.regression,
     "q_autocorr" -> Analytics.autocorr,
+    "q_chisq" -> Analytics.chisq,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1469,6 +1470,27 @@ object SparkEntry {
         |FROM m
         |WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY event_type""".stripMargin,
+
+    "q_chisq" ->
+      // weekday = epoch-day mod 7 (engine-portable origin); exact counts;
+      // (obs-exp)^2/exp as one double tree, round-6 over <=35 cells
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+        |    COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n,
+        |               COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
+        |        FROM cells)
+        |SELECT CAST(tot.n AS BIGINT) AS n_events, COUNT(*) AS n_cells,
+        |  CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
+        |  round(SUM((CAST(cells.obs AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / tot.n)
+        |          * (CAST(cells.obs AS DOUBLE) - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / tot.n)
+        |          / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / tot.n)), 6) AS chi2
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot
+        |GROUP BY tot.n, tot.nr, tot.nc""".stripMargin,
 
     "q_token_pmi" ->
       // adjacent-pair counts exact; PMI as ONE identical double tree

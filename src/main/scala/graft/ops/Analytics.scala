@@ -180,6 +180,43 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_chisq: chi-square INDEPENDENCE TEST of event type × weekday — the
+    * contingency-table statistic behind "is behavior day-of-week
+    * dependent?" A/B sanity checks and drift monitors. The weekday is
+    * epoch-day mod 7 (pure integer arithmetic — engine-portable, unlike
+    * dayofweek whose origin differs between engines); observed counts are
+    * exact integers; expected = row·col/N and the (obs−exp)²/exp terms
+    * are one identical double tree, with round-6 absorbing the Σ order
+    * over the ≤35 cells (the q_entropy pattern). Output: one row —
+    * N, cells, degrees of freedom, χ². Two tiny aggregates + broadcast
+    * joins; nothing scales past the first (type, dow) rollup.
+    */
+  def chisq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val cells = Sources.events(spark, dir)
+      .select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+    val colTot = cells.groupBy(col("dow")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).cast("double").as("n"),
+                        count_distinct(col("event_type")).as("nr"),
+                        count_distinct(col("dow")).as("nc"))
+    val exp0 = col("rt").cast("double") * col("ct").cast("double") / col("n")
+    cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(count(lit(1)).as("n_cells"),
+           r6(sum((col("obs").cast("double") - exp0) * (col("obs").cast("double") - exp0) / exp0))
+             .as("chi2"))
+      .select(col("n").cast("long").as("n_events"), col("n_cells"),
+              ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("chi2"))
+  }
+
   /** q_sessionize: assign SESSION IDS to raw events — a gap of more than
     * 30 minutes between a user's consecutive events starts a new session
     * (the batch sibling of the streaming session window: that one

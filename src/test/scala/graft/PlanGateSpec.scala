@@ -25,7 +25,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_cluster_assign",  // corpus × broadcast(k-row centroid frame)
     "q_kmeans",          // corpus × broadcast(k-row centroids), both rounds
     "q_triangle_count",  // final 1-row (nodes × edges × triangles) profile join
-    "q_token_pmi"        // count table × broadcast(1-row N and M totals)
+    "q_token_pmi",       // count table × broadcast(1-row N and M totals)
+    "q_chisq"            // contingency cells × broadcast(1-row totals)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
