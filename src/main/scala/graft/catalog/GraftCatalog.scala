@@ -284,8 +284,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
     val tsMillis = Math.floorDiv(timestamp, 1000L)
-    val hist = GroupFiles.history(Paths.get(t.location)) // newest first
-    val v = hist.collectFirst { case (ver, at, _) if at <= tsMillis => ver }
+    val hist = GroupFiles.snapshotTimes(Paths.get(t.location)) // newest first
+    val v = hist.collectFirst { case (ver, at) if at <= tsMillis => ver }
       .getOrElse(throw new IllegalArgumentException(
         s"no retained snapshot of ${t.name()} at or before epoch-ms $tsMillis " +
         s"(oldest retained: ${hist.lastOption.map(h => s"v${h._1} @ ${h._2}").getOrElse("none")})"))
@@ -394,9 +394,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // table metadata this method then never installs
     val manifestEdits =
       scala.collection.mutable.ArrayBuffer.empty[Seq[Group] => Seq[Group]]
-    // partition EVOLUTION marker: any change to the value-partition props
-    // bumps the spec seq ONCE for the whole ALTER (multi-prop ALTERs are
-    // one layout edition, not one per property)
+    // partition EVOLUTION marker: the spec seq bumps ONCE per ALTER and
+    // only when the (partition_by, partition_transform) pair actually
+    // changes VALUE — an idempotent re-apply of the identical layout must
+    // not mint a new spec (it would permanently split compaction bins;
+    // Iceberg likewise reuses the spec id for an identical spec)
+    val layoutBefore =
+      (props.get("partition_by"), props.get("partition_transform"))
     var layoutChanged = false
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -519,7 +523,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         throw new UnsupportedOperationException(
           s"ALTER TABLE change not supported: $other")
     }
-    if (layoutChanged) {
+    if (layoutChanged &&
+        (props.get("partition_by"), props.get("partition_transform")) != layoutBefore) {
       require(!(props.contains("partition_transform") && !props.contains("partition_by")),
         "partition_transform requires partition_by")
       val seq = props.get(GraftTable.PART_SEQ).map(_.toInt).getOrElse(0)
@@ -907,6 +912,15 @@ object GroupFiles {
     versions(dir).sorted(Ordering[Long].reverse).map { v =>
       (v, Files.getLastModifiedTime(dir.resolve(s"$MANIFEST.v$v")).toMillis,
        liveAt(dir, v).size)
+    }
+
+  /** (version, committed-at ms) pairs newest first — the TIMESTAMP AS OF
+    * resolution input: file metadata only, no manifest parse (history's
+    * per-snapshot liveAt would pay RETAIN full parses on the load path).
+    */
+  def snapshotTimes(dir: Path): Seq[(Long, Long)] =
+    versions(dir).sorted(Ordering[Long].reverse).map { v =>
+      (v, Files.getLastModifiedTime(dir.resolve(s"$MANIFEST.v$v")).toMillis)
     }
 
   def live(dir: Path): Seq[Group] = parseManifest(dir.resolve(MANIFEST))

@@ -159,11 +159,16 @@ object Multimodal {
     def le32(i: Int): Long = ((le16(i + 2).toLong << 16) | le16(i)) & 0xFFFFFFFFL
     def ascii(i: Int, s: String): Boolean =
       b.length >= i + s.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    // a dimension field is trusted only in (0, Int.MaxValue] — a hostile
+    // 32-bit value must never truncate into a negative "dimension"
+    def dim(v: Long): Option[Int] =
+      if (v > 0 && v <= Int.MaxValue) Some(v.toInt) else None
     try {
-      if (b.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG") &&
+      if (b == null) ("unknown", None, None, None, None)
+      else if (b.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG") &&
           u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
           ascii(12, "IHDR"))
-        ("png", Some(be32(16).toInt), Some(be32(20).toInt), None, None)
+        ("png", dim(be32(16)), dim(be32(20)), None, None)
       else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
         // JPEG: walk marker segments to the first frame header (SOFn).
         // C4/C8/CC are DHT/JPG/DAC, not frames.
@@ -193,9 +198,11 @@ object Multimodal {
         out
       }
       else if (ascii(0, "GIF87a") || ascii(0, "GIF89a"))
-        ("gif", Some(le16(6)), Some(le16(8)), None, None)
+        ("gif", dim(le16(6)), dim(le16(8)), None, None)
       else if (ascii(0, "BM") && b.length >= 26)
-        ("bmp", Some(le32(18).toInt), Some(math.abs(le32(22).toInt)), None, None)
+        // biHeight is SIGNED (negative = top-down rows): magnitude in
+        // Long so 0x80000000 can't survive math.abs as a negative Int
+        ("bmp", dim(le32(18)), dim(math.abs(le32(22).toInt.toLong)), None, None)
       else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
         // chunk scan: "fmt " holds channels (LE16 @+10) and rate (LE32 @+12)
         var i = 12
@@ -205,9 +212,15 @@ object Multimodal {
         while (!done && i + 8 <= b.length) {
           val sz = le32(i + 4)
           if (ascii(i, "fmt ") && i + 16 <= b.length) {
-            out = ("wav", None, None, Some(le32(i + 12).toInt), Some(le16(i + 10)))
+            out = ("wav", None, None, dim(le32(i + 12)), Some(le16(i + 10)))
             done = true
-          } else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          } else {
+            // chunks are word-aligned; a corrupt size whose step rounds
+            // to <= 0 would spin forever — stop scanning instead
+            val step = 8L + sz + (sz & 1L)
+            if (step <= 0 || i + step > Int.MaxValue) done = true
+            else i += step.toInt
+          }
         }
         out
       }

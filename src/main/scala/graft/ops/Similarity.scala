@@ -379,12 +379,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint() // consumed by init + both assignment rounds
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
-    val c0 = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
-    val a0 = e.crossJoin(broadcast(c0))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-              r6(cosineNative(col("embedding"), col("cent_emb"))).as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // round 0 IS the coarse assignment — one ranking rule for every
+    // assignment in this file (a determinism fix there applies here too)
+    val a0 = clusterAssign(e, 4)
     // Lloyd update: per-dim rounded means, re-assembled in dim order
     val c1 = a0.select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .groupBy(col("centroid_id"), col("dim"))

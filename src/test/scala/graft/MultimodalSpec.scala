@@ -153,6 +153,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val padded = jpg.take(2) ++ Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ jpg.drop(2)
     val (pf, pw, ph, _, _) = Multimodal.sniffHeader(padded)
     assert(pf === "jpeg" && pw === Some(25) && ph === Some(17))
+    // NULL payload degrades, never NPEs
+    assert(Multimodal.sniffHeader(null)._1 === "unknown")
+    // hostile RIFF whose chunk size once int-truncated to a spin: must terminate
+    val wav = ("RIFF" + "    " + "WAVE" + "JUNK").getBytes("ISO-8859-1") ++
+      Array(0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) // sz = 0xFFFFFFF8
+    val r = Multimodal.sniffHeader(wav)
+    assert(r._1 === "wav" && r._4.isEmpty, "terminates without finding fmt")
+    // hostile BMP with biHeight = Int.MinValue degrades to no height
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      Array[Byte](40, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0x80.toByte) ++ new Array[Byte](4)
+    val rb = Multimodal.sniffHeader(bmp)
+    assert(rb._1 === "bmp" && rb._3.isEmpty, s"no negative heights: $rb")
   }
 
   test("mediaMetadata: the partition-batched header kernel over a mixed binary frame") {

@@ -227,6 +227,25 @@ class PartitionedCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_pt.default.pt_gain")
   }
 
+  test("idempotent layout re-apply does not mint a new spec (compaction bins stay mergeable)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_noop")
+    spark.sql("""CREATE TABLE graft_pt.default.pt_noop (ts TIMESTAMP_NTZ, v BIGINT)
+                 PARTITIONED BY (days(ts))""")
+    spark.sql("INSERT INTO graft_pt.default.pt_noop VALUES (timestamp_ntz'2024-09-01 01:00:00', 1)")
+    // a deployment script re-applying the identical layout
+    spark.sql("""ALTER TABLE graft_pt.default.pt_noop
+                 SET TBLPROPERTIES('partition_by'='ts','partition_transform'='days')""")
+    spark.sql("INSERT INTO graft_pt.default.pt_noop VALUES (timestamp_ntz'2024-09-01 02:00:00', 2)")
+    val live = GroupFiles.live(tableDir("graft_pt", "pt_noop"))
+    // both groups carry the SAME bare spec-0 tag -> one compaction bin
+    assert(live.flatMap(_.part).toSet.size === 1)
+    assert(live.flatMap(_.part).forall(!_.contains(".")), "no spec prefix on a no-op re-apply")
+    spark.sql("CALL graft_pt.system.compact('default.pt_noop', 64)")
+    assert(GroupFiles.live(tableDir("graft_pt", "pt_noop")).size === 1)
+    spark.sql("DROP TABLE graft_pt.default.pt_noop")
+  }
+
   test("partition evolution guards: dangling transform, bucketed tables, bucket props") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft_pt.default.pt_guard")
