@@ -166,6 +166,7 @@ object SparkEntry {
     "q_window_running" -> Windows.windowRunning,
     "q_window_range" -> Windows.windowRange,
     "q_window_lag_lead" -> Windows.windowLagLead,
+    "q_window_distinct" -> Windows.windowDistinct,
     "q_window_first_last" -> Windows.windowFirstLast,
     "q_topk_per_group" -> Windows.topkPerGroup,
     "q_sort_limit_topk" -> Windows.sortLimitTopk,
@@ -1840,6 +1841,14 @@ object SparkEntry {
         |  lead(value, 1) OVER w AS next_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // DuckDB's NATIVE windowed count(DISTINCT) vs Spark's collect_set
+    // workaround — the gate proves them identical
+    "q_window_distinct" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_so_far
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q_window_first_last" ->
       // last/nth REQUIRE the explicit full frame — the default running

@@ -139,6 +139,25 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** q_window_distinct: RUNNING DISTINCT COUNT per user — how many
+    * distinct event types each user has produced so far at every event.
+    * Spark has no DISTINCT aggregates over windows; the engine-native
+    * form is size(collect_set(...)) over the running frame (set state is
+    * bounded by the distinct-value cardinality — fine for enum-like
+    * columns like event_type; for high-cardinality columns switch to the
+    * HLL sketch in an Aggregator). The oracle runs DuckDB's NATIVE
+    * windowed count(DISTINCT …) — the gate proves the workaround is
+    * semantically identical to the real thing.
+    */
+  def windowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+              size(collect_set(col("event_type")).over(w)).cast("long").as("n_types_so_far"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q_window_first_last: positional window values — each order alongside
     * its customer's first, latest, and second order price. first_value
     * uses the default running frame; last/nth need the FULL partition
