@@ -1873,7 +1873,7 @@ class GraftLocalScan(schema: StructType, resultRows: Seq[InternalRow])
   * manifest as of its own planning, consistent with a plain read.
   */
 object GraftMetadataTable {
-  val KINDS: Set[String] = Set("files", "snapshots")
+  val KINDS: Set[String] = Set("files", "snapshots", "partitions")
 }
 
 class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
@@ -1896,6 +1896,17 @@ class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
       StructField("version", LongType, nullable = false),
       StructField("committed_at_ms", LongType, nullable = false),
       StructField("n_files", IntegerType, nullable = false)))
+    // per-partition rollup of the live manifest: the skew/small-file
+    // audit for a value-partitioned (or bucketed) layout; the partition
+    // string keeps its spec-seq prefix so post-evolution generations
+    // are visibly distinct
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType),
+      StructField("bucket", IntegerType),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType),
+      StructField("bytes", LongType),
+      StructField("n_deleted", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -1920,6 +1931,24 @@ class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](v, at, n))
         }
+        case "partitions" =>
+          GroupFiles.live(dir).groupBy(g => (g.part, g.bucket)).toSeq
+            .sortBy(_._1.toString).map { case ((part, bucket), gs) =>
+              // SUMs of per-file counters are exact only if EVERY file
+              // recorded one — a single legacy file without the token
+              // makes the rollup unknown, never silently low
+              def total(f: Group => Option[Long]): Any = {
+                val vs = gs.map(f)
+                if (vs.forall(_.isDefined)) Long.box(vs.flatten.sum) else null
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+                part.map(UTF8String.fromString).orNull,
+                bucket.map(Int.box).orNull,
+                gs.size.toLong,
+                total(_.rows),
+                total(_.bytes),
+                gs.map(_.deletes.map(_._2).getOrElse(0L)).sum))
+            }
       }
       new GraftLocalScan(s, rows)
     }

@@ -1050,6 +1050,27 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_meta")
   }
 
+  test("metadata tables: t.partitions rolls up the layout per partition value") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_parts")
+    spark.sql("""CREATE TABLE graft_fb.default.fb_parts (ts TIMESTAMP_NTZ, v BIGINT)
+                 PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft_fb.default.fb_parts VALUES
+                 (timestamp_ntz'2024-02-01 01:00:00', 1),
+                 (timestamp_ntz'2024-02-01 02:00:00', 2),
+                 (timestamp_ntz'2024-02-02 03:00:00', 3)""")
+    spark.sql("INSERT INTO graft_fb.default.fb_parts VALUES (timestamp_ntz'2024-02-01 04:00:00', 4)")
+    val parts = spark.sql(
+      "SELECT * FROM graft_fb.default.fb_parts.partitions ORDER BY partition").collect()
+    assert(parts.length === 2, "two day partitions")
+    val d1 = java.time.LocalDate.of(2024, 2, 1).toEpochDay.toString
+    val byPart = parts.map(r => r.getString(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(byPart(d1) === ((2L, 3L, 0L)), "day 1: two files, three rows")
+    assert(byPart.values.map(_._2).sum === 4)
+    spark.sql("DROP TABLE graft_fb.default.fb_parts")
+  }
+
   test("change feed: MERGE surfaces exactly its inserts and delete+insert update pairs") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_cdf")
