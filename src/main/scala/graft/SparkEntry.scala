@@ -30,6 +30,7 @@ object SparkEntry {
     "q_agg_grouping_sets" -> Relational.aggGroupingSets,
     "q_agg_stats" -> Relational.aggStats,
     "q_agg_percentile" -> Relational.aggPercentile,
+    "q_agg_percentile_disc" -> Relational.aggPercentileDisc,
     "q_agg_collect" -> Relational.aggCollect,
     "q_pivot" -> Relational.pivotStatus,
     "q_string_agg" -> Relational.stringAgg,
@@ -1035,6 +1036,14 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
         |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // native quantile_disc (probed: identical ceil(q*n) rank rule) vs
+    // Spark's rank-selection window form
+    "q_agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.5) AS DOUBLE) AS p50_disc,
+        |  CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.25) AS DOUBLE) AS p25_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_collect" ->

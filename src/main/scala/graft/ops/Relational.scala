@@ -158,6 +158,32 @@ object Relational {
            r6(expr("percentile(l_extendedprice, 0.25)")).as("p25_price"))
       .orderBy(col("l_returnflag"))
 
+  /** q_agg_percentile_disc: DISCRETE percentile (PostgreSQL
+    * percentile_disc / DuckDB quantile_disc — an actually-occurring value,
+    * the first whose cumulative fraction reaches q, i.e. rank ⌈q·n⌉ in
+    * ascending order). Spark has no discrete-percentile aggregate; the
+    * engine form is the rank-selection window (the value at rank ⌈q·n⌉ is
+    * well-defined under duplicates regardless of tie order). q ∈ {.5,.25}
+    * are dyadic so ⌈q·n⌉ is exact in a double; values go through
+    * DECIMAL(18,2). Gated against DuckDB's NATIVE quantile_disc — probed
+    * to use the identical ⌈q·n⌉ rank rule.
+    */
+  def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag"), money(col("l_quantity")).as("q"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val p50 = ranked.filter(col("rn") === ceil(col("n") * 0.5))
+      .select(col("l_returnflag"), asOut(col("q")).as("p50_disc"))
+    val p25 = ranked.filter(col("rn") === ceil(col("n") * 0.25))
+      .select(col("l_returnflag"), asOut(col("q")).as("p25_disc"))
+    p50.join(p25, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
+
   /** §2 D q_agg_collect: ordered list aggregation — sort_array makes the
     * collected list deterministic (collect_list order is not). The declared
     * output serializes the list (array_join) because the comparator's

@@ -237,4 +237,22 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  // random bytes AND random bytes behind each real magic prefix — the
+  // sniffer must always terminate with a well-formed answer, never throw
+  private val magics = Seq[Array[Byte]](
+    Array(0x89.toByte) ++ "PNG".getBytes ++ Array[Byte](0x0D, 0x0A, 0x1A, 0x0A),
+    Array(0xFF.toByte, 0xD8.toByte),
+    "GIF89a".getBytes, "BM".getBytes, "RIFF1234WAVE".getBytes)
+  private val hostileBytes: Gen[Array[Byte]] = for {
+    prefix <- Gen.oneOf(Gen.const(Array.empty[Byte]), Gen.oneOf(magics))
+    tail <- Gen.listOfN(64, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte))
+  } yield prefix ++ tail.toArray
+
+  property("sniffHeader: total on arbitrary hostile input (no throw, no hang, sane dims)") =
+    forAll(hostileBytes) { bytes =>
+      val (fmt, w, h, sr, ch) = graft.ops.Multimodal.sniffHeader(bytes)
+      fmt.nonEmpty &&
+        Seq(w, h, sr).flatten.forall(_ > 0) && ch.forall(_ >= 0)
+    }
+
 }
