@@ -31,6 +31,7 @@ object SparkEntry {
     "q_agg_stats" -> Relational.aggStats,
     "q_agg_percentile" -> Relational.aggPercentile,
     "q_agg_percentile_disc" -> Relational.aggPercentileDisc,
+    "q_distinct_on" -> Relational.distinctOn,
     "q_agg_collect" -> Relational.aggCollect,
     "q_pivot" -> Relational.pivotStatus,
     "q_string_agg" -> Relational.stringAgg,
@@ -1037,6 +1038,13 @@ object SparkEntry {
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
         |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // native DISTINCT ON (the Postgres idiom) vs Spark's row_number form
+    "q_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS latest_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin,
 
     // native quantile_disc (probed: identical ceil(q*n) rank rule) vs
     // Spark's rank-selection window form

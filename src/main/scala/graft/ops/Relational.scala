@@ -184,6 +184,27 @@ object Relational {
     p50.join(p25, Seq("l_returnflag")).orderBy(col("l_returnflag"))
   }
 
+  /** q_distinct_on: PostgreSQL's DISTINCT ON — keep ONE row per key by an
+    * explicit sort preference (here: each customer's LATEST order, order
+    * key as tiebreak). The single most idiomatic "latest row per entity"
+    * spelling a Postgres user brings over; Spark's engine form is the
+    * row_number window, which is also the right 100 TB plan (one hash
+    * shuffle on the key, no self-join). The oracle runs DuckDB's NATIVE
+    * DISTINCT ON with the same ORDER BY, proving the window form
+    * row-for-row identical to the Postgres construct.
+    */
+  def distinctOn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Sources.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              asOut(money(col("o_totalprice"))).as("latest_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** §2 D q_agg_collect: ordered list aggregation — sort_array makes the
     * collected list deterministic (collect_list order is not). The declared
     * output serializes the list (array_join) because the comparator's
