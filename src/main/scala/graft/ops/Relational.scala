@@ -170,18 +170,30 @@ object Relational {
     */
   def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Sources.lineitem(spark, dir)
+    // VALUE-HISTOGRAM selection, not a per-group row sort: one hash
+    // aggregate to (group, value) counts, then the rank-⌈q·n⌉ value is
+    // the first whose running count reaches the rank — the window runs
+    // over |distinct values| rows, not |rows| (the first cut sorted every
+    // group's rows in one task: 9x wall at 10x data; this form is flat
+    // past the aggregate, the correct 100 TB selection shape for
+    // bounded-domain columns — for unbounded ones see q_winsorize's
+    // approx_percentile note)
+    val counts = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"), money(col("l_quantity")).as("q"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
     val wAll = Window.partitionBy(col("l_returnflag"))
-    val ranked = base
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-    val p50 = ranked.filter(col("rn") === ceil(col("n") * 0.5))
-      .select(col("l_returnflag"), asOut(col("q")).as("p50_disc"))
-    val p25 = ranked.filter(col("rn") === ceil(col("n") * 0.25))
-      .select(col("l_returnflag"), asOut(col("q")).as("p25_disc"))
-    p50.join(p25, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def pick(qf: Double, name: String) = {
+      val rank = ceil(col("n") * qf)
+      cum.filter(col("cum") >= rank && col("cum") - col("c") < rank)
+        .select(col("l_returnflag"), asOut(col("q")).as(name))
+    }
+    pick(0.5, "p50_disc").join(pick(0.25, "p25_disc"), Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** q_distinct_on: PostgreSQL's DISTINCT ON — keep ONE row per key by an
