@@ -153,6 +153,7 @@ object SparkEntry {
     "q_regression" -> Analytics.regression,
     "q_autocorr" -> Analytics.autocorr,
     "q_chisq" -> Analytics.chisq,
+    "q_streaks" -> Analytics.streaks,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1488,6 +1489,18 @@ object SparkEntry {
         |FROM m
         |WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY event_type""".stripMargin,
+
+    // gaps-and-islands: day - row_number is constant along a consecutive
+    // run, so it is the island key; DuckDB date - int arithmetic = date_sub
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (SELECT user_id, d,
+        |          d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+        |        FROM days),
+        |runs AS (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_chisq" ->
       // weekday = epoch-day mod 7 (engine-portable origin); exact counts;

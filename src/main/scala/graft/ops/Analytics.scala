@@ -180,6 +180,30 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_streaks: longest CONSECUTIVE-DAY activity streak per user — the
+    * gaps-and-islands SQL classic (and the engagement metric behind
+    * "n-day streak" features): distinct active days, row_number within
+    * user, and day − rn is constant exactly along a consecutive run, so
+    * it IS the island key. One user-partition window over DISTINCT
+    * (user, day) rows — state bounded by active days, not events.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Sources.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("island", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"),
+           count(lit(1)).as("n_streaks"),
+           sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_chisq: chi-square INDEPENDENCE TEST of event type × weekday — the
     * contingency-table statistic behind "is behavior day-of-week
     * dependent?" A/B sanity checks and drift monitors. The weekday is
