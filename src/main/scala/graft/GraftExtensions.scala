@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, JaroWinklerSimilarity, Md5MinHashSignature}
+import graft.functions.{CosineSimilarity, JaroWinklerSimilarity, Md5MinHashSignature, UnicodeNormalize}
 
 /** SparkSessionExtensions entry point — the engine's `install_extension`
   * analogue (postpy extensions.install_extension [unverified, SURVEY §0]):
@@ -41,7 +41,12 @@ object GraftExtensions {
          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
          case other => throw new IllegalArgumentException(
            s"minhash_md5 k must be an INT literal, got $other")
-       })))
+       })),
+    (new FunctionIdentifier("unicode_normalize"),
+     new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+     // SQL form: unicode_normalize(s[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — the
+     // form literal selects the algorithm at plan time
+     (children: Seq[Expression]) => UnicodeNormalize.fromArgs(children)))
 
   /** Register on an already-running session (spark.udf-style, but native —
     * the expression stays codegen-able, unlike a Scala UDF).

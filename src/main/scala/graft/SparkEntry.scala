@@ -154,6 +154,20 @@ object SparkEntry {
     "q_autocorr" -> Analytics.autocorr,
     "q_chisq" -> Analytics.chisq,
     "q_streaks" -> Analytics.streaks,
+    // §2 I time-series verbs (round 8)
+    "q_time_weighted_avg" -> Timeseries.timeWeightedAvg,
+    "q_ohlc" -> Timeseries.ohlc,
+    "q_locf_gapfill" -> Timeseries.locfGapfill,
+    "q_interval_coverage" -> Timeseries.intervalCoverage,
+    "q_delta_rank" -> Timeseries.deltaRank,
+    // §2 I statistical tests / association mining (round 8)
+    "q_ks_test" -> Stats.ksTest,
+    "q_ttest" -> Stats.ttest,
+    "q_market_basket" -> Stats.marketBasket,
+    "q_zipf_slope" -> Stats.zipfSlope,
+    "q_url_canonicalize" -> Text.urlCanonicalizeQuery,
+    "q_text_nfc" -> Functions.textNfcQuery,
+    "q_mode" -> Relational.modeQuery,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1501,6 +1515,258 @@ object SparkEntry {
         |SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks,
         |  CAST(SUM(len) AS BIGINT) AS n_active_days
         |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      // exact integer cents x whole-seconds weights (integer DIV both
+      // engines); ONE shared IEEE division at the end, round-6
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt_us
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, COUNT(*) AS n_segments,
+        |    CAST(SUM(dt_us // 1000000) AS BIGINT) AS total_s,
+        |    CAST(SUM(cents * (dt_us // 1000000)) AS BIGINT) AS weighted_cents_s
+        |  FROM d WHERE dt_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_segments, total_s,
+        |  round(CAST(weighted_cents_s AS DOUBLE) / (100e0 * CAST(total_s AS DOUBLE)), 6) AS twa
+        |FROM s WHERE total_s > 0 ORDER BY user_id""".stripMargin,
+
+    "q_ohlc" ->
+      // open/close picked by row_number over the SAME total order both
+      // engines; value passes through untouched (no arithmetic)
+      """WITH e AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, epoch_day ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, epoch_day ORDER BY us DESC, event_id DESC) AS rn_z
+        |  FROM e)
+        |SELECT event_type, epoch_day,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+        |  COUNT(*) AS volume,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_locf_gapfill" ->
+      // generated daily spine x users; per-day last observation by the
+      // (us, event_id) total order; LOCF via last_value IGNORE NULLS
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |lastv AS (
+        |  SELECT user_id, d, value FROM (
+        |    SELECT user_id, d, value,
+        |      row_number() OVER (PARTITION BY user_id, d ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) z WHERE rn = 1),
+        |spine AS (
+        |  SELECT u.user_id, CAST(g.gd AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS gd) g)
+        |SELECT s.user_id,
+        |  datediff('day', DATE '1970-01-01', s.d) AS epoch_day,
+        |  last_value(l.value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  CAST(l.value IS NOT NULL AS INT) AS is_observed
+        |FROM spine s LEFT JOIN lastv l ON s.user_id = l.user_id AND s.d = l.d
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_interval_coverage" ->
+      // interval sweep entirely in BIGINT microseconds: running max of
+      // prior ends flags island starts, running sum numbers islands
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 AS len_us
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, us, us + len_us AS end_us,
+        |    max(us + len_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, us, end_us,
+        |    CASE WHEN prev_max_end IS NULL OR us > prev_max_end THEN 1 ELSE 0 END AS new_island
+        |  FROM x),
+        |num AS (
+        |  SELECT user_id, us, end_us,
+        |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (
+        |  SELECT user_id, island, MIN(us) AS start_us, MAX(end_us) AS max_end_us
+        |  FROM num GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(max_end_us - start_us) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_delta_rank" ->
+      // monthly decimal sums -> identical doubles; delta = one shared
+      // IEEE subtraction; movers ranked by (delta desc, segment)
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_id, c_mktsegment,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT month_id, c_mktsegment, rev,
+        |    lag(rev, 1) OVER (PARTITION BY c_mktsegment ORDER BY month_id) AS prev_rev
+        |  FROM m)
+        |SELECT month_id, c_mktsegment, rev, prev_rev, rev - prev_rev AS delta,
+        |  row_number() OVER (PARTITION BY month_id ORDER BY rev - prev_rev DESC, c_mktsegment) AS mrank
+        |FROM l WHERE prev_rev IS NOT NULL
+        |ORDER BY month_id, mrank""".stripMargin,
+
+    "q_ks_test" ->
+      // KS in INTEGER arithmetic: d_num = max |cum1*n2 - cum2*n1| is an
+      // exact BIGINT; the one division happens once at the end, round-6
+      """WITH two AS (
+        |  SELECT c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (
+        |  SELECT c_acctbal,
+        |    COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS c1,
+        |    COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS c2
+        |  FROM two GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+        |cum AS (
+        |  SELECT
+        |    CAST(SUM(c1) OVER (ORDER BY c_acctbal ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY c_acctbal ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM pv)
+        |SELECT n1, n2,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  round(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d
+        |FROM cum, tot GROUP BY n1, n2""".stripMargin,
+
+    "q_ttest" ->
+      // Welch's t: exact conditional moments (decimal sums) -> ONE
+      // shared double tree for t and the Welch-Satterthwaite df
+      """WITH m AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
+        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS q2
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round((s1 / n1 - s2 / n2) / sqrt(
+        |    (q1 - s1 * s1 / n1) / (n1 - 1) / n1 + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 6) AS t,
+        |  round(((q1 - s1 * s1 / n1) / (n1 - 1) / n1 + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) *
+        |        ((q1 - s1 * s1 / n1) / (n1 - 1) / n1 + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) /
+        |        ((q1 - s1 * s1 / n1) / (n1 - 1) / n1 * ((q1 - s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1) +
+        |         (q2 - s2 * s2 / n2) / (n2 - 1) / n2 * ((q2 - s2 * s2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 6) AS df
+        |FROM m WHERE n1 > 1 AND n2 > 1""".stripMargin,
+
+    "q_market_basket" ->
+      // pair support counts exact; lift = one final double, round-6;
+      // bounded output (top-50 by the total order n_ab desc, a, b)
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+        |ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT b1.l_partkey AS a, b2.l_partkey AS b, COUNT(*) AS n_ab
+        |  FROM b b1 JOIN b b2 ON b1.l_orderkey = b2.l_orderkey AND b1.l_partkey < b2.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a, b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+        |        (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+        |FROM p JOIN ic ia ON ia.l_partkey = a JOIN ic ib ON ib.l_partkey = b, n
+        |ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin,
+
+    "q_zipf_slope" ->
+      // ranks from the total order (count desc, token asc); ln-sum ulp
+      // drift absorbed by round-6 (the q_entropy argument)
+      """WITH tc AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE tok <> '' GROUP BY 1),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM tc ORDER BY cnt DESC, tok LIMIT 500),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
+
+    "q_url_canonicalize" ->
+      // identical synthetic URLs both engines; canonicalization = the
+      // same regex steps (RE2/Java-identical syntax, no backreferences;
+      // DuckDB needs the 'g' flag to match Spark's always-global replace)
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM:443/Path/' ||
+        |    CAST(doc_id % 13 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |         WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=y&utm_medium=z'
+        |         WHEN doc_id % 4 = 2 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE '/' END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS u0 FROM u),
+        |pf AS (SELECT doc_id, url, u0,
+        |         regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pfx
+        |       FROM nf),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(lower(pfx) || substr(u0, length(pfx) + 1),
+        |                           ':443/', '/', 'g'),
+        |            ':443$', '', 'g'),
+        |          'utm_[a-z]+=[^&#]*&', '', 'g'),
+        |        '[?&]utm_[a-z]+=[^&#]*$', '', 'g'),
+        |      '[/?]$', '', 'g') AS canon
+        |  FROM pf)
+        |SELECT canon, COUNT(*) AS n, COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS keep_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_nfc" ->
+      // identical mixed-normalization inputs built in plain SQL; the gate
+      // proves the native UnicodeNormalize expression == DuckDB's
+      // nfc_normalize byte-for-byte
+      // \uXXXX escapes are processed by scalac even in triple-quoted
+      // strings, so the SQL literal carries the raw combining characters
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'cafe\u0301 de\u0301ja\u0300'
+        |         WHEN doc_id % 4 = 1 THEN 'caf\u00e9 d\u00e9j\u00e0'
+        |         WHEN doc_id % 4 = 2 THEN 'u\u0308ber stra\u00dfe'
+        |         ELSE 'plain ascii' END || ' #' || CAST(doc_id % 10 AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(s) AS norm,
+        |  CAST(s <> nfc_normalize(s) AS INT) AS changed
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_mode" ->
+      // PG mode() tie rule made explicit: (count desc, value asc) under
+      // row_number — both engines run the same deterministic form
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_orderpriority, n,
+        |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rk
+        |      FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rk = 1 ORDER BY 1""".stripMargin,
 
     "q_chisq" ->
       // weekday = epoch-day mod 7 (engine-portable origin); exact counts;

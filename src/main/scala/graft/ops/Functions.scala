@@ -195,4 +195,37 @@ object Functions {
               expr("try_cast(substring(c_name, 10, 15) AS BIGINT)").as("name_num"),
               expr("try_cast(c_mktsegment AS DOUBLE)").as("seg_num"))
       .orderBy(col("c_custkey"))
+
+  /** Unicode normalization as a Column — the native codegen'd expression
+    * (graft.functions.UnicodeNormalize), SQL-callable as
+    * unicode_normalize(s[, form]) once GraftExtensions is installed.
+    */
+  def unicodeNormalize(c: org.apache.spark.sql.Column, form: String = "NFC"): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        java.text.Normalizer.Form.valueOf(form)))
+
+  /** q_text_nfc: NFC normalization over a deterministic mixed-form corpus
+    * — per doc, a string whose accents arrive decomposed ('e'+U+0301),
+    * precomposed (U+00E9), or absent, cycling on doc_id; the declared
+    * output is (doc_id, normalized form, changed flag). Both engines
+    * build the IDENTICAL input string (plain SQL concat of unicode
+    * literals), so the gate proves the native expression's NFC agrees
+    * with DuckDB's nfc_normalize byte-for-byte — the canonical-identity
+    * premise the dedup/fingerprint family rests on. Pure codegen'd
+    * column op, no shuffle at all before the output sort.
+    */
+  def textNfcQuery(spark: SparkSession, dir: String): DataFrame = {
+    val variant = when(col("doc_id") % 4 === 0, lit("cafe\u0301 de\u0301ja\u0300"))
+      .when(col("doc_id") % 4 === 1, lit("caf\u00e9 d\u00e9j\u00e0"))
+      .when(col("doc_id") % 4 === 2, lit("u\u0308ber stra\u00dfe"))
+      .otherwise(lit("plain ascii"))
+    Sources.documents(spark, dir)
+      .select(col("doc_id"),
+              concat(variant, lit(" #"), (col("doc_id") % 10).cast("string")).as("s"))
+      .select(col("doc_id"), unicodeNormalize(col("s")).as("norm"),
+              (col("s") =!= unicodeNormalize(col("s"))).cast("int").as("changed"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -459,4 +459,26 @@ object Relational {
         |SELECT depth, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS sum_bal
         |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
   }
+
+  /** q_mode: the PostgreSQL `mode() WITHIN GROUP (ORDER BY x)` ordered-set
+    * aggregate — the most frequent value per group, with PG's own tie rule
+    * (first value in the ORDER BY among the tied counts) made explicit:
+    * (count desc, value asc) under row_number. Spark has no mode-with-
+    * deterministic-ties aggregate (builtin `mode` breaks ties arbitrarily,
+    * as does DuckDB's), so BOTH engines run the explicit counts+rank form
+    * — one (group, value) aggregate, then a |groups|-partition window
+    * over the tiny distinct-value frame.
+    */
+  def modeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Sources.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("n").desc, col("o_orderpriority"))))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+
+/** Statistical-testing and association-mining operators (north-star
+  * extension): the two-sample tests a drift monitor or A/B harness runs,
+  * plus market-basket association mining — all as exact dataflow.
+  *
+  * Portability pattern throughout (the q_outlier_zscore rule): keep
+  * every intermediate EXACT (integer counts, decimal money sums) for as
+  * long as possible, then finalize with ONE shared IEEE expression tree
+  * rounded to 6 dp — so no comparison boundary can flip between engines.
+  */
+object Stats {
+
+  /** q_ks_test: two-sample Kolmogorov–Smirnov statistic between the
+    * BUILDING and MACHINERY segments' account balances — the
+    * distribution-shift detector behind data-drift monitors (chisq tests
+    * categorical independence; KS tests continuous distribution
+    * equality). D = max |F1(x) − F2(x)| over the pooled support. The
+    * whole statistic is computed in INTEGER arithmetic: per-value counts,
+    * running cumulatives, and d_num = max |cum1·n2 − cum2·n1| (a BIGINT),
+    * so the max — the only order-sensitive step — is exact; the single
+    * division d_num/(n1·n2) happens once at the end. One aggregate over
+    * distinct balances + one ordered window — nothing quadratic.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val two = Sources.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("c_acctbal"))
+    val perValue = two.groupBy(col("c_acctbal"))
+      .agg(count(when(col("c_mktsegment") === "BUILDING", 1)).as("c1"),
+           count(when(col("c_mktsegment") === "MACHINERY", 1)).as("c2"))
+    val tot = perValue.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // global ordered window over DISTINCT balances only (bounded well below
+    // the row count); at extreme cardinality switch to a range-partitioned
+    // pre-aggregation — the statistic itself is unchanged
+    val w = Window.orderBy(col("c_acctbal"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        r6(col("d_num").cast("double") /
+           (col("n1").cast("double") * col("n2").cast("double"))).as("d"))
+  }
+
+  /** q_ttest: Welch's two-sample t-test of `value` between purchase and
+    * click events — "did the metric move between arms", the A/B
+    * work-horse that (unlike Student's t) does not assume equal
+    * variances. Moments are exact (decimal sums via Det.money, integer
+    * counts) and collapse in ONE conditional aggregate over the scan —
+    * no shuffle carries more than a single row. t and the
+    * Welch–Satterthwaite df come out of one shared double tree, round-6.
+    */
+  def ttest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{money, r6}
+    def side(t: String, c: org.apache.spark.sql.Column) = when(col("event_type") === t, c)
+    val m = Sources.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .agg(count(side("purchase", lit(1))).cast("double").as("n1"),
+           sum(side("purchase", money(col("value")))).cast("double").as("s1"),
+           sum(side("purchase", money(col("value")) * money(col("value")))).cast("double").as("q1"),
+           count(side("click", lit(1))).cast("double").as("n2"),
+           sum(side("click", money(col("value")))).cast("double").as("s2"),
+           sum(side("click", money(col("value")) * money(col("value")))).cast("double").as("q2"))
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se1 = v1 / col("n1")
+    val se2 = v2 / col("n2")
+    m.filter(col("n1") > 1 && col("n2") > 1)
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        r6((col("s1") / col("n1") - col("s2") / col("n2")) / sqrt(se1 + se2)).as("t"),
+        r6((se1 + se2) * (se1 + se2) /
+           (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1))).as("df"))
+  }
+
+  /** q_market_basket: association mining over order baskets — for every
+    * pair of parts co-ordered at least twice, support count and LIFT
+    * (how much more often they co-occur than independence predicts): the
+    * recommender/affinity primitive. Pair generation is the
+    * q_triangle_count shape: per-order sorted distinct part list
+    * (baskets are small and bounded by order size), pairs emitted
+    * MAP-SIDE by a higher-order transform — never an |items|² join.
+    * Counts stay integers; lift = n_ab·N/(n_a·n_b) is the one final
+    * double, round-6. Output bounded: top-50 by (n_ab desc, a, b).
+    */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val baskets = Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = baskets.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    // per-order pair explosion, map-side: sorted distinct parts -> (a<b) pairs
+    val pairs = baskets
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+                  y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(itemCounts.withColumnRenamed("l_partkey", "a").withColumnRenamed("n_item", "n_a"), Seq("a"))
+      .join(itemCounts.withColumnRenamed("l_partkey", "b").withColumnRenamed("n_item", "n_b"), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        r6(col("n_ab").cast("double") * col("n_orders").cast("double") /
+           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** q_zipf_slope: Zipf's-law fit over the token frequency spectrum —
+    * OLS slope of ln(freq) on ln(rank) across the top-500 ranks (a
+    * natural corpus should sit near −1; a synthetic or degenerate one
+    * drifts — the corpus-health check sibling of q_entropy). Ranks are
+    * assigned by the total order (count desc, token asc) so both engines
+    * agree on every (rank, freq) point; the ln-sums drift by ulps across
+    * sum orders — absorbed by round-6 (the q_entropy argument). Bounded:
+    * the regression runs over exactly 500 rows.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val counts = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .filter(col("rk") <= 500)
+      .select(log(col("rk").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    val m = ranked.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / varX
+    m.select(col("n").cast("long").as("n_ranks"),
+      r6(slope).as("slope"),
+      r6((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+      r6(cov * cov / (varX * varY)).as("r2"))
+  }
+}

@@ -761,4 +761,56 @@ object Text {
       .select(col("id_a"), col("id_b"),
               r6(col("common").cast("double") / col("un").cast("double")).as("jaccard"))
   }
+
+  /** Deterministic synthetic URL per doc — BOTH engines build the identical
+    * string (mixed-case scheme/host, explicit :443, utm_* tracking params,
+    * fragments), so the canonicalizer below has real work whose output the
+    * oracle can hash-match. The variants cycle on doc_id.
+    */
+  def syntheticUrl(id: Column): Column = concat(
+    lit("HTTPS://Site"), (id % 5).cast("string"),
+    lit(".Example.COM:443/Path/"), (id % 13).cast("string"),
+    when(id % 4 === 0, concat(lit("?utm_source=x&id="), (id % 3).cast("string")))
+      .when(id % 4 === 1, concat(lit("?id="), (id % 3).cast("string"),
+                                 lit("&utm_campaign=y&utm_medium=z")))
+      .when(id % 4 === 2, concat(lit("#sec"), (id % 3).cast("string")))
+      .otherwise(lit("/")))
+
+  /** URL CANONICALIZATION — the first stage of every web-corpus dedup
+    * (Common-Crawl-style): strip the fragment, lowercase scheme+host
+    * (path case is significant and preserved), drop the default :443
+    * port, remove utm_* tracking parameters (repairing the ?/& chain),
+    * and trim a trailing slash or bare '?'. Pure codegen'd column ops;
+    * every regex is RE2/Java-identical syntax and the oracle twin applies
+    * the same steps with DuckDB's 'g' flag (Spark regexp_replace is
+    * always-global).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // lowercase ONLY scheme://host[:port] — split at the first path slash
+    val pfx = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rebuilt = concat(lower(pfx), noFrag.substr(length(pfx) + 1, lit(1000000)))
+    // two literal patterns, no capture-group backreference — Java ($1) and
+    // RE2/DuckDB (\1) spell those differently, so the twins avoid them
+    val noPort = regexp_replace(regexp_replace(rebuilt, ":443/", "/"), ":443$", "")
+    val noUtm0 = regexp_replace(noPort, "utm_[a-z]+=[^&#]*&", "")
+    val noUtm = regexp_replace(noUtm0, "[?&]utm_[a-z]+=[^&#]*$", "")
+    regexp_replace(noUtm, "[/?]$", "")
+  }
+
+  /** q_url_canonicalize: canonicalize the synthetic per-doc URLs and
+    * dedup on the canonical form — per canonical URL: occurrence count,
+    * distinct RAW variants collapsed, and the kept (minimum) doc_id.
+    * Group cardinality is bounded by the canonical key space; the shuffle
+    * carries one row per raw URL. The Common-Crawl pre-dedup shape.
+    */
+  def urlCanonicalizeQuery(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+      .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("url")).as("n_variants"),
+           min(col("doc_id")).as("keep_doc"))
+      .orderBy(col("canon"))
 }

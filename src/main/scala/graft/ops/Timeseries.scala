@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+
+/** Time-series operators (north-star extension): the resampling /
+  * gap-filling / interval-algebra verbs a metrics or finance pipeline runs
+  * over an event stream — each as pure declarative dataflow.
+  *
+  * Scale shape: every operator here shuffles ONCE on its entity key
+  * (user_id / event_type) and runs windows inside that partitioning;
+  * per-entity state is bounded by the entity's own events (or by the
+  * spine length for gap-fill), never by the corpus. Determinism: integer
+  * microsecond arithmetic end-to-end — money doubles go through
+  * DECIMAL(18,2) (graft.Det) and surface as exact integer cents wherever
+  * they enter products, so every declared value is either an exact
+  * integer or a single shared IEEE expression tree (SURVEY §2.1).
+  */
+object Timeseries {
+
+  /** Exact integer cents of a 2-dp money double: DECIMAL(18,2) cast (the
+    * Det.money rule) scaled by 100 — both engines produce the identical
+    * BIGINT, so downstream products/sums stay exact.
+    */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (graft.Det.money(c) * 100).cast("long")
+
+  /** q_time_weighted_avg: per-user TIME-WEIGHTED average of `value`
+    * between consecutive events — the metric that answers "what level was
+    * this gauge AT on average", which a plain AVG (per-observation) gets
+    * wrong whenever sampling is irregular. Each event's value is held
+    * until the next event (step interpolation, the observability-metrics
+    * convention); weight = whole seconds held (integer DIV — exact and
+    * identical in both engines).
+    *
+    * TWA = Σ cents_i · dt_i / (100 · Σ dt_i), computed as one exact
+    * BIGINT ratio finalized by a single shared IEEE division (round-6).
+    * One user_id window + one user_id aggregate — a single shuffle.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Sources.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              cents(col("value")).as("cents"))
+      .withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt_us").isNotNull)
+      // integer DIV (exact, engine-identical) — never a double division
+      .withColumn("dt_s", expr("dt_us DIV 1000000L"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+           sum(col("dt_s")).as("total_s"),
+           sum(col("cents") * col("dt_s")).as("weighted_cents_s"))
+      .filter(col("total_s") > 0)
+      .select(col("user_id"), col("n_segments"), col("total_s"),
+        r6(col("weighted_cents_s").cast("double") /
+           (lit(100.0) * col("total_s").cast("double"))).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q_ohlc: daily OHLC resampling per event type — open/high/low/close/
+    * volume bars, the downsampling verb behind every financial or metrics
+    * rollup. Open/close are the values at the per-(type, day) min/max of
+    * the total order (us, event_id) — picked by two row_number windows
+    * sharing ONE (type, day) partitioning, so first/last are deterministic
+    * even under timestamp ties. high/low/volume/sum ride the same
+    * aggregate. Days leave as epoch-day integers (engine-portable, no TZ).
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    val e = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              col("event_id"), col("value"))
+    val part = Window.partitionBy(col("event_type"), col("epoch_day"))
+    e.withColumn("rn_a", row_number().over(part.orderBy(col("us"), col("event_id"))))
+      .withColumn("rn_z", row_number().over(part.orderBy(col("us").desc, col("event_id").desc)))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max(when(col("rn_z") === 1, col("value"))).as("close"),
+           count(lit(1)).as("volume"),
+           moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
+  /** q_locf_gapfill: gap-fill a daily spine per user with LOCF (last
+    * observation carried forward) — the resample-then-fill verb behind
+    * feature stores and daily snapshots ("what was the last known value
+    * on every calendar day, observed or not"). Spine = |users| × 30 days
+    * (generated, never scanned); per-(user, day) observation = the day's
+    * LAST value by (us, event_id); fill = last(ignoreNulls) over the
+    * user-ordered running frame. Days before a user's first observation
+    * stay NULL in both engines. One user_id shuffle; per-user state = the
+    * spine length, not the event count.
+    */
+  def locfGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              col("event_id"), col("value"))
+    val lastPerDay = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("d"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d"), col("value"))
+    val spine = e.select(col("user_id")).distinct()
+      .crossJoin(spark.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("d")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(lastPerDay, Seq("user_id", "d"), "left")
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+              datediff(col("d"), lit("1970-01-01").cast("date")).as("epoch_day"),
+              col("filled"),
+              col("value").isNotNull.cast("int").as("is_observed"))
+      .orderBy(col("user_id"), col("epoch_day"))
+  }
+
+  /** q_interval_coverage: merge OVERLAPPING intervals per user and report
+    * island count + total covered microseconds — the interval-union
+    * algebra behind "actual watch time", SLA uptime, and machine
+    * utilization (where naive duration sums double-count overlaps).
+    * Interval i = [us, us + value seconds) with the length in exact
+    * integer µs via the cents rule. The classic sweep: running max of
+    * prior interval ends flags island starts (strictly-after ⇒ new
+    * island; containment folds in), a running sum numbers islands, and
+    * coverage = Σ (island max end − island min start) — all BIGINT.
+    * Both windows share ONE user_id partitioning.
+    */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Sources.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              (cents(col("value")) * 10000L).as("len_us"))
+      .withColumn("end_us", col("us") + col("len_us"))
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("us")).as("start_us"), max(col("end_us")).as("max_end_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("max_end_us") - col("start_us")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q_delta_rank: month-over-month revenue movers per market segment —
+    * the period-over-period delta + rank view behind every "biggest
+    * movers" dashboard. Monthly revenue = exact decimal sums over
+    * orders ⋈ customer (dim side broadcast); prev month via lag inside a
+    * |segments|-partition window; delta is a subtraction of two doubles
+    * both engines derived from identical decimals (one shared IEEE op);
+    * movers ranked per month by (delta desc, segment) — total order.
+    * Month key = year·100 + month, a portable integer.
+    */
+  def deltaRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    val monthly = Sources.orders(spark, dir)
+      .join(broadcast(Sources.customer(spark, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("month_id"),
+               col("c_mktsegment"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
+    val bySeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("month_id"))
+    monthly
+      .withColumn("prev_rev", lag(col("rev"), 1).over(bySeg))
+      .filter(col("prev_rev").isNotNull)
+      .withColumn("delta", col("rev") - col("prev_rev"))
+      .withColumn("mrank", row_number().over(
+        Window.partitionBy(col("month_id"))
+          .orderBy(col("delta").desc, col("c_mktsegment"))))
+      .select(col("month_id"), col("c_mktsegment"), col("rev"),
+              col("prev_rev"), col("delta"), col("mrank"))
+      .orderBy(col("month_id"), col("mrank"))
+  }
+}

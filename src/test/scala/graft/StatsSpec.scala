@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Stats
+
+class StatsSpec extends AnyFunSuite with SparkFixture {
+
+  test("ks: D in [0,1]; equals brute-force ECDF max-gap") {
+    val r = Stats.ksTest(spark, sfDir).collect()(0)
+    val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    assert(n1 > 0 && n2 > 0)
+    assert(d >= 0.0 && d <= 1.0)
+    // brute force on the driver (sf0.001 is tiny)
+    val c = graft.io.Sources.customer(spark, sfDir)
+      .select("c_mktsegment", "c_acctbal").collect()
+    val a = c.filter(_.getString(0) == "BUILDING").map(_.getDouble(1)).sorted
+    val b = c.filter(_.getString(0) == "MACHINERY").map(_.getDouble(1)).sorted
+    val pooled = (a ++ b).distinct.sorted
+    val brute = pooled.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length - b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(d - brute) < 1e-6, s"engine D=$d brute=$brute")
+  }
+
+  test("ks: identical samples give D = 0") {
+    import spark.implicits._
+    // replicate the integer-arithmetic pipeline over two equal samples
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v")
+    val pv = df.groupBy("v")
+      .agg(count(when(col("g") === "A", 1)).as("c1"),
+           count(when(col("g") === "B", 1)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = pv.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val d = pv.withColumn("cum1", sum("c1").over(w)).withColumn("cum2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dn"))
+      .collect()(0).getLong(0)
+    assert(d === 0L)
+  }
+
+  test("welch t: sign matches the mean difference; df between min(n)-1 and n1+n2-2") {
+    val r = Stats.ttest(spark, sfDir).collect()(0)
+    val (n1, n2, t, df) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val means = graft.io.Sources.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type").agg(avg("value").as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.signum(t) === math.signum(means("purchase") - means("click")))
+    assert(df >= math.min(n1, n2) - 1 - 1e-6)
+    assert(df <= n1 + n2 - 2 + 1e-6)
+  }
+
+  test("market basket: lift consistent with counts; pair counts bounded by item counts") {
+    val rows = Stats.marketBasket(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nOrders = graft.io.Sources.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct.count()
+    rows.foreach { r =>
+      val (nab, na, nb, lift) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nab >= 2)
+      assert(nab <= math.min(na, nb))
+      val expect = nab.toDouble * nOrders / (na.toDouble * nb)
+      assert(math.abs(lift - expect) < 1e-5)
+    }
+    // ordering: n_ab non-increasing
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) >= b.getLong(2))
+      case _ =>
+    }
+  }
+
+  test("market basket: HOF pair generation == self-join pair generation") {
+    val b = graft.io.Sources.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val hof = b.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+                  y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b")).groupBy("a", "b").count()
+    val sj = b.as("x").join(b.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .groupBy("a", "b").count()
+    assert(hof.exceptAll(sj).count() === 0)
+    assert(sj.exceptAll(hof).count() === 0)
+  }
+
+  test("zipf: slope negative, r2 in [0,1], ranks = min(500, vocab)") {
+    val r = Stats.zipfSlope(spark, sfDir).collect()(0)
+    val vocab = graft.io.Sources.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct.count()
+    assert(r.getLong(0) === math.min(500L, vocab))
+    assert(r.getDouble(1) < 0, "frequency must fall with rank")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Timeseries
+
+class TimeseriesSpec extends AnyFunSuite with SparkFixture {
+
+  test("time-weighted avg: bounded by per-user min/max value; weights conserve the span") {
+    val rows = Timeseries.timeWeightedAvg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bounds = graft.io.Sources.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min("value").as("lo"), max("value").as("hi"),
+           (max(unix_micros(col("ts").cast("timestamp"))) -
+            min(unix_micros(col("ts").cast("timestamp")))).as("span_us"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (lo, hi, spanUs) = bounds(r.getLong(0))
+      val twa = r.getDouble(3)
+      assert(twa >= lo - 1e-6 && twa <= hi + 1e-6,
+        s"user ${r.getLong(0)}: twa $twa outside [$lo, $hi]")
+      // total seconds = the full first-to-last span, up to per-segment
+      // sub-second truncation (each DIV drops < 1 s)
+      val totalS = r.getLong(2)
+      val n = r.getLong(1)
+      assert(totalS <= spanUs / 1000000L + 1)
+      assert(totalS >= spanUs / 1000000L - n)
+    }
+  }
+
+  test("ohlc: low <= open/close <= high; volume conserves events") {
+    val rows = Timeseries.ohlc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (open, high, low, close) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(low <= high)
+      assert(open >= low && open <= high)
+      assert(close >= low && close <= high)
+      assert(r.getLong(6) > 0)
+    }
+    assert(rows.map(_.getLong(6)).sum === graft.io.Sources.events(spark, sfDir).count())
+  }
+
+  test("ohlc: single-event day has open == close == high == low") {
+    val one = Timeseries.ohlc(spark, sfDir).filter(col("volume") === 1).collect()
+    one.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(3) === r.getDouble(4))
+      assert(r.getDouble(4) === r.getDouble(5))
+    }
+  }
+
+  test("locf: spine is exactly users x 30 days; fill is monotone-knowledge") {
+    val df = Timeseries.locfGapfill(spark, sfDir)
+    val users = graft.io.Sources.events(spark, sfDir).select("user_id").distinct.count()
+    assert(df.count() === users * 30)
+    // once a value is observed, filled is never NULL again for that user
+    val rows = df.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      var seen = false
+      sorted.foreach { r =>
+        if (r.getInt(3) == 1) seen = true
+        if (seen) assert(!r.isNullAt(2), s"user $u: NULL filled after first observation")
+        else assert(r.isNullAt(2), s"user $u: non-NULL filled before first observation")
+      }
+    }
+    // an observed day's filled value equals that day's last event value
+    assert(rows.exists(_.getInt(3) == 1))
+  }
+
+  test("interval coverage: covered time bounded by sum of lengths and by islands' spans") {
+    val rows = Timeseries.intervalCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sumLen = graft.io.Sources.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long") * 10000L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      // union of intervals is never larger than their length sum (overlap
+      // only shrinks), and a positive event count means positive coverage
+      assert(r.getLong(2) <= sumLen(u))
+      assert(r.getLong(2) > 0)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("interval coverage: hand-built overlap/containment/gap case") {
+    import spark.implicits._
+    // [0,100), [50,150) merge; [120,130) contained; [200,210) separate
+    val df = Seq((1L, 1L, 0L, 100L), (1L, 2L, 50L, 100L), (1L, 3L, 120L, 10L),
+                 (1L, 4L, 200L, 10L))
+      .toDF("user_id", "event_id", "us", "len_us")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    import org.apache.spark.sql.expressions.Window.{unboundedPreceding, currentRow}
+    val out = df
+      .withColumn("end_us", col("us") + col("len_us"))
+      .withColumn("prev_max_end", max(col("end_us")).over(w.rowsBetween(unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w.rowsBetween(unboundedPreceding, currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("us").as("s"), max("end_us").as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("e") - col("s")).as("cov"))
+      .collect()(0)
+    assert(out.getLong(1) === 2)     // two islands
+    assert(out.getLong(2) === 160L)  // [0,150) + [200,210)
+  }
+
+  test("delta rank: rank 1 is the max delta per month; lag chain consistent") {
+    val rows = Timeseries.deltaRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(5))
+      assert(byRank.head.getInt(5) === 1)
+      // deltas are non-increasing with rank
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+        case _ =>
+      }
+    }
+    rows.foreach(r => assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1e-9))
+  }
+}
