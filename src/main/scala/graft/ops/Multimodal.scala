@@ -145,7 +145,10 @@ object Multimodal {
     * codec-less environment (full pixel/sample decode stays env-blocked
     * in decodeStub). Formats: PNG (IHDR), JPEG (SOF0/1/2 marker scan),
     * GIF (87a/89a logical screen), BMP (BITMAPINFOHEADER), WAV (RIFF fmt
-    * chunk scan). Returns (format, width, height, sample_rate, channels)
+    * chunk scan), MP4/ISO-BMFF (ftyp gate + moov>trak>tkhd box walk,
+    * 16.16 fixed-point dims — ISO 14496-12), MP3 (ID3v2 syncsafe skip +
+    * frame-sync scan, version/layer-resolved sample rate, mono detect).
+    * Returns (format, width, height, sample_rate, channels)
     * with nulls where the notion doesn't apply; unknown magic → ("unknown",
     * nulls) — never throws on truncated or hostile input (a 100 TB media
     * lake WILL contain garbage; the quarantine decision belongs to the
@@ -223,6 +226,109 @@ object Multimodal {
           }
         }
         out
+      }
+      else if (b.length >= 12 && ascii(4, "ftyp")) {
+        // MP4 / ISO BMFF (ISO 14496-12): walk top-level boxes to moov,
+        // then moov > trak > tkhd; width/height are 16.16 fixed point.
+        // Box size 1 = 64-bit largesize; size 0 = "to end of file".
+        def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+        // returns (payload start, next box start) or None when corrupt
+        def box(i: Int, limit: Int): Option[(String, Int, Int)] = {
+          if (i + 8 > limit) None
+          else {
+            val sz = be32(i)
+            val tpe = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            val (payload, end) =
+              if (sz == 1L && i + 16 <= limit) {
+                val lsz = be64(i + 8)
+                if (lsz < 16 || lsz > limit - i) (i + 16, limit) else (i + 16, i + lsz.toInt)
+              }
+              else if (sz == 0L) (i + 8, limit)
+              else if (sz < 8 || sz > limit - i) return None // corrupt: stop
+              else (i + 8, i + sz.toInt)
+            Some((tpe, payload, end))
+          }
+        }
+        def findBox(tpe: String, from: Int, limit: Int): Option[(Int, Int)] = {
+          var i = from
+          while (i + 8 <= limit) {
+            box(i, limit) match {
+              case Some((t, p, e)) =>
+                if (t == tpe) return Some((p, e))
+                if (e <= i) return None // no forward progress: corrupt
+                i = e
+              case None => return None
+            }
+          }
+          None
+        }
+        // first trak whose tkhd carries nonzero dims = the video track
+        def trakDims(moovP: Int, moovE: Int): (Option[Int], Option[Int]) = {
+          var i = moovP
+          while (i + 8 <= moovE) {
+            box(i, moovE) match {
+              case Some((t, p, e)) =>
+                if (t == "trak") findBox("tkhd", p, e).foreach { case (tp, te) =>
+                  // tkhd payload: version(1)+flags(3), then v0: 20B of
+                  // times/ids, v1: 32B; tail to width = 8+2+2+2+2+36 = 52
+                  val verOff = if (u8(tp) == 1) 32 else 20
+                  val wOff = tp + 4 + verOff + 52
+                  if (wOff + 8 <= te) {
+                    val w = dim(be32(wOff) >> 16)    // 16.16 fixed -> int part
+                    val h = dim(be32(wOff + 4) >> 16)
+                    if (w.isDefined && h.isDefined) return (w, h)
+                  }
+                }
+                if (e <= i) return (None, None)
+                i = e
+              case None => return (None, None)
+            }
+          }
+          (None, None)
+        }
+        findBox("moov", 0, b.length) match {
+          case Some((p, e)) =>
+            val (w, h) = trakDims(p, e)
+            ("mp4", w, h, None, None)
+          case None => ("mp4", None, None, None, None)
+        }
+      }
+      else if (b.length >= 4 &&
+               (ascii(0, "ID3") || (u8(0) == 0xFF && (u8(1) & 0xE0) == 0xE0))) {
+        // MP3: optional ID3v2 tag (syncsafe 28-bit size), then the first
+        // frame header FF Ex: version+layer select the sample-rate table,
+        // channel mode 3 = mono
+        var i = 0
+        if (ascii(0, "ID3") && b.length >= 10) {
+          val syncsafe = ((u8(6) & 0x7F) << 21) | ((u8(7) & 0x7F) << 14) |
+                         ((u8(8) & 0x7F) << 7) | (u8(9) & 0x7F)
+          i = 10 + syncsafe
+        }
+        // scan (bounded) for the frame sync — encoders may pad after ID3
+        var found = -1
+        var scan = i
+        val scanEnd = math.min(b.length - 4, i + 4096)
+        while (found < 0 && scan >= 0 && scan <= scanEnd) {
+          if (u8(scan) == 0xFF && (u8(scan + 1) & 0xE0) == 0xE0) found = scan
+          scan += 1
+        }
+        if (found < 0) ("mp3", None, None, None, None)
+        else {
+          val h1 = u8(found + 1); val h2 = u8(found + 2); val h3 = u8(found + 3)
+          val versionBits = (h1 >> 3) & 0x3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+          val layerBits = (h1 >> 1) & 0x3
+          val rateIdx = (h2 >> 2) & 0x3
+          val base = Array(11025, 12000, 8000) // MPEG2.5 row
+          val rate =
+            if (versionBits == 1 || layerBits == 0 || rateIdx == 3) None
+            else dim((versionBits match {
+              case 3 => base(rateIdx) * 4 // MPEG1
+              case 2 => base(rateIdx) * 2 // MPEG2
+              case _ => base(rateIdx)     // MPEG2.5
+            }).toLong)
+          val channels = Some(if (((h3 >> 6) & 0x3) == 3) 1 else 2)
+          ("mp3", None, None, rate, if (rate.isDefined) channels else None)
+        }
       }
       else ("unknown", None, None, None, None)
     } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>

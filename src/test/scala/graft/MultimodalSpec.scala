@@ -186,4 +186,90 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === (("wav", None, None, Some(8000), Some(1))))
     assert(got(4L)._1 === "unknown")
   }
+
+  /** ISO-BMFF box builder (ISO 14496-12 layout) — the JDK ships no MP4
+    * encoder, so structurally-valid spec-authored bytes are the honest
+    * test input here (unlike the ImageIO formats above).
+    */
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def tkhd(w: Int, h: Int, version: Int): Array[Byte] = {
+    val times = if (version == 1) 32 else 20
+    val bb = java.nio.ByteBuffer.allocate(4 + times + 52 + 8)
+    bb.put(version.toByte).put(new Array[Byte](3 + times + 52))
+    bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+    box("tkhd", bb.array())
+  }
+
+  private def mp4(w: Int, h: Int, version: Int = 0, extraTrak: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
+    // an audio-style trak (zero dims) first when extraTrak — the sniffer
+    // must skip it and report the video trak's dimensions
+    val traks = (if (extraTrak) box("trak", tkhd(0, 0, version)) else Array.empty[Byte]) ++
+      box("trak", tkhd(w, h, version))
+    ftyp ++ box("free", new Array[Byte](4)) ++ box("moov", box("mvhd", new Array[Byte](100)) ++ traks)
+  }
+
+  test("sniffHeader mp4: box walk finds the video tkhd dims, v0 and v1, skipping audio traks") {
+    val (f0, w0, h0, _, _) = Multimodal.sniffHeader(mp4(640, 360))
+    assert(f0 === "mp4" && w0 === Some(640) && h0 === Some(360))
+    val (f1, w1, h1, _, _) = Multimodal.sniffHeader(mp4(1920, 1080, version = 1, extraTrak = true))
+    assert(f1 === "mp4" && w1 === Some(1920) && h1 === Some(1080))
+    // audio-only (all-zero dims): format recognized, no dimensions
+    val (fa, wa, ha, _, _) = Multimodal.sniffHeader(mp4(0, 0))
+    assert(fa === "mp4" && wa.isEmpty && ha.isEmpty)
+    // no moov at all (streaming-style fragmented head): mp4, no dims
+    val (fn, wn, _, _, _) = Multimodal.sniffHeader(box("ftyp", "isom".getBytes))
+    assert(fn === "mp4" && wn.isEmpty)
+  }
+
+  test("sniffHeader mp4: corrupt sizes terminate without dims, never spin or throw") {
+    // box claiming size beyond the buffer
+    val bad = mp4(10, 10).clone()
+    bad(0) = 0x7F.toByte // ftyp size becomes enormous
+    assert(Multimodal.sniffHeader(bad)._1 === "mp4")
+    // size < 8 (no forward progress) inside moov
+    val tiny = box("ftyp", "isom".getBytes) ++ box("moov", Array[Byte](0, 0, 0, 2, 't', 'r', 'a', 'k'))
+    val r = Multimodal.sniffHeader(tiny)
+    assert(r._1 === "mp4" && r._2.isEmpty)
+    // truncated mid-tkhd
+    val cut = java.util.Arrays.copyOf(mp4(640, 360), 60)
+    assert(Multimodal.sniffHeader(cut)._1 === "mp4")
+  }
+
+  /** A valid MPEG1 Layer III frame header: FF FB = sync + MPEG1 + layer
+    * III + no CRC; byte 2 = bitrate/samplerate indices; byte 3 = mode.
+    */
+  private def mp3Frame(rateIdx: Int, mono: Boolean): Array[Byte] = {
+    val b2 = (9 << 4) | (rateIdx << 2) // bitrate idx 9 = 128k, pad 0
+    val b3 = (if (mono) 3 else 1) << 6
+    Array(0xFF.toByte, 0xFB.toByte, b2.toByte, b3.toByte) ++ new Array[Byte](32)
+  }
+
+  private def id3(size: Int): Array[Byte] =
+    "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+      Array(((size >> 21) & 0x7F).toByte, ((size >> 14) & 0x7F).toByte,
+            ((size >> 7) & 0x7F).toByte, (size & 0x7F).toByte)
+
+  test("sniffHeader mp3: bare frame, ID3v2-prefixed frame, mono flag, rate table") {
+    val (f, _, _, sr, ch) = Multimodal.sniffHeader(mp3Frame(0, mono = false))
+    assert(f === "mp3" && sr === Some(44100) && ch === Some(2))
+    val (f2, _, _, sr2, ch2) = Multimodal.sniffHeader(mp3Frame(1, mono = true))
+    assert(f2 === "mp3" && sr2 === Some(48000) && ch2 === Some(1))
+    // ID3v2 tag (syncsafe size 300) then padding then the frame
+    val tagged = id3(300) ++ new Array[Byte](300) ++ mp3Frame(2, mono = false)
+    val (f3, _, _, sr3, _) = Multimodal.sniffHeader(tagged)
+    assert(f3 === "mp3" && sr3 === Some(32000))
+    // ID3 with no audible frame within the scan bound: mp3, no rate
+    val silent = id3(8) ++ new Array[Byte](8)
+    val r = Multimodal.sniffHeader(silent)
+    assert(r._1 === "mp3" && r._4.isEmpty)
+    // reserved version bits (FF E8) must not claim a rate
+    val bad = Array(0xFF.toByte, 0xE8.toByte, 0x24.toByte, 0x00.toByte)
+    assert(Multimodal.sniffHeader(bad)._4.isEmpty)
+  }
 }
