@@ -109,9 +109,11 @@ object Stats {
       .select(col("p.a"), col("p.b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
+    // item counts are |parts| rows — broadcast both lookup sides (left to
+    // AQE's post-agg size estimate these degrade to sort-merge joins)
     pairs
-      .join(itemCounts.withColumnRenamed("l_partkey", "a").withColumnRenamed("n_item", "n_a"), Seq("a"))
-      .join(itemCounts.withColumnRenamed("l_partkey", "b").withColumnRenamed("n_item", "n_b"), Seq("b"))
+      .join(broadcast(itemCounts.withColumnRenamed("l_partkey", "a").withColumnRenamed("n_item", "n_a")), Seq("a"))
+      .join(broadcast(itemCounts.withColumnRenamed("l_partkey", "b").withColumnRenamed("n_item", "n_b")), Seq("b"))
       .crossJoin(broadcast(nOrders))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         r6(col("n_ab").cast("double") * col("n_orders").cast("double") /
