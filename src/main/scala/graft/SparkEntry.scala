@@ -168,6 +168,8 @@ object SparkEntry {
     "q_url_canonicalize" -> Text.urlCanonicalizeQuery,
     "q_text_nfc" -> Functions.textNfcQuery,
     "q_mode" -> Relational.modeQuery,
+    "q_window_exclude" -> Windows.windowExclude,
+    "q_rolling_median" -> Timeseries.rollingMedian,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1756,6 +1758,39 @@ object SparkEntry {
         |SELECT doc_id, nfc_normalize(s) AS norm,
         |  CAST(s <> nfc_normalize(s) AS INT) AS changed
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_window_exclude" ->
+      // Spark has no frame EXCLUDE — the engine runs the algebraic form
+      // (partition sum − own value over exact cents); the oracle runs
+      // DuckDB's NATIVE "EXCLUDE CURRENT ROW", proving the workaround
+      // row-identical to the real construct
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |x AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) - 1 AS n_peers,
+        |    SUM(cents) OVER (PARTITION BY c_mktsegment
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |      EXCLUDE CURRENT ROW) AS peer_cents
+        |  FROM c)
+        |SELECT c_custkey, c_mktsegment, CAST(n_peers AS BIGINT) AS n_peers,
+        |  round(CAST(peer_cents AS DOUBLE) / (100e0 * CAST(n_peers AS DOUBLE)), 6) AS peer_avg
+        |FROM x WHERE n_peers > 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_rolling_median" ->
+      // exact integer daily counts; both engines share the (n-1)*q
+      // interpolated-percentile definition over the 7-row frame
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, epoch_day, CAST(cnt AS BIGINT) AS cnt,
+        |  round(quantile_cont(cnt, 0.5e0) OVER (PARTITION BY event_type ORDER BY epoch_day
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+        |FROM daily ORDER BY event_type, epoch_day""".stripMargin,
 
     "q_mode" ->
       // PG mode() tie rule made explicit: (count desc, value asc) under

@@ -185,4 +185,29 @@ object Timeseries {
               col("prev_rev"), col("delta"), col("mrank"))
       .orderBy(col("month_id"), col("mrank"))
   }
+
+  /** q_rolling_median: trailing-7-day ROLLING MEDIAN of per-type daily
+    * event counts — the robust-smoothing sibling of a moving average
+    * (outlier days do not drag the baseline, which is why alerting
+    * pipelines prefer it). Spark allows any aggregate as a window
+    * function, so this is `percentile(cnt, 0.5)` over a ROWS 6 PRECEDING
+    * frame — both engines share the (n−1)·q interpolation definition
+    * (the q_winsorize argument) over exact integer daily counts, round-6
+    * on top. One (type, day) aggregate + a |types|-partition window.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("med7", r6(expr("percentile(cnt, 0.5)").over(w)))
+      .select(col("event_type"), col("epoch_day"), col("cnt").cast("long").as("cnt"),
+              col("med7"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
 }

@@ -232,4 +232,30 @@ object Windows {
     val b = Sources.orders(spark, dir).select(col("o_custkey").as("custkey"))
     a.except(b).orderBy(col("custkey"))
   }
+
+  /** q_window_exclude: the SQL-standard frame EXCLUDE clause (peer-group
+    * / current-row exclusion — "how does each row compare to the REST of
+    * its partition"), which Spark's window frames do not support. The
+    * engine-native form is algebraic: sum-excluding-current = partition
+    * sum − own value, count-excluding = n − 1, avg-of-others = the one
+    * shared IEEE division — exact decimal cents keep the subtraction
+    * order-independent. Gated against DuckDB's NATIVE `EXCLUDE CURRENT
+    * ROW` frame, proving the workaround row-identical to the real
+    * construct (the q_window_distinct pattern). One partition shuffle,
+    * no ordering needed at all — cheaper than the ordered-frame spelling.
+    */
+  def windowExclude(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
+      .withColumn("n_peers", (count(lit(1)).over(w) - 1).cast("long"))
+      .withColumn("peer_cents", sum(col("cents")).over(w) - col("cents"))
+      .filter(col("n_peers") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_peers"),
+        r6(col("peer_cents").cast("double") /
+           (lit(100.0) * col("n_peers").cast("double"))).as("peer_avg"))
+      .orderBy(col("c_custkey"))
+  }
 }

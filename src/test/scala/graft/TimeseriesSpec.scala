@@ -126,4 +126,37 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
     }
     rows.foreach(r => assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1e-9))
   }
+
+  test("rolling median: first day equals its own count; median inside the trailing window") {
+    val rows = Timeseries.rollingMedian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getDouble(3) === sorted.head.getLong(2).toDouble)
+      sorted.indices.foreach { i =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_.getLong(2).toDouble)
+        assert(sorted(i).getDouble(3) >= win.min - 1e-9 && sorted(i).getDouble(3) <= win.max + 1e-9)
+      }
+    }
+  }
+
+  test("window exclude: peers' average excludes exactly the own row") {
+    val rows = graft.ops.Windows.windowExclude(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val segs = graft.io.Sources.customer(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("c_mktsegment"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+           org.apache.spark.sql.functions.sum(
+             (org.apache.spark.sql.functions.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bal = graft.io.Sources.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    rows.foreach { r =>
+      val (n, s) = segs(r.getString(1))
+      assert(r.getLong(2) === n - 1)
+      val expected = (s - bal(r.getLong(0))).toDouble / (100.0 * (n - 1))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-5)
+    }
+  }
 }
