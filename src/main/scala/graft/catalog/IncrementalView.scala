@@ -55,6 +55,47 @@ object IncrementalView {
             minmax: Seq[String] = Seq.empty): DataFrame =
     summarize(spark.table(qualifiedName), dims, sums, minmax)
 
+  /** A change feed as SIGNED rows: insert = +1, delete = −1 — the
+    * multiset-algebra form every delta rule below multiplies and sums.
+    */
+  private def toSigned(feed: DataFrame): DataFrame =
+    feed.withColumn("__sign",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .drop("_change_type")
+
+  /** Merge a SIGNED delta row set into a count/sum summary state: signed
+    * partial aggregates, null-safe full-outer merge on the dims, groups
+    * whose row count reaches zero dropped. This is the shared engine of
+    * single-table `refresh` (minmax-free path) and `refreshJoin`.
+    */
+  private def applyDelta(state: DataFrame, signedRows: DataFrame,
+                         dims: Seq[String], sums: Seq[String]): DataFrame = {
+    val deltaAggs = sum(col("__sign")).as("__dn") +: sums.flatMap(c => Seq(
+      sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(s"__dnn_$c"),
+      sum(col(c) * col("__sign")).as(s"__dsum_$c")))
+    val deltaCols = Seq("__dn") ++ sums.flatMap(c => Seq(s"__dnn_$c", s"__dsum_$c"))
+    val delta = signedRows
+      .groupBy(dims.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .select(dims.map(c => col(c).as(s"__d_$c")) ++ deltaCols.map(col): _*)
+    val cond = dims.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    def addOrZero(a: Column, b: Column): Column =
+      coalesce(a, lit(0L)) + coalesce(b, lit(0L))
+    state.join(delta, cond, "full_outer")
+      .select(
+        dims.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++
+          Seq(addOrZero(col("__n"), col("__dn")).as("__n")) ++
+          sums.flatMap { c =>
+            val nn = addOrZero(col(s"__nn_$c"), col(s"__dnn_$c"))
+            Seq(nn.as(s"__nn_$c"),
+                when(nn === 0L, lit(null))
+                  .otherwise(coalesce(col(s"__sum_$c"), lit(0)) +
+                             coalesce(col(s"__dsum_$c"), lit(0)))
+                  .as(s"__sum_$c"))
+          }: _*)
+      .filter(col("__n") > 0)
+  }
+
   /** Advance a summary built at snapshot `fromVersion` to snapshot
     * `toVersion` using only the change feed between them: signed partial
     * aggregates of the delta (insert = +1, delete = −1) outer-merged into
@@ -85,6 +126,10 @@ object IncrementalView {
     require(missing.isEmpty,
       s"summary state lacks ${missing.mkString(", ")} — it predates the " +
       "per-measure counters; rebuild it once with build/materialize")
+    if (minmax.isEmpty)
+      return applyDelta(state,
+        toSigned(ChangeFeed.tableChanges(spark, qualifiedName, fromVersion, toVersion)),
+        dims, sums)
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val isIns = col("_change_type") === "insert"
     val deltaAggs = (sum(sign).as("__dn") +: sums.flatMap(c => Seq(
@@ -159,6 +204,87 @@ object IncrementalView {
       baseAt.join(broadcast(flagged), rescanCond, "left_semi"),
       dims, sums, minmax)
     mergedCk.filter(!col("__rescan")).drop("__rescan").unionByName(rescanned)
+  }
+
+  // ------------------------------------------------------------------
+  // JOIN-VIEW maintenance: V = SELECT dims, COUNT(*), SUM(m)…
+  //                        FROM A JOIN B ON a.k = b.k GROUP BY dims
+  // ------------------------------------------------------------------
+
+  /** Pinned snapshot of a catalog table (empty frame with the live schema
+    * for version 0 — a created-but-never-written table).
+    */
+  private def versioned(spark: SparkSession, name: String, v: Long): DataFrame =
+    if (v == 0) spark.table(name).filter(lit(false))
+    else spark.sql(s"SELECT * FROM ${quoted(name)} VERSION AS OF $v")
+
+  private def joinCond(keysA: Seq[String], keysB: Seq[String]): Column =
+    keysA.zip(keysB).map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
+
+  private def requireDisjoint(spark: SparkSession, tableA: String, tableB: String): Unit = {
+    val shared = spark.table(tableA).columns.toSet
+      .intersect(spark.table(tableB).columns.toSet)
+    require(shared.isEmpty,
+      s"join-view tables must have disjoint column names; shared: ${shared.mkString(", ")}")
+  }
+
+  /** Seed a JOIN summary at pinned versions (vA, vB) of the two base
+    * tables: one inner equi-join + one aggregate. Standard SQL join
+    * semantics (NULL keys never match). Column names of A and B must be
+    * disjoint so dims/sums are unambiguous.
+    */
+  def buildJoin(spark: SparkSession, tableA: String, tableB: String,
+                keysA: Seq[String], keysB: Seq[String],
+                dims: Seq[String], sums: Seq[String],
+                vA: Long, vB: Long): DataFrame = {
+    requireDisjoint(spark, tableA, tableB)
+    summarize(versioned(spark, tableA, vA)
+      .join(versioned(spark, tableB, vB), joinCond(keysA, keysB)),
+      dims, sums)
+  }
+
+  /** Advance a JOIN summary from (fromA, fromB) to (toA, toB) using ONLY
+    * the two change feeds and one-sided joins against the PINNED old
+    * snapshots — never a re-join of the full tables. The multiset delta
+    * rule: with ΔA, ΔB as SIGNED row sets (insert +1, delete −1),
+    *
+    *   (A+ΔA)⋈(B+ΔB) − A⋈B  =  ΔA⋈B  +  A⋈ΔB  +  ΔA⋈ΔB
+    *
+    * where a joined pair's multiplicity is the PRODUCT of the sides'
+    * signs — the ΔA⋈ΔB term is what makes a same-window delete×delete
+    * (+1) correct: both one-sided terms removed that pair once each.
+    * The signed pair stream then feeds the same count/sum merge as the
+    * single-table path, so the equivalence contract carries over:
+    * chained refreshJoin ≡ buildJoin at the final versions (pinned by
+    * IncrementalViewSpec, including key multiplicity on both sides).
+    *
+    * Scale shape: each term is ONE equi-join whose small side is a
+    * change feed (broadcastable); the old-snapshot scans are the only
+    * base reads and prune to the feed's join keys under runtime
+    * filtering. MIN/MAX over join views is deliberately out of scope —
+    * a retraction rescan would need the full re-join; rebuild instead.
+    */
+  def refreshJoin(spark: SparkSession, tableA: String, tableB: String,
+                  keysA: Seq[String], keysB: Seq[String],
+                  dims: Seq[String], sums: Seq[String],
+                  state: DataFrame,
+                  fromA: Long, toA: Long, fromB: Long, toB: Long): DataFrame = {
+    if (fromA == toA && fromB == toB) return state
+    requireDisjoint(spark, tableA, tableB)
+    val cond = joinCond(keysA, keysB)
+    val out = (dims ++ sums).distinct
+    val dA = toSigned(ChangeFeed.tableChanges(spark, tableA, fromA, toA))
+    val dB = toSigned(ChangeFeed.tableChanges(spark, tableB, fromB, toB))
+    val aOld = versioned(spark, tableA, fromA)
+    val bOld = versioned(spark, tableB, fromB)
+    val dAxB = dA.join(bOld, cond)
+      .select(out.map(col) :+ col("__sign"): _*)
+    val AxdB = aOld.join(dB, cond)
+      .select(out.map(col) :+ col("__sign"): _*)
+    val dAxdB = dA.withColumnRenamed("__sign", "__sa")
+      .join(dB.withColumnRenamed("__sign", "__sb"), cond)
+      .select(out.map(col) :+ (col("__sa") * col("__sb")).as("__sign"): _*)
+    applyDelta(state, dAxB.unionByName(AxdB).unionByName(dAxdB), dims, sums)
   }
 
   /** MATERIALIZED form: the summary lives in a catalog table of its own,

@@ -353,4 +353,79 @@ class IncrementalViewSpec extends AnyFunSuite with SparkFixture {
 
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
+
+  test("JOIN-view refresh chain equals re-join rebuild, incl. same-window deltas on both sides") {
+    spark.conf.set("spark.sql.catalog.graft_ivm", "graft.catalog.GraftCatalog")
+    val A = "graft_ivm.default.ivm_fact"
+    val B = "graft_ivm.default.ivm_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $A")
+    spark.sql(s"DROP TABLE IF EXISTS $B")
+    spark.sql(s"CREATE TABLE $A (fk BIGINT, fid BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $B (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $A VALUES (1, 100, 10), (1, 101, 20), (2, 102, 5)")
+    spark.sql(s"INSERT INTO $B VALUES (1, 'x'), (2, 'y')")
+
+    val dirA = tableDir("ivm_fact"); val dirB = tableDir("ivm_dim")
+    def vA(): Long = GroupFiles.versions(dirA).max
+    def vB(): Long = GroupFiles.versions(dirB).max
+    val (keysA, keysB) = (Seq("fk"), Seq("pk"))
+    val dims = Seq("seg"); val sums = Seq("m")
+    def viewSorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("seg").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    def rebuild() = IncrementalView.buildJoin(spark, A, B, keysA, keysB, dims, sums, vA(), vB())
+
+    var (va, vb) = (vA(), vB())
+    var state = rebuild().localCheckpoint()
+    assert(viewSorted(state) === Seq(("x", 2L, 30L), ("y", 1L, 5L)))
+
+    // commit on A only: new rows under existing and missing join keys
+    // (fk=3 has no dim partner yet — must contribute nothing)
+    spark.sql(s"INSERT INTO $A VALUES (2, 103, 7), (3, 104, 100)")
+    state = IncrementalView.refreshJoin(spark, A, B, keysA, keysB, dims, sums,
+      state, va, vA(), vb, vB()).localCheckpoint()
+    va = vA(); vb = vB()
+    assert(viewSorted(state) === viewSorted(rebuild()))
+    assert(viewSorted(state) === Seq(("x", 2L, 30L), ("y", 2L, 12L)))
+
+    // commit on B only: the late-arriving dim key 3 picks up BOTH waiting
+    // fact rows? (only 104) — key multiplicity via a second pk=1 row too:
+    // every fk=1 fact row now joins TWICE into segment 'x2'
+    spark.sql(s"INSERT INTO $B VALUES (3, 'z'), (1, 'x2')")
+    state = IncrementalView.refreshJoin(spark, A, B, keysA, keysB, dims, sums,
+      state, va, vA(), vb, vB()).localCheckpoint()
+    va = vA(); vb = vB()
+    assert(viewSorted(state) === viewSorted(rebuild()))
+    assert(viewSorted(state) ===
+      Seq(("x", 2L, 30L), ("x2", 2L, 30L), ("y", 2L, 12L), ("z", 1L, 100L)))
+
+    // SAME-WINDOW deltas on BOTH sides (exercises the dA x dB product
+    // term): a new fact row under a key whose dim row is REPLACED in the
+    // same window (MERGE = delete+insert in the feed)
+    spark.sql(s"INSERT INTO $A VALUES (2, 105, 1000)")
+    spark.sql(
+      s"""MERGE INTO $B t USING (SELECT 2 AS pk2, 'y9' AS seg2) s ON t.pk = s.pk2
+         |WHEN MATCHED THEN UPDATE SET seg = s.seg2""".stripMargin)
+    state = IncrementalView.refreshJoin(spark, A, B, keysA, keysB, dims, sums,
+      state, va, vA(), vb, vB()).localCheckpoint()
+    va = vA(); vb = vB()
+    assert(viewSorted(state) === viewSorted(rebuild()))
+    assert(viewSorted(state).exists(r => r._1 == "y9" && r._2 == 3L && r._3 == 1012L))
+    assert(!viewSorted(state).exists(_._1 == "y"))
+
+    // delete on A empties a fact key; delete on B kills a whole segment
+    spark.sql(s"DELETE FROM $A WHERE fk = 1")
+    spark.sql(s"DELETE FROM $B WHERE seg = 'z'")
+    state = IncrementalView.refreshJoin(spark, A, B, keysA, keysB, dims, sums,
+      state, va, vA(), vb, vB()).localCheckpoint()
+    va = vA(); vb = vB()
+    assert(viewSorted(state) === viewSorted(rebuild()))
+    assert(viewSorted(state) === Seq(("y9", 3L, 1012L)))
+
+    // identity when neither side moved
+    assert(viewSorted(IncrementalView.refreshJoin(spark, A, B, keysA, keysB,
+      dims, sums, state, va, vA(), vb, vB())) === viewSorted(state))
+
+    spark.sql(s"DROP TABLE IF EXISTS $A")
+    spark.sql(s"DROP TABLE IF EXISTS $B")
+  }
 }
