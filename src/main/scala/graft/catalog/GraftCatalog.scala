@@ -146,7 +146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "materialize_deletes", "history", "expire_snapshots",
-            "rollback_to")
+            "rollback_to", "tag", "drop_tag")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -240,6 +240,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           val (prev, cur) = GroupFiles.rollbackToVersions(dir, input.getLong(1))
           out(prev, cur)
         })
+      case "tag" => unbound("tag",
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("name", StringType).build(),
+              // -1 sentinel = tag the CURRENT version
+              procedures.ProcedureParameter.in("version", LongType)
+                .defaultValue("-1").build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", StringType, false),
+          org.apache.spark.sql.types.StructField("version", LongType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val name = input.getUTF8String(1).toString
+          val v = input.getLong(2) match {
+            case -1L => GroupFiles.version(dir)
+            case x => x
+          }
+          GroupFiles.setTag(dir, name, v)
+          out(org.apache.spark.unsafe.types.UTF8String.fromString(name), v)
+        })
+      case "drop_tag" => unbound("drop_tag",
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("existed", org.apache.spark.sql.types.BooleanType, false))),
+        { input =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          out(Boolean.box(GroupFiles.dropTag(dir, input.getUTF8String(1).toString)))
+        })
       case other => throw new UnsupportedOperationException(
         s"unknown procedure system.$other")
     }
@@ -302,9 +330,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"GraftCatalog table versions are commit numbers; got '$version'")
+    // a non-numeric version string is a TAG lookup (`VERSION AS OF 'v1'`)
+    // — names are never all-digits by construction, so the two spaces
+    // cannot collide
+    val v = version.toLongOption.getOrElse {
+      GroupFiles.tags(Paths.get(t.location)).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a commit number nor a tag of ${t.name()} " +
+          s"(tags: ${GroupFiles.tags(Paths.get(t.location)).keys.toSeq.sorted.mkString(", ")})"))
     }
     new GraftTable(t.name(), t.schema(), t.location, pinnedVersion = Some(v), props = t.props)
   }
@@ -903,6 +936,55 @@ object GroupFiles {
   /** Latest commit number (0 = never committed). */
   def version(dir: Path): Long = versions(dir).lastOption.getOrElse(0L)
 
+  // ---- SNAPSHOT TAGS (Iceberg-style named refs) --------------------------
+  // A tag is a named pointer to a snapshot version, stored as a one-line
+  // `tag.<name>` file next to the manifests. Tags are RETENTION-AWARE:
+  // expiration (automatic RETAIN horizon, expire_snapshots, and the
+  // publish-time sweep) never drops a tagged snapshot or the files it
+  // references — the whole point of tagging ("audit-2024", "v1-training-
+  // set") is that the snapshot outlives the rolling window.
+
+  private val TAG = "tag."
+
+  /** Tag-name charset: never all-digits (VERSION AS OF must stay
+    * unambiguous between commit numbers and tags), filesystem-safe.
+    */
+  private def validTagName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+      !name.forall(_.isDigit)
+
+  /** Create or move a tag to snapshot `v` (which must be on disk). */
+  def setTag(dir: Path, name: String, v: Long): Unit =
+    lockFor(dir).synchronized {
+      require(validTagName(name),
+        s"invalid tag name '$name': letters/digits/-_. only, not all digits")
+      require(versions(dir).contains(v),
+        s"cannot tag version $v: not a retained snapshot (have ${versions(dir).mkString(", ")})")
+      writeAtomic(dir, TAG + name, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  /** Drop a tag; returns whether it existed. The snapshot it pinned
+    * becomes expirable again on the NEXT expiration (nothing is swept
+    * here — dropping a ref must stay a metadata-only operation).
+    */
+  def dropTag(dir: Path, name: String): Boolean =
+    lockFor(dir).synchronized { Files.deleteIfExists(dir.resolve(TAG + name)) }
+
+  /** All tags of a table, name → version. */
+  def tags(dir: Path): Map[String, Long] = {
+    if (!Files.exists(dir)) return Map.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(TAG))
+      .flatMap { n =>
+        val v = new String(Files.readAllBytes(dir.resolve(n)),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        v.map(n.stripPrefix(TAG) -> _)
+      }.toMap
+    finally s.close()
+  }
+
   /** Snapshot history, newest first — the DESCRIBE HISTORY analogue:
     * (version, committed-at epoch millis from the snapshot file's mtime,
     * live group-file count at that version). Only RETAIN-ed snapshots
@@ -1101,7 +1183,12 @@ object GroupFiles {
   private def dropSnapshotsBefore(dir: Path, keepFrom: Long,
                                   extraCandidates: Set[String] = Set.empty,
                                   liveNow: Option[Seq[Group]] = None): Int = {
-    val expired = versions(dir).filter(_ < keepFrom)
+    // tagged snapshots are pinned: a named ref exists exactly so its
+    // snapshot outlives the rolling retention window. retainedRefs below
+    // is computed from the SURVIVING manifest set, so every file a kept
+    // tagged snapshot references survives the sweep with it.
+    val tagged = tags(dir).values.toSet
+    val expired = versions(dir).filter(v => v < keepFrom && !tagged(v))
     val expiredRefs = expired.flatMap(v => refs(liveAt(dir, v))).toSet
     expired.foreach(v => Files.deleteIfExists(dir.resolve(s"$MANIFEST.v$v")))
     val retainedRefs =
@@ -1873,7 +1960,7 @@ class GraftLocalScan(schema: StructType, resultRows: Seq[InternalRow])
   * manifest as of its own planning, consistent with a plain read.
   */
 object GraftMetadataTable {
-  val KINDS: Set[String] = Set("files", "snapshots", "partitions")
+  val KINDS: Set[String] = Set("files", "snapshots", "partitions", "tags")
 }
 
 class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
@@ -1907,6 +1994,10 @@ class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
       StructField("n_rows", LongType),
       StructField("bytes", LongType),
       StructField("n_deleted", LongType, nullable = false)))
+    // the named refs: which snapshots are pinned beyond retention
+    case "tags" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -1949,6 +2040,11 @@ class GraftMetadataTable(name0: String, base: GraftTable, kind: String)
                 total(_.bytes),
                 gs.map(_.deletes.map(_._2).getOrElse(0L)).sum))
             }
+        case "tags" =>
+          GroupFiles.tags(dir).toSeq.sortBy(_._1).map { case (name, v) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](UTF8String.fromString(name), v))
+          }
       }
       new GraftLocalScan(s, rows)
     }
