@@ -170,6 +170,8 @@ object SparkEntry {
     "q_mode" -> Relational.modeQuery,
     "q_window_exclude" -> Windows.windowExclude,
     "q_rolling_median" -> Timeseries.rollingMedian,
+    "q_benford" -> Stats.benford,
+    "q_skyline" -> Stats.skyline,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1791,6 +1793,35 @@ object SparkEntry {
         |  round(quantile_cont(cnt, 0.5e0) OVER (PARTITION BY event_type ORDER BY epoch_day
         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
         |FROM daily ORDER BY event_type, epoch_day""".stripMargin,
+
+    "q_benford" ->
+      // first digit via the DECIMAL(18,2) string rendering (both engines
+      // print plain digits); exact counts; expectation = one log10 tree
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1e0),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS pct,
+        |  round(log10(1e0 + 1e0 / CAST(digit AS DOUBLE)), 6) AS benford_pct
+        |FROM c, t ORDER BY digit""".stripMargin,
+
+    "q_skyline" ->
+      // collapse to best size per exact price cent, then the running-max
+      // RANGE frame over strictly cheaper points — linear, no pair join
+      """WITH pp AS (
+        |  SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    MAX(p_size) AS size, COUNT(*) AS n_at_price
+        |  FROM part GROUP BY 1),
+        |w AS (
+        |  SELECT price_cents, size, n_at_price,
+        |    MAX(size) OVER (ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+        |  FROM pp)
+        |SELECT price_cents, CAST(size AS BIGINT) AS size, n_at_price
+        |FROM w WHERE best_cheaper IS NULL OR size > best_cheaper
+        |ORDER BY price_cents""".stripMargin,
 
     "q_mode" ->
       // PG mode() tie rule made explicit: (count desc, value asc) under

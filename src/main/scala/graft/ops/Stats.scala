@@ -154,4 +154,51 @@ object Stats {
       r6((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
       r6(cov * cov / (varX * varY)).as("r2"))
   }
+
+  /** q_benford: Benford's-law first-digit audit of order totals — the
+    * classic fraud / synthetic-data smell test (natural multiplicative
+    * quantities put ~30.1% of first digits at 1; fabricated numbers
+    * don't). First digit via the DECIMAL(18,2) string rendering (both
+    * engines print plain '1234.56' — no scientific notation, no locale),
+    * counts exact, observed share and the log10(1+1/d) expectation as
+    * one shared double tree round-6. One tiny aggregate; 9 output rows.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{money, r6}
+    val digits = Sources.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(money(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        r6(col("n").cast("double") / col("n_total").cast("double")).as("pct"),
+        r6(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))).as("benford_pct"))
+      .orderBy(col("digit"))
+  }
+
+  /** q_skyline: the 2-D PARETO FRONTIER of parts (minimize retail price,
+    * maximize size) — multi-objective shortlisting ("no other part is
+    * both cheaper and bigger"). Linear window form, never an all-pairs
+    * dominance join: collapse to the best (max) size per exact price
+    * cent, then a point survives iff its size strictly exceeds the
+    * running max size over all STRICTLY cheaper points — a RANGE frame
+    * on integer cents ending 1 PRECEDING, identical in both engines.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.money
+    val perPrice = Sources.part(spark, dir)
+      .select((money(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+              col("p_size"), col("p_partkey"))
+      .groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("size"), count(lit(1)).as("n_at_price"))
+    val cheaper = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    perPrice
+      .withColumn("best_cheaper", max(col("size")).over(cheaper))
+      .filter(col("best_cheaper").isNull || col("size") > col("best_cheaper"))
+      .select(col("price_cents"), col("size").cast("long").as("size"), col("n_at_price"))
+      .orderBy(col("price_cents"))
+  }
 }

@@ -29,7 +29,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_chisq",           // contingency cells × broadcast(1-row totals)
     "q_ks_test",         // cumulative counts × broadcast(1-row n1/n2 totals)
     "q_market_basket",   // pair counts × broadcast(1-row order total)
-    "q_locf_gapfill"     // distinct users × broadcast(30-row generated date spine)
+    "q_locf_gapfill",    // distinct users × broadcast(30-row generated date spine)
+    "q_benford"          // 9 digit rows × broadcast(1-row total)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns

@@ -98,4 +98,33 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(1) < 0, "frequency must fall with rank")
     assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
   }
+
+  test("benford: 9 digits, shares sum to 1, expectation matches the closed form") {
+    val rows = Stats.benford(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / r.getInt(0))) < 1e-6)
+    }
+  }
+
+  test("skyline: frontier equals the brute-force non-dominated set") {
+    val rows = Stats.skyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pts = graft.io.Sources.part(spark, sfDir)
+      .select((col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
+              col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = pts.distinct.filter { case (p, sz) =>
+      !pts.exists { case (q, qs) =>
+        q <= p && qs >= sz && (q < p || qs > sz)
+      }
+    }.sorted
+    assert(rows.toSeq.sorted === brute.toSeq)
+    // frontier is strictly increasing in size as price rises
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._1 < b._1 && a._2 < b._2)
+      case _ =>
+    }
+  }
 }
