@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PRODUCT QUANTIZATION (Jégou et al., "Product quantization for nearest
+  * neighbor search", TPAMI 2011 — public paper; implemented from the
+  * method, no code shared) — the memory side of the ANN story: IVF
+  * (Ivf.scala) prunes WHERE to look, PQ compresses WHAT is stored, and
+  * FAISS-style engines ship both. A D-dim float vector (D·4 bytes)
+  * becomes m byte codes (m bytes — 32× smaller at D=64, m=8): split the
+  * dimensions into m subspaces, k-means each subspace to `ksub`
+  * centroids, store each subvector as its nearest centroid id.
+  *
+  * Search is ASYMMETRIC DISTANCE (ADC): the probe stays exact; one tiny
+  * m × ksub lookup table of partial squared distances is computed per
+  * probe (driver-side — m·ksub doubles), and each row's approximate
+  * distance is m table lookups summed — a pure codegen'd column
+  * expression over the codes, no decode, no per-row trig.
+  *
+  * Scale shape: codebooks are the only collected state (m·ksub·(D/m) =
+  * D·ksub doubles — independent of corpus size); training shuffles at
+  * code grain; encode and ADC are map-side column math. Approximate ⇒
+  * API-only (tolerance-tested in PqSpec), the approx_count_distinct
+  * rule.
+  */
+object Pq {
+
+  /** Codebooks: for each subspace j < m, an array of (cid, centroid)
+    * where centroid has D/m dims.
+    */
+  type Codebooks = Array[Array[(Int, Array[Double])]]
+
+  /** Nearest-centroid code for subspace j as a column: an `aggregate`
+    * HOF fold over the literal codebook array. The fold's accumulator is
+    * a LAMBDA variable, so the expression tree stays LINEAR in ksub — a
+    * naive when-chain reduce references its accumulator twice per step
+    * and blows up exponentially (measured: OOM at ksub=16).
+    */
+  private def codeCol(emb: Column, off: Int, d0: Int,
+                      book: Array[(Int, Array[Double])]): Column = {
+    val arr = array(book.map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
+    }: _*)
+    aggregate(
+      arr,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, c) => {
+        val dist = (0 until d0).map { i =>
+          val dd = emb(off + i).cast("double") - element_at(c.getField("cvec"), i + 1)
+          dd * dd
+        }.reduce(_ + _)
+        when(dist < acc.getField("d"),
+             struct(dist.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Train the m codebooks with `iters` Lloyd rounds each. Deterministic
+    * hash-sampled init (the Ivf pattern). `dim` must divide by m.
+    */
+  def train(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
+            idCol: String = "vec_id", embCol: String = "embedding"): Codebooks = {
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d0 = dim / m
+    val init = corpus
+      .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000000)))
+      .orderBy(col("__h"), col(idCol)).limit(ksub)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Codebooks = Array.tabulate(m) { j =>
+      init.zipWithIndex.map { case (v, i) => (i, v.slice(j * d0, (j + 1) * d0)) }
+    }
+    (1 to iters).foreach { _ =>
+      // ONE assignment pass adds all m code columns, then m small
+      // aggregates (each shuffles ksub groups) update the books
+      val coded = encode(corpus, books, embCol).localCheckpoint()
+      books = Array.tabulate(m) { j =>
+        val means = coded.groupBy(col(s"pq_$j"))
+          .agg(array((0 until d0).map(i =>
+            avg(col(embCol)(j * d0 + i).cast("double"))): _*).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        val kept = means.map(_._1).toSet
+        (means ++ books(j).filterNot(c => kept.contains(c._1))).sortBy(_._1)
+      }
+    }
+    books
+  }
+
+  /** Attach the m byte codes (`pq_0 … pq_{m-1}`) — the stored index form.
+    * Pure column expressions; at 100 TB this is the write-side map pass
+    * whose output replaces the raw vectors in the hot index.
+    */
+  def encode(corpus: DataFrame, books: Codebooks, embCol: String = "embedding"): DataFrame = {
+    val d0 = books.head.head._2.length
+    books.zipWithIndex.foldLeft(corpus) { case (df, (book, j)) =>
+      df.withColumn(s"pq_$j", codeCol(col(embCol), j * d0, d0, book))
+    }
+  }
+
+  /** ADC lookup table for one probe: lut(j)(cid) = ‖probe_j − c_jc‖². */
+  def lookupTable(probe: Array[Double], books: Codebooks): Array[Array[Double]] = {
+    val d0 = books.head.head._2.length
+    books.zipWithIndex.map { case (book, j) =>
+      val slice = probe.slice(j * d0, (j + 1) * d0)
+      val lut = new Array[Double](book.map(_._1).max + 1)
+      book.foreach { case (cid, cvec) =>
+        lut(cid) = slice.zip(cvec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      lut
+    }
+  }
+
+  /** Approximate distances + top-k for one probe over an ENCODED corpus:
+    * each row costs m literal-array lookups — no vector math at all.
+    */
+  def adcTopK(coded: DataFrame, books: Codebooks, probe: Array[Double], k: Int,
+              idCol: String = "vec_id"): DataFrame = {
+    val lut = lookupTable(probe, books)
+    val dist = lut.zipWithIndex.map { case (tbl, j) =>
+      // element_at is 1-based; codes are 0-based cids
+      element_at(array(tbl.map(lit): _*), col(s"pq_$j") + 1)
+    }.reduce(_ + _)
+    coded.select(col(idCol), dist.as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+}
