@@ -146,7 +146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "materialize_deletes", "history", "expire_snapshots",
-            "rollback_to", "tag", "drop_tag")
+            "rollback_to", "tag", "drop_tag", "rewrite_zorder")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -258,6 +258,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           }
           GroupFiles.setTag(dir, name, v)
           out(org.apache.spark.unsafe.types.UTF8String.fromString(name), v)
+        })
+      case "rewrite_zorder" => unbound("rewrite_zorder",
+        // the OPTIMIZE ZORDER BY (c1, c2) analogue: rewrite the table
+        // clustered by the Morton interleave of the two columns' 256-way
+        // rank buckets, into `target_groups` contiguous-z group files —
+        // after which per-group min/max stats prune scans filtered on
+        // EITHER column. Rank buckets here come from ntile (a global
+        // sort); at 100 TB substitute approximate range bounds (the
+        // repartitionByRange sampler) — the layout contract is identical.
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("col1", StringType).build(),
+              procedures.ProcedureParameter.in("col2", StringType).build(),
+              procedures.ProcedureParameter.in("target_groups", IntegerType)
+                .defaultValue("8").build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("groups_before", LongType, false),
+          org.apache.spark.sql.types.StructField("groups_after", LongType, false),
+          org.apache.spark.sql.types.StructField("n_rows", LongType, false))),
+        { input =>
+          import org.apache.spark.sql.functions.{col, ntile}
+          val spark = org.apache.spark.sql.SparkSession.active
+          val tbl = input.getUTF8String(0).toString
+          val (c1, c2) = (input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+          val ng = input.getInt(3)
+          require(ng >= 1, s"target_groups must be >= 1, got $ng")
+          val dir = dirOf(tbl)
+          val before = GroupFiles.live(dir).size.toLong
+          val qualified = (catalogName +: tbl.split('.').toSeq)
+            .map(p => s"`${p.replace("`", "``")}`").mkString(".")
+          val w = org.apache.spark.sql.expressions.Window
+          val df = spark.table(qualified)
+          val z = graft.ops.Scale.zorder2(
+            ntile(256).over(w.orderBy(col(c1))).cast("long") - 1,
+            ntile(256).over(w.orderBy(col(c2))).cast("long") - 1, 8)
+          // materialize BEFORE the overwrite — the plan reads the table
+          // it is about to replace
+          val sorted = df.withColumn("__z", z)
+            .repartitionByRange(ng, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+            .localCheckpoint()
+          val nRows = sorted.count()
+          val tmp = s"__zorder_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          sorted.createOrReplaceTempView(tmp)
+          try spark.sql(s"INSERT OVERWRITE $qualified SELECT * FROM $tmp")
+          finally spark.catalog.dropTempView(tmp)
+          out(before, GroupFiles.live(dir).size.toLong, nRows)
         })
       case "drop_tag" => unbound("drop_tag",
         Array(procedures.ProcedureParameter.in("table", StringType).build(),
