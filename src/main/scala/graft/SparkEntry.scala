@@ -172,6 +172,8 @@ object SparkEntry {
     "q_rolling_median" -> Timeseries.rollingMedian,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
+    "q_mad_outliers" -> Stats.madOutliers,
+    "q_gini" -> Stats.gini,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1822,6 +1824,36 @@ object SparkEntry {
         |SELECT price_cents, CAST(size AS BIGINT) AS size, n_at_price
         |FROM w WHERE best_cheaper IS NULL OR size > best_cheaper
         |ORDER BY price_cents""".stripMargin,
+
+    "q_mad_outliers" ->
+      // exact interpolated medians (quantile_cont == percentile); the
+      // 1.8 gate tests the ROUNDED score so the boundary cannot flip
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v FROM customer),
+        |med AS (SELECT c_mktsegment, quantile_cont(v, 0.5e0) AS med FROM c GROUP BY 1),
+        |mad AS (SELECT c.c_mktsegment, med, quantile_cont(abs(v - med), 0.5e0) AS mad
+        |        FROM c JOIN med USING (c_mktsegment) GROUP BY 1, 2)
+        |SELECT c_custkey, c.c_mktsegment, round(abs(v - med) / mad, 6) AS score
+        |FROM c JOIN mad USING (c_mktsegment)
+        |WHERE mad > 0 AND round(abs(v - med) / mad, 6) > 1.8e0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_gini" ->
+      // exact integer cents x integer ranks: numerator and denominator
+      // are exact, the one division is shared, round-6
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS BIGINT) AS i
+        |  FROM spend)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  round(CAST(SUM((i * 2 - 1) * cents) - COUNT(*) * SUM(cents) AS DOUBLE) /
+        |        CAST(COUNT(*) * SUM(cents) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY 1 HAVING SUM(cents) > 0 ORDER BY 1""".stripMargin,
 
     "q_mode" ->
       // PG mode() tie rule made explicit: (count desc, value asc) under

@@ -201,4 +201,65 @@ object Stats {
       .select(col("price_cents"), col("size").cast("long").as("size"), col("n_at_price"))
       .orderBy(col("price_cents"))
   }
+
+  /** q_mad_outliers: MEDIAN-ABSOLUTE-DEVIATION outlier gate per segment —
+    * the robust sibling of q_outlier_zscore: mean/stddev are dragged by
+    * the very outliers they hunt, median/MAD are not (50% breakdown
+    * point). score = |x − median| / MAD on the ROUNDED score (round-6
+    * both sides, so the boundary cannot flip). The 1.8 gate, not the
+    * textbook 3.5: uniform-ish balances bound the score at 2.0 (the
+    * q_outlier_zscore argument), so 3.5 would pass vacuously — 1.8 keeps
+    * a genuine ~10% two-tail at every scale factor. Flagged at > 1.8
+    * score; medians are
+    * exact interpolated percentiles (the q_winsorize portability rule).
+    * Two tiny aggregates broadcast back — never a full-table sort.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val c = Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").cast("double").as("v"))
+    val med = c.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = c.join(broadcast(med), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"), col("med"))
+      .agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
+    c.join(broadcast(mad), Seq("c_mktsegment"))
+      .filter(col("mad") > 0)
+      .withColumn("score", r6(abs(col("v") - col("med")) / col("mad")))
+      .filter(col("score") > 1.8)
+      .select(col("c_custkey"), col("c_mktsegment"), col("score"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_gini: GINI COEFFICIENT of customer order spend per market segment
+    * — revenue-concentration ("do 20% of customers drive 80% of spend"),
+    * the inequality audit behind pricing and sampling decisions. The
+    * exact sorted-rank form G = Σ(2i − n − 1)·x_i / (n·Σx) over per-
+    * customer totals in (spend, custkey) order: spend is exact integer
+    * cents, ranks are integers, so numerator and denominator are exact
+    * BIGINTs and the one division is shared, round-6. One customer-grain
+    * aggregate, one |segment|-partition window, |segments| output rows.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{money, r6}
+    val spend = Sources.orders(spark, dir)
+      .join(broadcast(Sources.customer(spark, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents"), col("c_custkey"))
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("cents")).as("total_cents"),
+           sum((col("i") * 2 - 1) * col("cents")).as("weighted"))
+      .filter(col("total_cents") > 0)
+      .select(col("c_mktsegment"), col("n_customers"),
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx — both BIGINT-exact
+        r6((col("weighted") - col("n_customers") * col("total_cents")).cast("double") /
+           (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

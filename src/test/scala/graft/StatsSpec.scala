@@ -127,4 +127,34 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       case _ =>
     }
   }
+
+  test("mad outliers: scores exceed the gate; MAD robust to the outliers themselves") {
+    val rows = Stats.madOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 1.8))
+    // no segment flags a majority of its rows (robustness sanity)
+    val segSizes = graft.io.Sources.customer(spark, sfDir)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (seg, rs) =>
+      assert(rs.length < segSizes(seg) / 2, s"$seg flags too many")
+    }
+  }
+
+  test("gini: in [0,1); equal spends give 0; concentration raises it") {
+    val rows = Stats.gini(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    // hand check: equal values -> 0, one-takes-all -> (n-1)/n
+    import spark.implicits._
+    def g(vals: Seq[Long]): Double = {
+      val sorted = vals.sorted
+      val n = sorted.length.toLong
+      val tot = sorted.sum
+      val weighted = sorted.zipWithIndex.map { case (x, i) => (2L * (i + 1) - 1) * x }.sum
+      (weighted - n * tot).toDouble / (n * tot).toDouble
+    }
+    assert(math.abs(g(Seq(5, 5, 5, 5))) < 1e-12)
+    assert(math.abs(g(Seq(0, 0, 0, 12)) - 0.75) < 1e-12)
+  }
 }
