@@ -336,6 +336,68 @@ object Multimodal {
     }
   }
 
+  /** EXIF ORIENTATION (tag 0x0112) from a JPEG's APP1 segment — the
+    * rotate-before-training signal: a pipeline that ignores it trains on
+    * sideways images. REAL byte parsing (no codec): walk JPEG markers to
+    * APP1 "Exif\u0000\u0000", then the embedded TIFF structure — byte
+    * order (II/MM), magic 42, IFD0 offset, 12-byte IFD entries, SHORT
+    * value for tag 0x0112. Returns 1..8, or None when there is no EXIF,
+    * no orientation entry, an out-of-range value, or any truncation —
+    * never throws (the sniffHeader hostile-input contract).
+    */
+  def exifOrientation(b: Array[Byte]): Option[Int] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def beU16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    try {
+      if (b == null || b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+      // marker walk to APP1 (the sniffHeader JPEG loop)
+      var i = 2
+      var app1 = -1
+      var done = false
+      while (!done && app1 < 0 && i + 3 < b.length && u8(i) == 0xFF) {
+        val m = u8(i + 1)
+        if (m == 0xFF) i += 1
+        else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
+        else {
+          val len = beU16(i + 2)
+          if (len < 2) done = true
+          else {
+            if (m == 0xE1) app1 = i + 4 // payload start
+            else if (m == 0xDA) done = true // entropy-coded data: stop
+            i += 2 + len
+          }
+        }
+      }
+      if (app1 < 0 || app1 + 14 > b.length) return None
+      // "Exif\0\0" then the TIFF header
+      if (!(u8(app1) == 'E' && u8(app1 + 1) == 'x' && u8(app1 + 2) == 'i' &&
+            u8(app1 + 3) == 'f' && u8(app1 + 4) == 0 && u8(app1 + 5) == 0)) return None
+      val tiff = app1 + 6
+      val little = u8(tiff) == 'I' && u8(tiff + 1) == 'I'
+      val big = u8(tiff) == 'M' && u8(tiff + 1) == 'M'
+      if (!little && !big) return None
+      def u16(i: Int): Int = if (little) (u8(i + 1) << 8) | u8(i) else beU16(i)
+      def u32(i: Int): Long =
+        if (little) ((u16(i + 2).toLong << 16) | u16(i)) & 0xFFFFFFFFL
+        else ((u16(i).toLong << 16) | u16(i + 2)) & 0xFFFFFFFFL
+      if (u16(tiff + 2) != 42) return None
+      val ifd0 = tiff + u32(tiff + 4).toInt
+      if (ifd0 + 2 > b.length) return None
+      val n = u16(ifd0)
+      var e = 0
+      while (e < n) {
+        val entry = ifd0 + 2 + e * 12
+        if (entry + 12 > b.length) return None
+        if (u16(entry) == 0x0112 && u16(entry + 2) == 3) { // SHORT orientation
+          val v = u16(entry + 8) // value packed in the first 2 value bytes
+          return if (v >= 1 && v <= 8) Some(v) else None
+        }
+        e += 1
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   val headerSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),

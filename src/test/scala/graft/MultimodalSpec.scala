@@ -272,4 +272,46 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val bad = Array(0xFF.toByte, 0xE8.toByte, 0x24.toByte, 0x00.toByte)
     assert(Multimodal.sniffHeader(bad)._4.isEmpty)
   }
+
+  /** Hand-built EXIF APP1 JPEG head (spec-authored, ISO/TIFF layout). */
+  private def exifJpeg(orientation: Int, littleEndian: Boolean,
+                       extraEntryFirst: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(128)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    val n = if (extraEntryFirst) 2 else 1
+    bb.put(if (littleEndian) 'I'.toByte else 'M'.toByte)
+      .put(if (littleEndian) 'I'.toByte else 'M'.toByte)
+      .putShort(42).putInt(8)        // IFD0 at offset 8 from TIFF start
+      .putShort(n.toShort)
+    if (extraEntryFirst) {           // an unrelated LONG entry before it
+      bb.putShort(0x0100.toShort).putShort(4).putInt(1).putInt(640)
+    }
+    bb.putShort(0x0112.toShort).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0)
+    bb.putInt(0)                      // next-IFD pointer
+    val tiff = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val payload = "Exif\u0000\u0000".getBytes("ISO-8859-1") ++ tiff
+    val app1Len = payload.length + 2
+    Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+          ((app1Len >> 8) & 0xFF).toByte, (app1Len & 0xFF).toByte) ++ payload
+  }
+
+  test("exif orientation: both endiannesses, entry scan, absence and garbage -> None") {
+    assert(Multimodal.exifOrientation(exifJpeg(6, littleEndian = true)) === Some(6))
+    assert(Multimodal.exifOrientation(exifJpeg(8, littleEndian = false)) === Some(8))
+    assert(Multimodal.exifOrientation(
+      exifJpeg(3, littleEndian = true, extraEntryFirst = true)) === Some(3))
+    // out-of-range orientation rejected
+    assert(Multimodal.exifOrientation(exifJpeg(9, littleEndian = true)).isEmpty)
+    // a real JDK JPEG carries no EXIF -> None, and still sniffs as jpeg
+    val plain = encodeImage("jpeg", 20, 10)
+    assert(Multimodal.exifOrientation(plain).isEmpty)
+    assert(Multimodal.sniffHeader(plain)._1 === "jpeg")
+    // truncation inside the TIFF never throws
+    val cut = java.util.Arrays.copyOf(exifJpeg(6, littleEndian = true), 20)
+    assert(Multimodal.exifOrientation(cut).isEmpty)
+    assert(Multimodal.exifOrientation(null).isEmpty)
+    assert(Multimodal.exifOrientation("not a jpeg".getBytes).isEmpty)
+  }
 }
