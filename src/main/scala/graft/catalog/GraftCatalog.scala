@@ -582,6 +582,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             .exists(_.equalsIgnoreCase(set.property())),
           "bucket layout cannot be changed after CREATE (existing files are routed " +
           "and the scan reports the layout as a key-grouped partitioning)")
+        // CHECK constraints validate at SET time — a bad expression must
+        // fail THIS statement, not the next write
+        if (set.property().startsWith(CheckConstraints.PREFIX))
+          CheckConstraints.validate(org.apache.spark.sql.SparkSession.active,
+            Map(set.property() -> set.value()), schema)
         if (Seq("partition_by", "partition_transform")
             .exists(_.equalsIgnoreCase(set.property()))) {
           layoutChanged = true
@@ -2738,7 +2743,10 @@ class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       // silently mislabel columns if a future write path reordered them
       writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq,
       table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) },
-      table.partitionSpecSeq)
+      table.partitionSpecSeq,
+      // CHECK constraints compiled here (driver-side, real analyzer)
+      CheckConstraints.compile(
+        org.apache.spark.sql.SparkSession.active, table.props, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(table.location)
@@ -2815,7 +2823,10 @@ class GraftDeltaWrite(table: GraftTable, writeSchema: StructType,
       table.bucketSpec.map { case (c, n) => (writeSchema.fieldIndex(c), n) },
       writeSchema.fields.map(f => table.fieldIdOf(f.name)).toSeq,
       table.partitionSpec.map { case (c, t) => (writeSchema.fieldIndex(c), t) },
-      table.partitionSpecSeq)
+      table.partitionSpecSeq,
+      // MoR UPDATE/MERGE new-row images are inserts too — same gate
+      CheckConstraints.compile(
+        org.apache.spark.sql.SparkSession.active, table.props, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.Map.empty[String, Array[Long]]
@@ -2859,7 +2870,8 @@ case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
                                    bucketed: Option[(Int, Int)],
                                    fieldIds: Seq[Int],
                                    partitioned: Option[(Int, String)] = None,
-                                   partSeq: Int = 0)
+                                   partSeq: Int = 0,
+                                   checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -2875,7 +2887,7 @@ case class GraftDeltaWriterFactory(location: String, writeSchema: StructType,
       override def insert(row: InternalRow): Unit = {
         if (inserts == null)
           inserts = GraftWriterFactory(location, writeSchema, bucketed, fieldIds,
-                                       partitioned, partSeq)
+                                       partitioned, partSeq, checks)
             .createWriter(partitionId, taskId)
         inserts.write(row)
       }

@@ -36,7 +36,8 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
                               bucketed: Option[(Int, Int)] = None,
                               fieldIds: Seq[Int] = Seq.empty,
                               partitioned: Option[(Int, String)] = None,
-                              partSeq: Int = 0)
+                              partSeq: Int = 0,
+                              checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -160,6 +161,14 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
         lastSink
       }
 
+      // CHECK constraints: violated-iff-(cond <=> false) predicates,
+      // compiled to codegen'd Predicates once per task (see
+      // CheckConstraints for the SQL NULL-passes semantics). Evaluated on
+      // the PROJECTED row, so write-schema positions are the row's own.
+      private lazy val checkPreds = checks.map { case (name, violated) =>
+        (name, org.apache.spark.sql.catalyst.expressions.Predicate.create(violated))
+      }
+
       override def write(record: InternalRow): Unit = {
         if (proj == null) {
           val offset = record.numFields - writeSchema.length
@@ -172,6 +181,11 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
           proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(refs.toIndexedSeq)
         }
         val u = proj(record) // projection output is reused — serialize now
+        checkPreds.foreach { case (name, p) =>
+          if (p.eval(u)) throw new IllegalArgumentException(
+            s"CHECK constraint '$name' violated by an incoming row — " +
+            "write aborted, no data committed")
+        }
         sinkFor(u).write(u)
       }
 
