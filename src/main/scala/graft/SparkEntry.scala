@@ -174,6 +174,8 @@ object SparkEntry {
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
     "q_gini" -> Stats.gini,
+    "q_geo_distance" -> Geo.geoDistance,
+    "q_geo_join" -> Geo.geoJoin,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1824,6 +1826,54 @@ object SparkEntry {
         |SELECT price_cents, CAST(size AS BIGINT) AS size, n_at_price
         |FROM w WHERE best_cheaper IS NULL OR size > best_cheaper
         |ORDER BY price_cents""".stripMargin,
+
+    "q_geo_distance" ->
+      // identical synthetic coordinates; haversine as ONE shared tree
+      // mirroring the engine's exact argument order (no sign flips —
+      // libm odd-symmetry exactness is not guaranteed); round-6 absorbs
+      // sin/cos/asin ulp drift across runtimes (the ln argument)
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 37) % 1000 AS DOUBLE) / 100e0 + 40e0 AS lat,
+        |    CAST((c_custkey * 73) % 2000 AS DOUBLE) / 100e0 AS lon
+        |  FROM customer)
+        |SELECT id, round(12742e0 * asin(sqrt(
+        |  sin(radians(45e0 - lat) / 2e0) * sin(radians(45e0 - lat) / 2e0) +
+        |  cos(radians(lat)) * cos(radians(45e0)) *
+        |  sin(radians(10e0 - lon) / 2e0) * sin(radians(10e0 - lon) / 2e0))), 6) AS hub_km
+        |FROM p ORDER BY id""".stripMargin,
+
+    "q_geo_join" ->
+      // 2-degree-cell 3x3 neighborhood equi-join (complete for 150 km),
+      // exact haversine verify on the ROUNDED km, per-probe rollup
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 37) % 1000 AS DOUBLE) / 100e0 + 40e0 AS lat,
+        |    CAST((c_custkey * 73) % 2000 AS DOUBLE) / 100e0 AS lon
+        |  FROM customer),
+        |c AS (SELECT id, lat, lon,
+        |        CAST(floor(lon / 2e0) AS BIGINT) AS cx,
+        |        CAST(floor(lat / 2e0) AS BIGINT) AS cy FROM p),
+        |pr AS (
+        |  SELECT a.id AS a, a.lat AS alat, a.lon AS alon,
+        |         a.cx + dxt.dx AS cx, a.cy + dyt.dy AS cy
+        |  FROM c a, (VALUES (-1), (0), (1)) dxt(dx), (VALUES (-1), (0), (1)) dyt(dy)
+        |  WHERE a.id % 20 = 0 AND a.id <= 3000),
+        |cand AS (
+        |  SELECT pr.a, b.id AS b,
+        |    round(12742e0 * asin(sqrt(
+        |      sin(radians(b.lat - pr.alat) / 2e0) * sin(radians(b.lat - pr.alat) / 2e0) +
+        |      cos(radians(pr.alat)) * cos(radians(b.lat)) *
+        |      sin(radians(b.lon - pr.alon) / 2e0) * sin(radians(b.lon - pr.alon) / 2e0))), 6) AS km
+        |  FROM pr JOIN c b ON b.cx = pr.cx AND b.cy = pr.cy
+        |  WHERE pr.a <> b.id),
+        |f AS (SELECT a, b, km FROM cand WHERE km <= 150e0)
+        |SELECT a, n_neighbors, b AS nearest_id, km AS nearest_km FROM (
+        |  SELECT a, b, km,
+        |    row_number() OVER (PARTITION BY a ORDER BY km, b) AS rn,
+        |    COUNT(*) OVER (PARTITION BY a) AS n_neighbors
+        |  FROM f) z
+        |WHERE rn = 1 ORDER BY a""".stripMargin,
 
     "q_mad_outliers" ->
       // exact interpolated medians (quantile_cont == percentile); the
