@@ -1723,8 +1723,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    'HTTPS://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM:443/Path/' ||
         |    CAST(doc_id % 13 AS VARCHAR) ||
-        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
-        |         WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=y&utm_medium=z'
+        |    CASE WHEN doc_id % 4 = 0 THEN 'café déjà' || CAST(doc_id % 3 AS VARCHAR)
+        |         WHEN doc_id % 4 = 1 THEN 'café déjà' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=y&utm_medium=z'
         |         WHEN doc_id % 4 = 2 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
         |         ELSE '/' END AS url
         |  FROM documents),
@@ -1752,13 +1752,13 @@ object SparkEntry {
       // identical mixed-normalization inputs built in plain SQL; the gate
       // proves the native UnicodeNormalize expression == DuckDB's
       // nfc_normalize byte-for-byte
-      // \uXXXX escapes are processed by scalac even in triple-quoted
-      // strings, so the SQL literal carries the raw combining characters
+      // raw combining characters live in the literal (NFD forms for
+      // case 0/2, precomposed NFC for case 1)
       """WITH s AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 4 = 0 THEN 'cafe\u0301 de\u0301ja\u0300'
-        |         WHEN doc_id % 4 = 1 THEN 'caf\u00e9 d\u00e9j\u00e0'
-        |         WHEN doc_id % 4 = 2 THEN 'u\u0308ber stra\u00dfe'
+        |    CASE WHEN doc_id % 4 = 0 THEN 'café déjà'
+        |         WHEN doc_id % 4 = 1 THEN 'café déjà'
+        |         WHEN doc_id % 4 = 2 THEN 'über straße'
         |         ELSE 'plain ascii' END || ' #' || CAST(doc_id % 10 AS VARCHAR) AS s
         |  FROM documents)
         |SELECT doc_id, nfc_normalize(s) AS norm,
