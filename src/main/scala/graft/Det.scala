@@ -48,6 +48,13 @@ object Det {
   def moneyAvg(c: Column): Column =
     round(sum(money(c)).cast("double") / count(lit(1)), 6)
 
+  /** Exact integer CENTS of a 2-dp money double: the money() cast scaled
+    * by 100, then a lossless cast to long — both engines produce the
+    * identical BIGINT, so downstream products/sums stay exact.
+    * Oracle twin: CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT).
+    */
+  def cents(c: Column): Column = (money(c) * 100).cast("long")
+
   /** Round a statistical double to 6 dp (stddev/corr/cosine/tf-idf). */
   def r6(c: Column): Column = round(c, 6)
 

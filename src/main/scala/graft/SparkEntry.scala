@@ -1661,10 +1661,10 @@ object SparkEntry {
       // shared double tree for t and the Welch-Satterthwaite df
       """WITH m AS (
         |  SELECT
-        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS n1,
+        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS n1,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
-        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n2,
+        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS n2,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS q2
         |  FROM events WHERE event_type IN ('purchase', 'click'))
@@ -1723,8 +1723,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    'HTTPS://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM:443/Path/' ||
         |    CAST(doc_id % 13 AS VARCHAR) ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'café déjà' || CAST(doc_id % 3 AS VARCHAR)
-        |         WHEN doc_id % 4 = 1 THEN 'café déjà' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=y&utm_medium=z'
+        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |         WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=y&utm_medium=z'
         |         WHEN doc_id % 4 = 2 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
         |         ELSE '/' END AS url
         |  FROM documents),

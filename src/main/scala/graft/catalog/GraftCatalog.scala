@@ -285,7 +285,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           require(ng >= 1, s"target_groups must be >= 1, got $ng")
           val dir = dirOf(tbl)
           val before = GroupFiles.live(dir).size.toLong
-          val qualified = (catalogName +: tbl.split('.').toSeq)
+          // bare one-part names resolve to 'default' exactly as dirOf does
+          // — the spark.table identifier must agree with the directory
+          val parts = if (tbl.contains('.')) tbl.split('.').toSeq else Seq("default", tbl)
+          val qualified = (catalogName +: parts)
             .map(p => s"`${p.replace("`", "``")}`").mkString(".")
           val w = org.apache.spark.sql.expressions.Window
           val df = spark.table(qualified)

@@ -224,8 +224,9 @@ object Functions {
     Sources.documents(spark, dir)
       .select(col("doc_id"),
               concat(variant, lit(" #"), (col("doc_id") % 10).cast("string")).as("s"))
-      .select(col("doc_id"), unicodeNormalize(col("s")).as("norm"),
-              (col("s") =!= unicodeNormalize(col("s"))).cast("int").as("changed"))
+      .select(col("doc_id"), col("s"), unicodeNormalize(col("s")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+              (col("s") =!= col("norm")).cast("int").as("changed"))
       .orderBy(col("doc_id"))
   }
 }

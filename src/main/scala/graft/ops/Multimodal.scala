@@ -350,7 +350,13 @@ object Multimodal {
     def beU16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     try {
       if (b == null || b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
-      // marker walk to APP1 (the sniffHeader JPEG loop)
+      // marker walk to the Exif-bearing APP1: a JPEG may carry SEVERAL
+      // APP1 segments (XMP often precedes Exif), so a non-Exif APP1 is
+      // skipped, never treated as "no EXIF"
+      def isExifAt(p: Int): Boolean =
+        p + 6 <= b.length &&
+          u8(p) == 'E' && u8(p + 1) == 'x' && u8(p + 2) == 'i' &&
+          u8(p + 3) == 'f' && u8(p + 4) == 0 && u8(p + 5) == 0
       var i = 2
       var app1 = -1
       var done = false
@@ -362,16 +368,13 @@ object Multimodal {
           val len = beU16(i + 2)
           if (len < 2) done = true
           else {
-            if (m == 0xE1) app1 = i + 4 // payload start
+            if (m == 0xE1 && isExifAt(i + 4)) app1 = i + 4 // payload start
             else if (m == 0xDA) done = true // entropy-coded data: stop
             i += 2 + len
           }
         }
       }
       if (app1 < 0 || app1 + 14 > b.length) return None
-      // "Exif\0\0" then the TIFF header
-      if (!(u8(app1) == 'E' && u8(app1 + 1) == 'x' && u8(app1 + 2) == 'i' &&
-            u8(app1 + 3) == 'f' && u8(app1 + 4) == 0 && u8(app1 + 5) == 0)) return None
       val tiff = app1 + 6
       val little = u8(tiff) == 'I' && u8(tiff + 1) == 'I'
       val big = u8(tiff) == 'M' && u8(tiff + 1) == 'M'

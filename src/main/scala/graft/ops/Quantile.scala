@@ -73,7 +73,20 @@ object Quantile {
       * REGARDLESS of input count — strict O(δ) state.
       */
     private def compress(b: TDigestBuf): TDigestBuf = {
-      if (b.buf.isEmpty && b.means.length <= 2 * delta) return b
+      // the early return must ALSO verify the sorted-by-mean invariant:
+      // merge() concatenates two sorted centroid runs, and a merged
+      // state whose partials had empty buffers (row counts an exact
+      // multiple of 4*delta) would otherwise skip the re-sort and feed
+      // quantiles() a non-monotone means array
+      def sorted: Boolean = {
+        var i = 1
+        while (i < b.means.length) {
+          if (b.means(i - 1) > b.means(i)) return false
+          i += 1
+        }
+        true
+      }
+      if (b.buf.isEmpty && b.means.length <= 2 * delta && sorted) return b
       val pts = ((b.means zip b.weights) ++ b.buf.map((_, 1.0)))
         .sortBy(_._1)
       if (pts.isEmpty) return b.copy(buf = Nil)

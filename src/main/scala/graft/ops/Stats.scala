@@ -65,10 +65,13 @@ object Stats {
     def side(t: String, c: org.apache.spark.sql.Column) = when(col("event_type") === t, c)
     val m = Sources.events(spark, dir)
       .filter(col("event_type").isin("purchase", "click"))
-      .agg(count(side("purchase", lit(1))).cast("double").as("n1"),
+      // n counts NON-NULL measures (count over the money expression, not
+      // the row) — a NULL value must not enter n while being absent from
+      // the sums, or mean and variance are biased
+      .agg(count(side("purchase", money(col("value")))).cast("double").as("n1"),
            sum(side("purchase", money(col("value")))).cast("double").as("s1"),
            sum(side("purchase", money(col("value")) * money(col("value")))).cast("double").as("q1"),
-           count(side("click", lit(1))).cast("double").as("n2"),
+           count(side("click", money(col("value")))).cast("double").as("n2"),
            sum(side("click", money(col("value")))).cast("double").as("s2"),
            sum(side("click", money(col("value")) * money(col("value")))).cast("double").as("q2"))
     val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
@@ -187,9 +190,8 @@ object Stats {
     * on integer cents ending 1 PRECEDING, identical in both engines.
     */
   def skyline(spark: SparkSession, dir: String): DataFrame = {
-    import graft.Det.money
     val perPrice = Sources.part(spark, dir)
-      .select((money(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+      .select(graft.Det.cents(col("p_retailprice")).as("price_cents"),
               col("p_size"), col("p_partkey"))
       .groupBy(col("price_cents"))
       .agg(max(col("p_size")).as("size"), count(lit(1)).as("n_at_price"))

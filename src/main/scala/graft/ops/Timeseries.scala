@@ -20,12 +20,8 @@ import graft.io.Sources
   */
 object Timeseries {
 
-  /** Exact integer cents of a 2-dp money double: DECIMAL(18,2) cast (the
-    * Det.money rule) scaled by 100 — both engines produce the identical
-    * BIGINT, so downstream products/sums stay exact.
-    */
   private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (graft.Det.money(c) * 100).cast("long")
+    graft.Det.cents(c)
 
   /** q_time_weighted_avg: per-user TIME-WEIGHTED average of `value`
     * between consecutive events — the metric that answers "what level was

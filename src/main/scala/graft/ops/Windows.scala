@@ -247,7 +247,7 @@ object Windows {
   def windowExclude(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
     val w = Window.partitionBy(col("c_mktsegment"))
-    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    val cents = graft.Det.cents(col("c_acctbal"))
     Sources.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
       .withColumn("n_peers", (count(lit(1)).over(w) - 1).cast("long"))

@@ -314,4 +314,17 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.exifOrientation(null).isEmpty)
     assert(Multimodal.exifOrientation("not a jpeg".getBytes).isEmpty)
   }
+
+  test("exif orientation: XMP APP1 before the Exif APP1 is skipped, not fatal") {
+    val exif = exifJpeg(6, littleEndian = true)
+    val exifPayload = exif.drop(6) // APP1 payload incl. Exif header
+    val xmp = "http://ns.adobe.com/xap/1.0/\u0000<x:xmpmeta/>".getBytes("ISO-8859-1")
+    val xmpLen = xmp.length + 2
+    val both = Array(0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE1.toByte, ((xmpLen >> 8) & 0xFF).toByte, (xmpLen & 0xFF).toByte) ++ xmp ++
+      Array(0xFF.toByte, 0xE1.toByte,
+            (((exifPayload.length + 2) >> 8) & 0xFF).toByte,
+            ((exifPayload.length + 2) & 0xFF).toByte) ++ exifPayload
+    assert(Multimodal.exifOrientation(both) === Some(6))
+  }
 }

@@ -96,4 +96,29 @@ class QuantileSpec extends AnyFunSuite with SparkFixture {
     val one = agg.finish(agg.reduce(agg.zero, 42.0))
     assert(one.forall(_ === 42.0))
   }
+
+  test("merge of compressed partials (empty buffers) preserves the sorted-means invariant") {
+    // row counts an exact multiple of 4*delta leave partials with EMPTY
+    // buffers; merge concatenates two sorted centroid runs — without a
+    // sortedness check the early return would feed quantiles() a
+    // non-monotone means array (regression: found by review)
+    val agg = Quantile.tdigest(100)
+    val lo = (1 to 400).map(_.toDouble)              // exactly 4*delta
+    val hi = (10001 to 10400).map(_.toDouble)
+    val bLo = lo.foldLeft(agg.zero)(agg.reduce)
+    val bHi = hi.foldLeft(agg.zero)(agg.reduce)
+    assert(bLo.buf.isEmpty && bHi.buf.isEmpty, "precondition: compressed partials")
+    // merge hi-first so the concatenated means are clearly out of order
+    val merged = agg.merge(bHi, bLo)
+    val qs = agg.finish(merged)
+    val sorted = (lo ++ hi).sorted
+    agg.probs.zip(qs).foreach { case (p, est) =>
+      if (p > 0 && p < 1) {
+        val below = sorted.count(_ <= est)
+        assert(math.abs(below.toDouble / sorted.length - p) <= 0.02,
+          s"q=$p est=$est after empty-buffer merge")
+      }
+    }
+    assert(qs.head === 1.0 && qs.last === 10400.0)
+  }
 }

@@ -72,4 +72,17 @@ class ZorderRewriteSpec extends AnyFunSuite with SparkFixture {
       .collect()(0).getLong(0) === beforeRows.count(r => r._2 <= 63))
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
+
+  test("bare one-part table name resolves like every other procedure") {
+    spark.conf.set("spark.sql.catalog.graft_zo", "graft.catalog.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_zo.default.zo_bare")
+    spark.sql("CREATE TABLE graft_zo.default.zo_bare (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO graft_zo.default.zo_bare VALUES (1, 2), (3, 4)")
+    val res = spark.sql(
+      "CALL graft_zo.system.rewrite_zorder('zo_bare', 'x', 'y', 1)").collect()(0)
+    assert(res.getLong(2) === 2L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_zo.default.zo_bare")
+      .collect()(0).getLong(0) === 2)
+    spark.sql("DROP TABLE IF EXISTS graft_zo.default.zo_bare")
+  }
 }
