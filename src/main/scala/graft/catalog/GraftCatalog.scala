@@ -146,7 +146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "materialize_deletes", "history", "expire_snapshots",
-            "rollback_to", "tag", "drop_tag", "rewrite_zorder")
+            "rollback_to", "tag", "drop_tag", "rewrite_zorder", "validate_pk")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -308,6 +308,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           try spark.sql(s"INSERT OVERWRITE $qualified SELECT * FROM $tmp")
           finally spark.catalog.dropTempView(tmp)
           out(before, GroupFiles.live(dir).size.toLong, nRows)
+        })
+      case "validate_pk" => unbound("validate_pk",
+        // the postpy PrimaryKey audit, engine-side: PKs are not
+        // engine-enforced in an analytical store (uniqueness on write
+        // would serialize ingest), so the honest contract is a cheap
+        // on-demand validation — duplicate key-group count and the
+        // worst offender, computed as one aggregate (never row data to
+        // the driver)
+        Array(procedures.ProcedureParameter.in("table", StringType).build(),
+              procedures.ProcedureParameter.in("key_cols", StringType).build()),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_rows", LongType, false),
+          org.apache.spark.sql.types.StructField("n_keys", LongType, false),
+          org.apache.spark.sql.types.StructField("n_dup_keys", LongType, false),
+          org.apache.spark.sql.types.StructField("max_multiplicity", LongType, false))),
+        { input =>
+          import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, sum, when}
+          val spark = org.apache.spark.sql.SparkSession.active
+          val tbl = input.getUTF8String(0).toString
+          val keys = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+          require(keys.nonEmpty, "key_cols must name at least one column")
+          val parts = if (tbl.contains('.')) tbl.split('.').toSeq else Seq("default", tbl)
+          val qualified = (catalogName +: parts)
+            .map(p => s"`${p.replace("`", "``")}`").mkString(".")
+          val perKey = spark.table(qualified)
+            .groupBy(keys.map(col).toIndexedSeq: _*)
+            .agg(count(lit(1)).as("n"))
+          val r = perKey.agg(
+            sum(col("n")).as("rows"),
+            count(lit(1)).as("keys"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("dups"),
+            max(col("n")).as("maxm")).collect()(0)
+          def lz(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+          out(lz(0), lz(1), lz(2), lz(3))
         })
       case "drop_tag" => unbound("drop_tag",
         Array(procedures.ProcedureParameter.in("table", StringType).build(),

@@ -77,4 +77,22 @@ class CheckConstraintSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SELECT m FROM $T WHERE k = 'a'").collect()(0).getLong(0) === 50)
     spark.sql(s"DROP TABLE IF EXISTS $T")
   }
+
+  test("validate_pk: clean and duplicate key sets, composite keys, bare names") {
+    spark.conf.set("spark.sql.catalog.graft_ck", "graft.catalog.GraftCatalog")
+    val T2 = "graft_ck.default.pk_t"
+    spark.sql(s"DROP TABLE IF EXISTS $T2")
+    spark.sql(s"CREATE TABLE $T2 (a BIGINT, b STRING, m BIGINT)")
+    spark.sql(s"INSERT INTO $T2 VALUES (1,'x',10), (2,'x',20), (1,'y',30), (1,'x',40), (1,'x',50)")
+    // single-column key: a=1 appears 4 times
+    val r1 = spark.sql(s"CALL graft_ck.system.validate_pk('default.pk_t', 'a')").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((5L, 2L, 1L, 4L)))
+    // composite key: (1,x) x3 — bare table name form
+    val r2 = spark.sql(s"CALL graft_ck.system.validate_pk('pk_t', 'a, b')").collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) === ((5L, 3L, 1L, 3L)))
+    // a genuinely unique key reports zero duplicates
+    val r3 = spark.sql(s"CALL graft_ck.system.validate_pk('pk_t', 'a, b, m')").collect()(0)
+    assert(r3.getLong(2) === 0L && r3.getLong(3) === 1L)
+    spark.sql(s"DROP TABLE IF EXISTS $T2")
+  }
 }
