@@ -176,6 +176,8 @@ object SparkEntry {
     "q_gini" -> Stats.gini,
     "q_geo_distance" -> Geo.geoDistance,
     "q_geo_join" -> Geo.geoJoin,
+    "q_pareto_topn" -> Stats.paretoTopN,
+    "q_freshness" -> Stats.freshness,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1826,6 +1828,37 @@ object SparkEntry {
         |SELECT price_cents, CAST(size AS BIGINT) AS size, n_at_price
         |FROM w WHERE best_cheaper IS NULL OR size > best_cheaper
         |ORDER BY price_cents""".stripMargin,
+
+    "q_pareto_topn" ->
+      // exact integer cents; the 80% boundary is the BIGINT test
+      // 5*cum >= 4*total, so it cannot flip between engines
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey) AS BIGINT) AS rk,
+        |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_customers
+        |  FROM spend)
+        |SELECT c_mktsegment, n_customers, MIN(rk) AS n_top80,
+        |  round(CAST(MIN(rk) AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) AS head_share
+        |FROM r WHERE cum * 5 >= total * 4
+        |GROUP BY c_mktsegment, n_customers, total
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_freshness" ->
+      // exact integer microseconds; lag vs the freshest stream
+      """WITH l AS (
+        |  SELECT event_type, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(last_us) AS global_us FROM l)
+        |SELECT event_type, n_events, last_us, global_us - last_us AS lag_us
+        |FROM l, g ORDER BY event_type""".stripMargin,
 
     "q_geo_distance" ->
       // identical synthetic coordinates; haversine as ONE shared tree

@@ -264,4 +264,55 @@ object Stats {
            (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** q_pareto_topn: the 80/20 question made exact — per segment, how
+    * many top customers (by spend) cover 80% of revenue, and what share
+    * of the customer base that is. The operational complement of q_gini
+    * (gini scores concentration; this names the head size a campaign
+    * must reach). Exact integer cents; the cumulative share test is
+    * 5·cum >= 4·total in BIGINTs, so the 80% boundary cannot flip; one
+    * customer-grain aggregate + one |segment|-partition window.
+    */
+  def paretoTopN(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val spend = Sources.orders(spark, dir)
+      .join(broadcast(Sources.customer(spark, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(graft.Det.money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+    spend
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cents")).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("n_customers", count(lit(1)).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      // first rank whose cumulative share reaches 80% — integer test
+      .filter(col("cum") * 5 >= col("total") * 4)
+      .groupBy(col("c_mktsegment"), col("n_customers"), col("total"))
+      .agg(min(col("rk")).as("n_top80"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_top80"),
+        r6(col("n_top80").cast("double") / col("n_customers").cast("double")).as("head_share"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q_freshness: per-stream staleness audit — each event type's last
+    * event time and its lag behind the freshest stream (the DQ monitor
+    * that catches a dead producer before a dashboard does). Exact
+    * integer microseconds; one tiny aggregate + a broadcast 1-row max.
+    */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val last = Sources.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+           count(lit(1)).as("n_events"))
+    val global = last.agg(max(col("last_us")).as("global_us"))
+    last.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+              (col("global_us") - col("last_us")).as("lag_us"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -30,7 +30,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_ks_test",         // cumulative counts × broadcast(1-row n1/n2 totals)
     "q_market_basket",   // pair counts × broadcast(1-row order total)
     "q_locf_gapfill",    // distinct users × broadcast(30-row generated date spine)
-    "q_benford"          // 9 digit rows × broadcast(1-row total)
+    "q_benford",         // 9 digit rows × broadcast(1-row total)
+    "q_freshness"        // 5 stream rows × broadcast(1-row global max)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns

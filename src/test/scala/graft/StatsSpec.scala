@@ -157,4 +157,33 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(g(Seq(5, 5, 5, 5))) < 1e-12)
     assert(math.abs(g(Seq(0, 0, 0, 12)) - 0.75) < 1e-12)
   }
+
+  test("pareto top-n: head covers >= 80% of spend and removing one row drops below") {
+    val rows = Stats.paretoTopN(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute force per segment on the tiny fixture
+    val spend = graft.io.Sources.orders(spark, sfDir)
+      .join(graft.io.Sources.customer(spark, sfDir),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val cents = spend(seg).map(_.getLong(2)).sorted.reverse
+      val total = cents.sum
+      val k = r.getLong(2).toInt
+      assert(cents.take(k).sum * 5 >= total * 4, s"$seg: head does not cover 80%")
+      if (k > 1) assert(cents.take(k - 1).sum * 5 < total * 4, s"$seg: head not minimal")
+      assert(r.getLong(1) === cents.length.toLong)
+    }
+  }
+
+  test("freshness: lag zero for the freshest stream, all lags non-negative") {
+    val rows = Stats.freshness(spark, sfDir).collect()
+    assert(rows.length === 5)
+    assert(rows.count(_.getLong(3) == 0L) >= 1)
+    assert(rows.forall(_.getLong(3) >= 0L))
+    assert(rows.map(_.getLong(1)).sum === graft.io.Sources.events(spark, sfDir).count())
+  }
 }
