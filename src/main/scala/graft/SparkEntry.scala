@@ -178,6 +178,7 @@ object SparkEntry {
     "q_geo_join" -> Geo.geoJoin,
     "q_pareto_topn" -> Stats.paretoTopN,
     "q_freshness" -> Stats.freshness,
+    "q_source_similarity" -> Stats.sourceSimilarity,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1828,6 +1829,24 @@ object SparkEntry {
         |SELECT price_cents, CAST(size AS BIGINT) AS size, n_at_price
         |FROM w WHERE best_cheaper IS NULL OR size > best_cheaper
         |ORDER BY price_cents""".stripMargin,
+
+    "q_source_similarity" ->
+      // exact integer counts; dot and norms are exact sums; ONE shared
+      // dot/sqrt(na*nb) tree, round-6
+      """WITH c AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT x.source AS a, y.source AS b, CAST(SUM(x.c * y.c) AS BIGINT) AS dot
+        |  FROM c x JOIN c y ON x.tok = y.tok AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
+        |FROM d JOIN n na ON na.source = a JOIN n nb ON nb.source = b
+        |ORDER BY a, b""".stripMargin,
 
     "q_pareto_topn" ->
       // exact integer cents; the 80% boundary is the BIGINT test

@@ -315,4 +315,34 @@ object Stats {
               (col("global_us") - col("last_us")).as("lag_us"))
       .orderBy(col("event_type"))
   }
+
+  /** q_source_similarity: the SOURCE REDUNDANCY MATRIX — pairwise cosine
+    * similarity of per-source token-frequency vectors, the signal behind
+    * mixture planning ("these two crawls are near-identical, down-weight
+    * one") and dedup targeting. Exact integer token counts; dot products
+    * and norms are exact BIGINT sums; cosine is one shared
+    * dot/sqrt(na·nb) tree round-6. The token dimension is
+    * vocabulary-bounded, so the pair join is |vocab|·|sources|² at most
+    * — flat in corpus size past the first count aggregate.
+    */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val counts = Sources.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy(col("source"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dots = counts.as("x").join(counts.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(sum(col("x.c") * col("y.c")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("a"), col("n2").as("na"))), Seq("a"))
+      .join(broadcast(norms.select(col("source").as("b"), col("n2").as("nb"))), Seq("b"))
+      .select(col("a"), col("b"),
+        r6(col("dot").cast("double") /
+           sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cos"))
+      .orderBy(col("a"), col("b"))
+  }
 }

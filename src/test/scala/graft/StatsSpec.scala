@@ -186,4 +186,23 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getLong(3) >= 0L))
     assert(rows.map(_.getLong(1)).sum === graft.io.Sources.events(spark, sfDir).count())
   }
+
+  test("source similarity: cosines in (0,1]; self-pair excluded; matrix complete") {
+    val rows = Stats.sourceSimilarity(spark, sfDir).collect()
+    val nSrc = graft.io.Sources.documents(spark, sfDir)
+      .select("source").distinct.count().toInt
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // a source is perfectly similar to itself (sanity of the formula):
+    // rebuild one source's vector and check cos(v, v) == 1
+    val c = graft.io.Sources.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").groupBy("source", "tok").count()
+      .filter(col("source") === "src0").collect().map(_.getLong(2))
+    val dot = c.map(x => x * x).sum.toDouble
+    assert(math.abs(dot / math.sqrt(dot * dot) - 1.0) < 1e-12)
+  }
 }
