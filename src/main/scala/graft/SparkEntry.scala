@@ -179,6 +179,7 @@ object SparkEntry {
     "q_pareto_topn" -> Stats.paretoTopN,
     "q_freshness" -> Stats.freshness,
     "q_source_similarity" -> Stats.sourceSimilarity,
+    "q_survival" -> Analytics.survival,
     "q_entropy" -> Text.entropyQuery,
     "q_token_pmi" -> Text.tokenPmiQuery,
     "q_lm_score" -> Text.lmScoreQuery,
@@ -1829,6 +1830,41 @@ object SparkEntry {
         |SELECT price_cents, CAST(size AS BIGINT) AS size, n_at_price
         |FROM w WHERE best_cheaper IS NULL OR size > best_cheaper
         |ORDER BY price_cents""".stripMargin,
+
+    "q_survival" ->
+      // identical duration/censoring arithmetic (time to first
+      // purchase; never-converters censored at their span); S = exp of
+      // the running ln-sum — identical IEEE terms in identical window
+      // order; a terminal d == n step pins S to exactly 0
+      """WITH pu AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CASE WHEN conv_us IS NOT NULL THEN (conv_us - first_us) // 86400000000
+        |              ELSE (last_us - first_us) // 86400000000 END AS t,
+        |    CASE WHEN conv_us IS NOT NULL THEN 0 ELSE 1 END AS censored
+        |  FROM pu),
+        |byt AS (
+        |  SELECT t, CAST(SUM(1 - censored) AS BIGINT) AS d, CAST(SUM(censored) AS BIGINT) AS c
+        |  FROM dur GROUP BY 1),
+        |st AS (
+        |  SELECT t, d, c,
+        |    CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+        |  FROM byt),
+        |tm AS (
+        |  SELECT t, d, c, n_at_risk,
+        |    CASE WHEN d > 0 AND d < n_at_risk
+        |         THEN ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |         ELSE 0e0 END AS term,
+        |    MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_end
+        |  FROM st)
+        |SELECT t, d, c, n_at_risk,
+        |  CASE WHEN dead_end = 1 THEN 0e0
+        |       ELSE round(exp(SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS s
+        |FROM tm ORDER BY t""".stripMargin,
 
     "q_source_similarity" ->
       // exact integer counts; dot and norms are exact sums; ONE shared

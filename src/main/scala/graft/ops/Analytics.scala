@@ -300,4 +300,53 @@ object Analytics {
               r6(col("n").cast("double") / col("n_total").cast("double")).as("pct"))
       .orderBy(col("prev_type"), col("next_type"))
   }
+
+  /** q_survival: KAPLAN-MEIER time-to-conversion curve — days from a
+    * user's first event to their first PURCHASE, with users who never
+    * purchased CENSORED at their observed span (the correct handling a
+    * naive "average days to purchase over converters" biases low). At
+    * each distinct duration t: d conversions, c censored, n at risk
+    * (duration >= t); S(t) = Π(1 − d/n) over conversion times <= t,
+    * computed as exp of the RUNNING ln-sum — both engines add the
+    * identical IEEE terms in the identical window order, round-6 on
+    * top; a terminal d == n step pins S to exactly 0 via the running
+    * flag (ln(0) would poison the sum). One user-grain aggregate + one
+    * ~30-row ordered window — flat in event count past the first
+    * shuffle.
+    */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Sources.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"),
+           max(col("us")).as("last_us"),
+           min(when(col("event_type") === "purchase", col("us"))).as("conv_us"))
+    val durations = perUser.select(
+      when(col("conv_us").isNotNull,
+           expr("(conv_us - first_us) DIV 86400000000L"))
+        .otherwise(expr("(last_us - first_us) DIV 86400000000L")).as("t"),
+      when(col("conv_us").isNotNull, lit(0L)).otherwise(lit(1L)).as("censored"))
+    val byT = durations.groupBy(col("t"))
+      .agg(sum(lit(1L) - col("censored")).as("d"), sum(col("censored")).as("c"))
+    val ord = Window.orderBy(col("t"))
+    val atRisk = sum(col("d") + col("c")).over(
+      ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val stepped = byT
+      .withColumn("n_at_risk", atRisk)
+      // ln((n-d)/n) only where a conversion occurs and survivors remain
+      .withColumn("term",
+        when(col("d") > 0 && col("d") < col("n_at_risk"),
+             log((col("n_at_risk") - col("d")).cast("double") /
+                 col("n_at_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("dead_end", max(when(col("d") === col("n_at_risk"), 1L).otherwise(0L))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s", when(col("dead_end") === 1L, lit(0.0))
+        .otherwise(r6(exp(sum(col("term")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))))))
+    stepped.select(col("t"), col("d"), col("c"), col("n_at_risk"), col("s"))
+      .orderBy(col("t"))
+  }
 }

@@ -88,4 +88,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     // Chebyshev: at most 1/1.7^2 ~ 35% of any distribution is beyond 1.7 sigma
     assert(out.length.toDouble / total <= 0.35)
   }
+
+  test("survival: S non-increasing from <=1; users conserved; KM matches brute force") {
+    val rows = Analytics.survival(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = graft.io.Sources.events(spark, sfDir)
+      .select("user_id").distinct.count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === users)
+    // S starts <= 1, never increases
+    val ss = rows.map(_.getDouble(4))
+    assert(ss.head <= 1.0 + 1e-9)
+    ss.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9); case _ => }
+    // brute-force KM from the (t, d, n) columns
+    var p = 1.0
+    rows.foreach { r =>
+      val (d, n) = (r.getLong(1), r.getLong(3))
+      if (d == n) p = 0.0 else if (d > 0) p *= (n - d).toDouble / n
+      assert(math.abs(r.getDouble(4) - math.rint(p * 1e6) / 1e6) < 2e-6,
+        s"t=${r.getLong(0)}: S=${r.getDouble(4)} vs brute $p")
+    }
+    // at-risk counts telescope: n(t) = n(t+1) + d(t) + c(t)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) === b.getLong(3) + a.getLong(1) + a.getLong(2))
+      case _ =>
+    }
+  }
 }
