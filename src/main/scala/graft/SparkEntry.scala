@@ -1932,8 +1932,9 @@ object SparkEntry {
         |FROM p ORDER BY id""".stripMargin,
 
     "q_geo_join" ->
-      // 2-degree-cell 3x3 neighborhood equi-join (complete for 150 km),
-      // exact haversine verify on the ROUNDED km, per-probe rollup
+      // 2-degree-cell 5x3 neighborhood equi-join (dx -2..2: at lat ~50 a
+      // 150 km radius spans up to ~2.1 deg of lon = two cells — see
+      // Geo.geoJoin), exact haversine verify on the ROUNDED km, rollup
       """WITH p AS (
         |  SELECT c_custkey AS id,
         |    CAST((c_custkey * 37) % 1000 AS DOUBLE) / 100e0 + 40e0 AS lat,
@@ -1945,7 +1946,7 @@ object SparkEntry {
         |pr AS (
         |  SELECT a.id AS a, a.lat AS alat, a.lon AS alon,
         |         a.cx + dxt.dx AS cx, a.cy + dyt.dy AS cy
-        |  FROM c a, (VALUES (-1), (0), (1)) dxt(dx), (VALUES (-1), (0), (1)) dyt(dy)
+        |  FROM c a, (VALUES (-2), (-1), (0), (1), (2)) dxt(dx), (VALUES (-1), (0), (1)) dyt(dy)
         |  WHERE a.id % 20 = 0 AND a.id <= 3000),
         |cand AS (
         |  SELECT pr.a, b.id AS b,

@@ -19,6 +19,14 @@ object Verify {
     // iteration; the driver passes no env var and gets every key
     val keyRe = sys.env.get("SPARK_GRAFT_KEYS").map(_.r)
     def keep(name: String): Boolean = keyRe.forall(_.findFirstIn(name).isDefined)
+    // loud subset marker: if the filter ever leaks into a gated run, the
+    // sentinel makes the partial verification detectable downstream
+    // instead of passing vacuously on a subset that looks like coverage
+    keyRe.foreach { re =>
+      System.err.println(s"[verify] *** SUBSET RUN: SPARK_GRAFT_KEYS=$re — NOT a full gate ***")
+      Files.writeString(Paths.get(s"$outDir/_SUBSET_RUN"),
+        s"SPARK_GRAFT_KEYS=$re\nThis output covers a KEY SUBSET — not a full verification.\n")
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -52,6 +52,13 @@ object CheckConstraints {
         }
       require(analyzed.dataType == BooleanType,
         s"CHECK constraint '$name' ($sql) is ${analyzed.dataType.simpleString}, not BOOLEAN")
+      // a nondeterministic CHECK (rand() < 0.5) is semantically meaningless
+      // — the "same" row would pass or fail by luck — and its Predicate
+      // would need per-partition initialization; reject at compile/ALTER
+      // time with a clear message instead of an obscure writer-side error
+      require(analyzed.deterministic,
+        s"CHECK constraint '$name' ($sql) is nondeterministic — a check " +
+        "must give the same verdict for the same row every time")
       // bind by NAME to write-schema positions: the bound tree is what
       // ships to executors (serializable, codegen-able)
       val bound = analyzed.transform {

@@ -166,7 +166,12 @@ case class GraftWriterFactory(location: String, writeSchema: StructType,
       // CheckConstraints for the SQL NULL-passes semantics). Evaluated on
       // the PROJECTED row, so write-schema positions are the row's own.
       private lazy val checkPreds = checks.map { case (name, violated) =>
-        (name, org.apache.spark.sql.catalyst.expressions.Predicate.create(violated))
+        val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(violated)
+        // Predicate contract: initialize before first eval (nondeterministic
+        // expressions are rejected at compile time, but the call is part of
+        // the interface contract and costs nothing)
+        p.initialize(partitionId)
+        (name, p)
       }
 
       override def write(record: InternalRow): Unit = {

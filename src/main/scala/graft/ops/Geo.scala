@@ -54,27 +54,47 @@ object Geo {
 
   /** q_geo_join: for each PROBE point (a FIXED ~150-point query set:
     * id % 20 = 0 and id <= 3000), its neighbors within 150 km — via the
-    * 2-degree-cell 3x3 neighborhood equi-join (2 deg >= 222 km > 150 km,
-    * so the neighborhood is complete), exact haversine verify on the
-    * ROUNDED distance (the boundary cannot flip), then a per-probe
+    * 2-degree-cell 5x3 neighborhood equi-join, exact haversine verify on
+    * the ROUNDED distance (the boundary cannot flip), then a per-probe
     * rollup: neighbor count and the nearest neighbor by (rounded km,
-    * id). Scale: the probe set is corpus-size-INDEPENDENT (the geo-
+    * id).
+    *
+    * Neighborhood completeness (round 9 fix): 2 deg of LATITUDE is
+    * ~222 km >= 150 km, so dy in -1..1 covers latitude. LONGITUDE
+    * degrees shrink with cos(lat): at this dataset's upper edge
+    * (lat -> 50), 1 deg lon ~= 111.32*cos(50 deg) ~= 71.6 km, so 150 km
+    * spans up to ~2.1 deg of lon — two 2-deg cells apart (e.g. lons
+    * 1.999 and 4.049 sit in cells 0 and 2 yet are within 150 km at lat
+    * ~50). Hence dx in -2..2: floor-cell distance <= ceil(2.1/2) = 2 is
+    * fully covered. The round-8 3x3 form silently dropped those
+    * cross-two-cell pairs (both engines shared the bug, so the oracle
+    * gate could not see it; the brute-force GeoSpec check at sf0.01
+    * catches it now).
+    *
+    * Scale: the probe set is corpus-size-INDEPENDENT (the geo-
     * service framing — query points are given, the corpus grows), so
     * candidate work = |probes| x cell density — linear in the corpus.
     * A probe side that grew with the corpus would be quadratic in a
     * fixed region (first cut measured 124 s at sf1 exactly that way).
     */
-  def geoJoin(spark: SparkSession, dir: String): DataFrame = {
+  def geoJoin(spark: SparkSession, dir: String): DataFrame =
+    geoJoinOn(syntheticPoints(spark, dir))
+
+  /** The cell join on any (id, lat, lon) frame — split out so the
+    * completeness of the neighborhood is unit-testable on adversarial
+    * hand-made points (the cross-two-cell pair at high latitude).
+    */
+  def geoJoinOn(points: DataFrame): DataFrame = {
     import graft.Det.r6
-    val pts = syntheticPoints(spark, dir)
+    val pts = points
       .withColumn("cx", floor(col("lon") / 2.0).cast("long"))
       .withColumn("cy", floor(col("lat") / 2.0).cast("long"))
     val probes = pts.filter(col("id") % 20 === 0 && col("id") <= 3000)
       .select(col("id").as("a"), col("lat").as("alat"), col("lon").as("alon"),
               col("cx"), col("cy"))
-      // 3x3 neighborhood: the probe side replicates 9x (probes are the
+      // 5x3 neighborhood: the probe side replicates 15x (probes are the
       // small side), the corpus joins once on its own cell
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dx", explode(array(lit(-2L), lit(-1L), lit(0L), lit(1L), lit(2L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("a"), col("alat"), col("alon"),
               (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))

@@ -60,7 +60,11 @@ object Pq {
     */
   def train(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
             idCol: String = "vec_id", embCol: String = "embedding"): Codebooks = {
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    val dim = corpus.select(size(col(embCol))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "Pq.train: corpus is empty — cannot infer dim or sample init centroids")
+    }
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val d0 = dim / m
     val init = corpus
@@ -68,6 +72,10 @@ object Pq {
       .orderBy(col("__h"), col(idCol)).limit(ksub)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.length >= ksub,
+      s"Pq.train: corpus has only ${init.length} rows < ksub=$ksub — each " +
+      "codebook needs ksub distinct init centroids (downstream lookupTable " +
+      "sizing assumes exactly ksub codes)")
     var books: Codebooks = Array.tabulate(m) { j =>
       init.zipWithIndex.map { case (v, i) => (i, v.slice(j * d0, (j + 1) * d0)) }
     }

@@ -133,6 +133,14 @@ object Stats {
     * agree on every (rank, freq) point; the ln-sums drift by ulps across
     * sum orders — absorbed by round-6 (the q_entropy argument). Bounded:
     * the regression runs over exactly 500 rows.
+    *
+    * Scale shape (round 9): the top-500 is taken with orderBy+limit —
+    * a distributed TakeOrderedAndProject (per-partition top-500, then a
+    * 500·P-row driver-side merge) — NOT a global window over the whole
+    * vocabulary (the round-8 form moved every distinct token through one
+    * WindowExec task; at web-corpus vocab that is a scale-killer). The
+    * row_number window that assigns ranks runs AFTER the limit, over
+    * exactly 500 rows.
     */
   def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
@@ -141,8 +149,8 @@ object Stats {
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val ranked = counts
+      .orderBy(col("c").desc, col("tok")).limit(500)
       .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("tok"))))
-      .filter(col("rk") <= 500)
       .select(log(col("rk").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
     val m = ranked.agg(count(lit(1)).cast("double").as("n"),
       sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),

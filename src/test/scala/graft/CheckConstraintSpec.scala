@@ -51,6 +51,12 @@ class CheckConstraintSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES ('check.notbool' = 'm + 1')")
     }
     assert(notBool.getMessage.contains("BOOLEAN") || notBool.toString.contains("notbool"))
+    // a nondeterministic check is rejected up front (it would pass or fail
+    // the same row by luck; round-9 ADVICE fix)
+    val nondet = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES ('check.lucky' = 'rand() < 0.5')")
+    }
+    assert(nondet.toString.contains("nondeterministic"), nondet.toString)
     // a good one installs and enforces from the next write on
     spark.sql(s"ALTER TABLE $T SET TBLPROPERTIES ('check.cap' = 'm < 100')")
     spark.sql(s"INSERT INTO $T VALUES ('x', 50)")

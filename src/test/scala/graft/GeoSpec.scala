@@ -20,11 +20,25 @@ class GeoSpec extends AnyFunSuite with SparkFixture {
     assert(d.getDouble(2) === 0.0)
   }
 
-  test("geo join: cell-neighborhood candidates equal the brute-force radius join") {
-    val rows = Geo.geoJoin(spark, sfDir).collect()
+  test("geo join: 5x3 neighborhood finds the cross-two-cell pair at high latitude") {
+    import spark.implicits._
+    // advisor-supplied adversarial pair: lat ~50 (1 deg lon ~= 71.6 km),
+    // lons 1.999 and 4.049 are ~146.5 km apart but sit in lon cells 0 and
+    // 2 — a 3x3 neighborhood silently drops the pair; 5x3 must keep it
+    val pts = Seq((20L, 49.99, 1.999), (21L, 49.99, 4.049)).toDF("id", "lat", "lon")
+    val rows = Geo.geoJoinOn(pts).collect()
+    assert(rows.length === 1, s"probe 20 must see neighbor 21: ${rows.mkString}")
+    assert(rows(0).getLong(0) === 20L && rows(0).getLong(2) === 21L)
+    assert(rows(0).getDouble(3) > 140 && rows(0).getDouble(3) < 150)
+  }
+
+  test("geo join: cell-neighborhood candidates equal the brute-force radius join (sf0.01)") {
+    // sf0.01 (1500 points, 75 probes): large enough that high-latitude
+    // cross-cell pairs occur; brute force is 2.25M driver-side pairs
+    val dir = "/root/testdata/sf0.01"
+    val rows = Geo.geoJoin(spark, dir).collect()
     assert(rows.nonEmpty)
-    // brute force over the tiny sf0.001 point set
-    val pts = Geo.syntheticPoints(spark, sfDir).collect()
+    val pts = Geo.syntheticPoints(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
       val dLat = math.toRadians(b._2 - a._2) / 2

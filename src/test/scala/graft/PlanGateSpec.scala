@@ -171,6 +171,56 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  /** Queries with a DOCUMENTED bounded-but-global window: the window input
+    * is capped by construction (a distinct-value domain or a tiny curve),
+    * per VERDICT r8 "watch items". Every entry must carry its bound.
+    */
+  private val boundedGlobalWindowAllowed = Set(
+    "q_ks_test",   // cumulative counts over distinct balance cents (bounded domain, documented fallback)
+    "q_skyline",   // distinct price cents domain
+    "q_survival",  // ~30-row Kaplan-Meier curve
+    "q_mixture_weights", // T* min over the per-LANGUAGE aggregate (<= |langs| rows)
+    "q_mixture_sample"   // reuses the q_mixture_weights rate frame
+  )
+
+  test("no partition-less WindowExec over unbounded input in any declared plan") {
+    // the round-8 q_zipf_slope lesson: a Window with no partitionSpec moves
+    // EVERYTHING to one task. Legal only when the window's input is already
+    // bounded — fed by a GlobalLimit/TakeOrderedAndProject — or allowlisted
+    // with a documented bound above.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (boundedGlobalWindowAllowed(name)) None
+        else {
+          val phys = strip(fn(spark, sfDir).queryExecution.executedPlan)
+          val bad = phys.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty &&
+              !w.exists { case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+                          case _ => false } => w
+          }
+          if (bad.nonEmpty) Some(name) else None
+        }
+      }
+      assert(offenders.isEmpty,
+        s"partition-less Window over unbounded input in:\n  ${offenders.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("bounded-global-window allowlist is not stale") {
+    boundedGlobalWindowAllowed.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"allowlist names unknown query $name")
+    }
+  }
+
   test("every lineitem scan prunes its ReadSchema") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (unprunedLineitem(plan(fn(spark, sfDir)))) Some(name) else None
