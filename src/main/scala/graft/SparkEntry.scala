@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
+    "q_media_meta" -> Multimodal.mediaMetaQuery,
     "q_repetition_ratio" -> Text.repetitionQuery,
     "q_pii_scrub" -> Text.piiScrubQuery,
     "q_table_stats" -> ((s, dir) => Statistics.tableStatsExact(
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_cluster_assign" -> Similarity.clusterAssignQuery,
     "q_semantic_dedup" -> Similarity.semanticDedupQuery,
     "q_kmeans" -> Similarity.kmeansQuery,
+    "q_ivf_search" -> Ivf.ivfSearchQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -140,6 +142,7 @@ object SparkEntry {
     "q_stream_tumbling" -> Streaming.tumbling,
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
+    "q_session_native" -> Streaming.sessionNative,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
     "q_join_asof_tol" -> Streaming.asofTolerance,
@@ -269,6 +272,27 @@ object SparkEntry {
   private def qualityOracle: String =
     s"""WITH $qualityCtes
        |SELECT doc_id, quality FROM qscore ORDER BY doc_id""".stripMargin
+
+  /** Shared session oracle (q_stream_session AND q_session_native): the
+    * portable lag/cumsum sessionization with the >= gap-start boundary —
+    * the ground truth both the window-function form and Spark's native
+    * session_window must hash-match.
+    */
+  private def sessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |d AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM d)
+      |SELECT user_id, MIN(us) AS sess_start_us, MAX(us) AS sess_end_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin
 
   /** q_pipeline_corpus oracle: quality gate → keep-min-per-md5 dedup →
     * exact 3-gram-Jaccard pair drop (id_b of pairs ≥ 0.5, one pass) →
@@ -659,6 +683,28 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_bytes
         |FROM kept WHERE rn = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_media_meta" ->
+      // the Spark side PARSES real PNG/WAV/MP4 container bytes it built
+      // from doc_id; the oracle recomputes the same dims/rates as pure
+      // doc_id arithmetic (Multimodal.synth* formulas) — any byte-offset
+      // error in builder or parser breaks this hash match
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 320 AS INTEGER)
+        |         WHEN doc_id % 3 = 2 THEN CAST(160 + doc_id % 160 AS INTEGER) END AS width,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id * 7) % 200 AS INTEGER)
+        |         WHEN doc_id % 3 = 2 THEN CAST(90 + doc_id % 90 AS INTEGER) END AS height,
+        |    CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) END AS sample_rate,
+        |    CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels
+        |  FROM documents)
+        |SELECT format, COUNT(*) AS n,
+        |  min(width) AS min_width, max(width) AS max_width,
+        |  min(height) AS min_height, max(height) AS max_height,
+        |  min(sample_rate) AS min_rate, max(sample_rate) AS max_rate,
+        |  CAST(sum(channels) AS BIGINT) AS sum_channels
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_repetition_ratio" ->
       // exact integer counts; ONE double division + round-6 on both sides
@@ -1437,21 +1483,12 @@ object SparkEntry {
         |SELECT win_us, event_type, COUNT(*) AS n
         |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q_stream_session" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |d AS (
-        |  SELECT user_id, event_id, us,
-        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |s AS (
-        |  SELECT user_id, us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM d)
-        |SELECT user_id, MIN(us) AS sess_start_us, MAX(us) AS sess_end_us, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+    "q_stream_session" -> sessionOracle,
+
+    // the SAME oracle verbatim: q_session_native runs Spark's native
+    // session_window against the portable lag/cumsum ground truth, so the
+    // two session forms are hash-proven equivalent through the gate
+    "q_session_native" -> sessionOracle,
 
     "q_join_asof" ->
       """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
@@ -2279,6 +2316,22 @@ object SparkEntry {
         |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.probe_emb AS DOUBLE[])), 6) AS sim
         |FROM embeddings e, p WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    "q_ivf_search" ->
+      // recall-1 IVF config (nprobe = #cells) ⇒ the oracle is plain
+      // brute-force cosine top-5 per probe, rank on the ROUND-6 sim with
+      // vec_id tiebreak (the same pre-rank rounding the Spark side does)
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+        |sims AS (
+        |  SELECT p.probe_id, c.vec_id, c.label,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(p.probe_emb AS DOUBLE[])), 6) AS sim
+        |  FROM cand c CROSS JOIN probes p)
+        |SELECT probe_id, vec_id, label, sim, rn FROM (
+        |  SELECT probe_id, vec_id, label, sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims) z
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     "q_knn_majority" ->
       """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),

@@ -72,18 +72,23 @@ object Multimodal {
         struct(col("path").as("source"), lit("application/octet-stream").as("mime"),
                col("length").as("bytes")).as("meta"))
 
-  /** STUB decode kernel =========================================== STUB
-    * A real implementation would JNI/FFI into an image/audio codec here,
-    * one partition at a time, reusing a decoder instance per partition
-    * (exactly why this is mapPartitions and not a per-row UDF). The stub
-    * derives deterministic pseudo-features from the payload bytes.
+  /** Decode kernel: dimensions come from the REAL header parsers below
+    * (sniffHeader — PNG/JPEG/GIF/BMP/MP4 all carry their dimensions in
+    * plain container bytes, no codec needed). Only when the payload has
+    * no parseable header (synthetic text-byte media, truncated files)
+    * does the byte-hash STUB fallback fire — clearly marked, exactly the
+    * quarantine-vs-fake decision a real pipeline makes for unparseable
+    * media. The embedding is a deterministic STUB (8 byte-moment
+    * channels): real model inference is environment-blocked here; a JNI/
+    * FFI model runner would plug into this same per-partition kernel.
     */
   private def decodeStub(content: Array[Byte], kind: String): (Int, Int, Int, Array[Float]) = {
-    val h = java.util.Arrays.hashCode(content)
-    val width = 64 + math.abs(h % 1024)          // ??? real: decoded width
-    val height = 64 + math.abs((h / 1024) % 1024) // ??? real: decoded height
-    val frames = if (kind == "video") 1 + math.abs(h % 120) else 1
-    // ??? real: model embedding of the decoded media; stub: 8 moments of bytes
+    val (_, w, h, _, _) = sniffHeader(content)
+    val hsh = java.util.Arrays.hashCode(content)
+    val width = w.getOrElse(64 + math.abs(hsh % 1024))           // STUB fallback: no header
+    val height = h.getOrElse(64 + math.abs((hsh / 1024) % 1024)) // STUB fallback: no header
+    val frames = if (kind == "video") 1 + math.abs(hsh % 120) else 1
+    // STUB embedding: 8 moments of the payload bytes (see scaladoc)
     val feat = new Array[Float](8)
     var i = 0
     while (i < content.length) { feat(i % 8) += (content(i) & 0xFF) / 255.0f; i += 1 }
@@ -401,6 +406,96 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  // ---------- synthetic REAL-header media (round 9) ----------
+
+  /** Deterministic dimension/rate formulas for synthetic headered media —
+    * shared (by construction) with the q_media_meta DuckDB oracle, which
+    * recomputes them straight from doc_id. doc_id % 3 picks the format:
+    * 0 → PNG, 1 → WAV, 2 → MP4.
+    */
+  def synthPngW(id: Long): Int = (16 + id % 320).toInt
+  def synthPngH(id: Long): Int = (16 + (id * 7) % 200).toInt
+  def synthWavRate(id: Long): Int = (8000 + (id % 8) * 4000).toInt
+  def synthWavCh(id: Long): Int = (1 + id % 2).toInt
+  def synthMp4W(id: Long): Int = (160 + id % 160).toInt
+  def synthMp4H(id: Long): Int = (90 + id % 90).toInt
+
+  /** Build REAL container bytes for one synthetic media row: a structurally
+    * valid PNG signature+IHDR, a RIFF/WAVE fmt chunk, or an ISO-BMFF
+    * ftyp+moov>trak>tkhd box tree — the exact structures sniffHeader
+    * parses. This closes the synthesize→parse roundtrip so the metadata
+    * path is testable against an arithmetic oracle (the dims/rates are
+    * pure formulas of doc_id). CRC fields are zeroed (no sniffer reads
+    * them; a full decoder is env-blocked anyway).
+    */
+  def syntheticMediaBytes(id: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(160) // BE by default
+    (id % 3) match {
+      case 0 => // PNG: 8-byte signature, IHDR length+type+w+h+bits+...
+        bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+        bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        bb.putInt(synthPngW(id)).putInt(synthPngH(id))
+        bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        bb.putInt(0) // CRC (unchecked)
+      case 1 => // WAV: RIFF size WAVE, fmt chunk (PCM, ch, rate), data stub
+        val le = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val rate = synthWavRate(id); val ch = synthWavCh(id)
+        le.put("RIFF".getBytes("US-ASCII")).putInt(36)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(ch.toShort).putInt(rate)
+          .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(0)
+        bb.put(le.array(), 0, le.position())
+      case _ => // MP4: ftyp(16) + moov(8 + trak(8 + tkhd(92)))
+        bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+          .put("isom".getBytes("US-ASCII")).putInt(0)
+        bb.putInt(108).put("moov".getBytes("US-ASCII"))
+        bb.putInt(100).put("trak".getBytes("US-ASCII"))
+        bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        bb.putInt(0)                       // version 0 + flags
+        bb.putInt(0).putInt(0).putInt(1).putInt(0).putInt(0) // times/id/rsvd/dur (20 B)
+        bb.put(new Array[Byte](52))        // reserved+layer+volume+matrix (52 B)
+        bb.putInt(synthMp4W(id) << 16).putInt(synthMp4H(id) << 16) // 16.16 fixed
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private val headeredSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Synthetic media table whose payloads carry REAL parseable headers
+    * (PNG/WAV/MP4 cycling on doc_id). Partition-batched generation — the
+    * write-side twin of the decode kernel's mapPartitions contract.
+    */
+  def syntheticHeaderedMedia(spark: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(headeredSchema)
+    graft.io.Sources.documents(spark, dir).select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticMediaBytes(id))
+      }
+    }(enc)
+  }
+
+  /** q_media_meta: the REAL header-parsing path as a declared, oracle-gated
+    * key — synthesize container bytes per doc_id (syntheticMediaBytes),
+    * parse them back with sniffHeader (the same parser production media
+    * triage runs), roll up per format. The DuckDB oracle recomputes every
+    * dimension/rate ARITHMETICALLY from doc_id, so the gate proves the
+    * byte-level synthesize→parse roundtrip is exact — a corrupted offset
+    * in either the builder or the parser breaks the hash match.
+    */
+  def mediaMetaQuery(spark: SparkSession, dir: String): DataFrame =
+    mediaMetadata(syntheticHeaderedMedia(spark, dir))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+           min(col("width")).as("min_width"), max(col("width")).as("max_width"),
+           min(col("height")).as("min_height"), max(col("height")).as("max_height"),
+           min(col("sample_rate")).as("min_rate"), max(col("sample_rate")).as("max_rate"),
+           sum(col("channels")).as("sum_channels"))
+      .orderBy(col("format"))
+
   val headerSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
@@ -419,7 +514,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(headerSchema)
     media.select("media_id", "content").mapPartitions { it =>
       it.map { r =>
-        val (fmt, w, h, sr, ch) = sniffHeader(r.getAs[Array[Byte]]("content"))
+        // positional access: rows deserialized from an upstream encoder
+        // (e.g. syntheticHeaderedMedia's kernel) carry no field schema
+        val (fmt, w, h, sr, ch) = sniffHeader(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), fmt, w.map(Int.box).orNull, h.map(Int.box).orNull,
             sr.map(Int.box).orNull, ch.map(Int.box).orNull)
       }

@@ -79,6 +79,22 @@ object Streaming {
       .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
   }
 
+  /** q_session_native: Spark's NATIVE session_window run in batch, emitting
+    * the exact q_stream_session output shape — and sharing that key's
+    * lag/cumsum DuckDB oracle VERBATIM. The gate therefore proves the
+    * equivalence both ways: the portable sessionization (q_stream_session)
+    * and the native session windows (this key) hash-match the same ground
+    * truth, including the >= gap boundary (half-open [start, last+gap)).
+    * One shuffle on user_id; per-user state bounded like the lag form.
+    */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(us(col("ts"))).as("sess_end_us"))
+      .select(col("user_id"), us(col("w.start")).as("sess_start_us"),
+              col("sess_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
   /** Streaming twin of `session` — native session_window (same gap
     * semantics as the batch sessionization above).
     */

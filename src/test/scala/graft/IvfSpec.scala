@@ -41,4 +41,26 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     // A drop means the quantizer or cell assignment regressed.
     assert(hits >= 10, s"IVF recall@1 regressed below the pinned floor: $hits/${exact.size} < 10/15")
   }
+
+  test("q_ivf_search: corpus is never shuffled — assignment is map-side, search joins broadcast") {
+    val df = Ivf.ivfSearchQuery(spark, sfDir)
+    // cell assignment (index) is pure column math over broadcast-literal
+    // centroids: its plan must contain NO Exchange at all
+    val cents = Ivf.buildCentroids(emb.filter(col("vec_id") >= 10), k = 8, iters = 2)
+    val idxPlan = plan(Ivf.index(emb.filter(col("vec_id") >= 10), cents))
+    assert(!idxPlan.contains("Exchange"),
+      s"cell assignment must not shuffle the corpus:\n$idxPlan")
+    // the full search may shuffle ONLY on probe_id (the per-probe top-k
+    // window); any exchange keyed on corpus columns means the corpus moved
+    val searchPlan = plan(df)
+    val badEx = searchPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("probe_id")).toSeq
+    assert(badEx.isEmpty, s"corpus-keyed shuffle in IVF search:\n${badEx.mkString("\n")}")
+    assert(searchPlan.contains("BroadcastHashJoin"),
+      s"probe-cells must broadcast against the indexed corpus:\n$searchPlan")
+    // recall-1 content is pinned against brute force by the test above and
+    // by the DuckDB oracle gate (q_ivf_search)
+    assert(df.count() === 50) // 10 probes x top-5
+  }
 }

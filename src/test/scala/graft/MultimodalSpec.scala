@@ -327,4 +327,44 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
             ((exifPayload.length + 2) & 0xFF).toByte) ++ exifPayload
     assert(Multimodal.exifOrientation(both) === Some(6))
   }
+
+  test("syntheticMediaBytes: builder bytes parse back to the exact formula dims (roundtrip)") {
+    // the q_media_meta contract in miniature: for each format, sniffHeader
+    // over the built bytes must return precisely the doc_id formulas
+    for (id <- Seq(0L, 1L, 2L, 3L, 299L, 1000L, 65537L)) {
+      val b = Multimodal.syntheticMediaBytes(id)
+      val (fmt, w, h, sr, ch) = Multimodal.sniffHeader(b)
+      (id % 3) match {
+        case 0 =>
+          assert(fmt === "png")
+          assert(w === Some(Multimodal.synthPngW(id)) && h === Some(Multimodal.synthPngH(id)))
+        case 1 =>
+          assert(fmt === "wav")
+          assert(sr === Some(Multimodal.synthWavRate(id)) && ch === Some(Multimodal.synthWavCh(id)))
+        case _ =>
+          assert(fmt === "mp4")
+          assert(w === Some(Multimodal.synthMp4W(id)) && h === Some(Multimodal.synthMp4H(id)))
+      }
+    }
+  }
+
+  test("decodeFeatures: REAL header dims flow into the feature frame when a header exists") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType, false))))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(3L, "image", Multimodal.syntheticMediaBytes(3L)),  // PNG id=3
+        org.apache.spark.sql.Row(7L, "image", "no header here".getBytes("UTF-8"))), // stub path
+      enc.schema)
+    val rows = Multimodal.decodeFeatures(media).collect().map(r => r.getLong(0) -> r).toMap
+    // id=3: PNG header dims (the formulas), NOT the byte-hash stub
+    assert(rows(3L).getInt(2) === Multimodal.synthPngW(3L))
+    assert(rows(3L).getInt(3) === Multimodal.synthPngH(3L))
+    // id=7: headerless payload falls back to the deterministic stub (>= 64)
+    assert(rows(7L).getInt(2) >= 64 && rows(7L).getInt(3) >= 64)
+  }
 }

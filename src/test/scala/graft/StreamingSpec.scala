@@ -78,6 +78,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("session under the RocksDB state store: stream equals batch sessionization") {
+    // same equivalence as above, but the session-window state lives in
+    // RocksDB — the provider a 1000-executor deployment would run (heap
+    // HDFSBackedStateStore caps state at executor memory; RocksDB spills)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[Ev]
+      val base = 1700000000000L
+      val rows = Seq(
+        Ev(1, new Timestamp(base), 1, "view", 1.0),
+        Ev(2, new Timestamp(base + 10 * 60000), 1, "view", 1.0),
+        Ev(3, new Timestamp(base + 55 * 60000), 1, "view", 1.0),
+        Ev(4, new Timestamp(base + 5 * 60000), 2, "view", 1.0),
+      )
+      val sentinel = Ev(99, new Timestamp(base + 100L * 3600000), 999, "view", 1.0)
+      val streamed = runBatches(events,
+        Streaming.sessionOn(events.toDF.withWatermark("ts", "10 minutes")),
+        Seq(rows, Seq(sentinel)))
+        .filter(col("user_id") =!= 999)
+      val batch = Streaming.sessionizeOn(rows.toDF())
+        .select(col("user_id"), col("sess_start_us"), col("n_events"))
+      assert(streamed.count() === 3)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("watermark: late event beyond the horizon is dropped") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
