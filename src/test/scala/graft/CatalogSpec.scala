@@ -1004,6 +1004,47 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_tt")
   }
 
+  test("time travel ACROSS schema evolution: pre-ALTER snapshots read under the current schema") {
+    // the Iceberg-style contract (round 9): ALTER ADD COLUMN is metadata-
+    // only, so a snapshot pinned from BEFORE the ALTER still reads — under
+    // the CURRENT schema — with the new column default/NULL-filled; after
+    // DROP, pinned reads of old snapshots serve the current (narrower)
+    // schema. Schema is table metadata, snapshots pin the FILE SET.
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_ttevo"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $T SELECT id, concat('r', id) FROM range(0, 5, 1, 1)") // commit 1
+    spark.sql(s"ALTER TABLE $T ADD COLUMN score BIGINT DEFAULT 7")
+    spark.sql(s"INSERT INTO $T VALUES (100, 'new', 55)")                           // commit 2
+    // live read: old rows serve the add-time default, the new row its value
+    assert(spark.table(T).count() === 6)
+    assert(spark.sql(s"SELECT count(*) FROM $T WHERE score = 7").head.getLong(0) === 5)
+    // VERSION AS OF 1 (pre-ALTER file set) reads under the CURRENT 3-column
+    // schema: the pinned groups predate `score`, so every row default-fills
+    val v1 = spark.sql(s"SELECT * FROM $T VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("k", "v", "score"),
+      "pinned reads use the current schema, not a frozen historical one")
+    val v1rows = v1.orderBy("k").collect()
+    assert(v1rows.length === 5, "the pre-ALTER snapshot pins the pre-ALTER file set")
+    assert(v1rows.forall(_.getLong(2) === 7L),
+      "pre-ALTER rows serve the frozen EXISTS_DEFAULT through time travel")
+    // drop an ORIGINAL column: snapshot 1's files still carry v's bytes,
+    // but the current schema no longer exposes them — field ids keep the
+    // remaining columns aligned
+    spark.sql(s"ALTER TABLE $T DROP COLUMN v")
+    val v1after = spark.sql(s"SELECT * FROM $T VERSION AS OF 1")
+    assert(v1after.columns.toSeq === Seq("k", "score"))
+    assert(v1after.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === (0L until 5L).map(k => (k, 7L)),
+      "time travel after DROP serves the surviving columns from pre-ALTER files")
+    // TIMESTAMP AS OF takes the same path (schema from the table, files
+    // from the snapshot): resolving to the newest snapshot still works
+    val nowIso = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000).toString
+    assert(spark.sql(s"SELECT * FROM $T TIMESTAMP AS OF '$nowIso'").count() === 6)
+    spark.sql(s"DROP TABLE $T")
+  }
+
   test("time travel: TIMESTAMP AS OF resolves the newest snapshot at-or-before the instant") {
     spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
     spark.sql("DROP TABLE IF EXISTS graft_fb.default.fb_ts")
