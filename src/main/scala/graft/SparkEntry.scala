@@ -159,6 +159,10 @@ object SparkEntry {
     "q_streaks" -> Analytics.streaks,
     // §2 I time-series verbs (round 8)
     "q_time_weighted_avg" -> Timeseries.timeWeightedAvg,
+    "q_ema" -> Timeseries.ema,
+    "q_interp_gapfill" -> Timeseries.interpGapfill,
+    "q_containment" -> Text.containmentQuery,
+    "q_weighted_median" -> Stats.weightedMedian,
     "q_ohlc" -> Timeseries.ohlc,
     "q_locf_gapfill" -> Timeseries.locfGapfill,
     "q_interval_coverage" -> Timeseries.intervalCoverage,
@@ -1628,6 +1632,111 @@ object SparkEntry {
         |  CAST(l.value IS NOT NULL AS INT) AS is_observed
         |FROM spine s LEFT JOIN lastv l ON s.user_id = l.user_id AND s.d = l.d
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_ema" ->
+      // adjust=True EWM with calendar-distance decay, factored running
+      // form S1/S2 (the alpha^idx factors cancel exactly — one shared
+      // op sequence; pow/div ulps absorbed by round-6)
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, epoch_day, n,
+        |    SUM(CAST(n AS DOUBLE) * pow(0.8, -CAST(epoch_day - 19723 AS DOUBLE))) OVER w AS s1,
+        |    SUM(pow(0.8, -CAST(epoch_day - 19723 AS DOUBLE))) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, epoch_day, n, round(s1 / s2, 6) AS ema
+        |FROM s ORDER BY event_type, epoch_day""".stripMargin,
+
+    "q_interp_gapfill" ->
+      // linear interpolation between bracketing observations (exact cents
+      // + exact day gaps -> ONE shared double tree); edges stay NULL
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |lastv AS (
+        |  SELECT user_id, d, v_cents FROM (
+        |    SELECT user_id, d, v_cents,
+        |      row_number() OVER (PARTITION BY user_id, d ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) z WHERE rn = 1),
+        |spine AS (
+        |  SELECT u.user_id, CAST(g.gd AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS gd) g),
+        |j AS (
+        |  SELECT s.user_id, l.v_cents,
+        |    datediff('day', DATE '1970-01-01', s.d) AS day,
+        |    last_value(l.v_cents IGNORE NULLS) OVER wb AS vp,
+        |    last_value(CASE WHEN l.v_cents IS NOT NULL
+        |      THEN datediff('day', DATE '1970-01-01', s.d) END IGNORE NULLS) OVER wb AS dp,
+        |    first_value(l.v_cents IGNORE NULLS) OVER wf AS vn,
+        |    first_value(CASE WHEN l.v_cents IS NOT NULL
+        |      THEN datediff('day', DATE '1970-01-01', s.d) END IGNORE NULLS) OVER wf AS dn
+        |  FROM spine s LEFT JOIN lastv l ON s.user_id = l.user_id AND s.d = l.d
+        |  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.d
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY s.user_id ORDER BY s.d
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day AS epoch_day,
+        |  round(CASE WHEN v_cents IS NOT NULL THEN CAST(v_cents AS DOUBLE) / 100
+        |    WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+        |      CAST(vp AS DOUBLE) / 100 + CAST(vn - vp AS DOUBLE) / 100 *
+        |      (CAST(day - dp AS DOUBLE) / CAST(dn - dp AS DOUBLE))
+        |    END, 6) AS interp,
+        |  CAST(v_cents IS NOT NULL AS INT) AS is_observed
+        |FROM j ORDER BY 1, 2""".stripMargin,
+
+    "q_containment" ->
+      // asymmetric containment |A∩B|/min(|A|,|B|) over docs 0..49 plus
+      // their 60%-prefix fragments (id+100000) — sub-document structure
+      // planted deterministically; round-6 before the 0.8 gate
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50),
+        |t AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    toks[1:CAST(ceil(len(toks) * 0.6) AS INT)] AS toks
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(common AS DOUBLE) / CAST(least(x.sz, y.sz) AS DOUBLE), 6) AS containment
+        |  FROM cm JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, containment FROM c
+        |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_weighted_median" ->
+      // lower weighted median: smallest price with 2*cum >= total, all
+      // selection arithmetic exact BIGINT (cents x integral quantities)
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |per AS (SELECT flag, p, SUM(q) AS w FROM li GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, p, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM per)
+        |SELECT flag, round(CAST(min(p) AS DOUBLE) / 100, 6) AS w_median,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tw GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q_interval_coverage" ->
       // interval sweep entirely in BIGINT microseconds: running max of

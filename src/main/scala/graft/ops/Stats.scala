@@ -166,6 +166,39 @@ object Stats {
       r6(cov * cov / (varX * varY)).as("r2"))
   }
 
+  /** q_weighted_median: WEIGHTED median unit price per return flag —
+    * price weighted by quantity, i.e. "the price the median shipped UNIT
+    * paid", the robust center a plain median-of-rows misstates when line
+    * sizes vary. Convention: the LOWER weighted median (smallest price
+    * with cumulative weight ≥ half the total) — a deterministic pick, no
+    * interpolation. All arithmetic EXACT: prices in integer cents,
+    * weights exact integral quantities, the selection test
+    * 2·cum ≥ W in BIGINT — the only double op is the final cents→price
+    * rendering. One aggregate to (flag, price) grain, one flag-partitioned
+    * ordered window over DISTINCT prices (bounded by the price-cents
+    * domain, same argument as q_skyline — at open-ended domains switch to
+    * the two-pass t-digest in ops/Quantile).
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val per = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+              cents(col("l_extendedprice")).as("p"),
+              col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"), col("p")).agg(sum(col("q")).as("w"))
+    val wRun = Window.partitionBy(col("flag")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum", sum(col("w")).over(wRun))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("flag"))))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("p")).as("med_cents"), max(col("tw")).as("total_weight"))
+      .select(col("flag"), r6(col("med_cents").cast("double") / 100.0).as("w_median"),
+              col("total_weight"))
+      .orderBy(col("flag"))
+  }
+
   /** q_benford: Benford's-law first-digit audit of order totals — the
     * classic fraud / synthetic-data smell test (natural multiplicative
     * quantities put ~30.1% of first digits at 1; fabricated numbers

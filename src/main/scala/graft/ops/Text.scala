@@ -247,6 +247,38 @@ object Text {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q_containment: ASYMMETRIC shingle containment C(A,B) = |A∩B|/min(|A|,|B|)
+    * — the near-dup metric Jaccard misses: a short document wholly embedded
+    * in a long one has tiny Jaccard (the union is the big doc) but
+    * containment ≈ 1. Web-corpus pipelines run BOTH (Broder's resemblance
+    * vs containment); quote/boilerplate detection and sub-document dedup
+    * need this form.
+    *
+    * Input: docs 0..49 UNION their 60%-prefix FRAGMENTS (id + 100000,
+    * first ⌈0.6·len⌉ tokens — both engines build the identical strings),
+    * so the slice deterministically CONTAINS sub-document structure at
+    * every SF: each (full, fragment) pair scores containment ≈ 1 while
+    * its Jaccard sits near 0.6 — below every dedup threshold here, the
+    * exact blind spot this metric closes. Same shared-shingle exact join
+    * as q_dedup_ngram (bounded ground-truth path; at corpus scale the
+    * candidate stage is LSH/prefix as usual), round-6 before the 0.8 gate.
+    */
+  def containmentQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val docs = Sources.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val frags = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(toks, lit(1), ceil(size(toks) * 0.6).cast("int")), " ").as("text"))
+    ngramJaccardPairs(docs.unionByName(frags), "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"),
+              r6(col("common").cast("double") /
+                 least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q_dedup_prefix: EXACT 3-gram Jaccard near-dup pairs at t=0.7 over the
     * FULL corpus — no slice bound, because prefix filtering
     * (prefixJaccardPairs) makes the exact join subquadratic in practice:

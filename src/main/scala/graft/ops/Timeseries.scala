@@ -120,6 +120,89 @@ object Timeseries {
       .orderBy(col("user_id"), col("epoch_day"))
   }
 
+  /** q_ema: exponentially-weighted moving average of DAILY event counts
+    * per event_type — the smoothing primitive behind trend dashboards and
+    * anomaly baselines. pandas `ewm(adjust=True)` semantics with
+    * CALENDAR-distance decay (a missing day decays the history by its
+    * real gap, not by observation index): ema_d = Σ x_i·α^(d−i) / Σ α^(d−i)
+    * over observed days i ≤ d, α = 0.8.
+    *
+    * Portability: both engines evaluate the FACTORED running form
+    * S1_d = Σ x_i·α^(−idx_i), S2_d = Σ α^(−idx_i) over the same ordered
+    * running frame (the α^idx_d factors cancel in the ratio exactly), so
+    * the op sequence is identical; pow/divide ulp drift is absorbed by
+    * round-6 (the q_entropy argument). idx ≤ 30 keeps α^(−idx) ≤ ~840 —
+    * no overflow risk. One shuffle (the daily aggregate); the window is
+    * |event_types| partitions × ~30 rows.
+    */
+  def ema(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("n"))
+    val idx = (col("epoch_day") - 19723).cast("double") // days since 2024-01-01
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("s1", sum(col("n").cast("double") * pow(lit(0.8), -idx)).over(w))
+      .withColumn("s2", sum(pow(lit(0.8), -idx)).over(w))
+      .select(col("event_type"), col("epoch_day"), col("n"),
+              r6(col("s1") / col("s2")).as("ema"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
+  /** q_interp_gapfill: LINEAR interpolation over the daily spine — the
+    * sibling of q_locf_gapfill for continuous signals (sensor readings,
+    * balances) where carrying the last value flat is wrong. Known value
+    * per (user, day) = the day's LAST observation in EXACT integer cents;
+    * for spine days between two observations,
+    * v = vp + (vn − vp)·(d − dp)/(dn − dp) — every input an exact BIGINT,
+    * ONE shared double tree, round-6. Days before the first / after the
+    * last observation stay NULL (interpolation never extrapolates; LOCF
+    * is the extrapolating form). Bracketing values ride two IGNORE-NULLS
+    * window passes (backward last, forward first) over ONE user_id
+    * partitioning — the same shuffle budget as LOCF.
+    */
+  def interpGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val e = Sources.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              col("event_id"), cents(col("value")).as("v_cents"))
+    val lastPerDay = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("d"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d"), col("v_cents"))
+    val spine = e.select(col("user_id")).distinct()
+      .crossJoin(spark.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("d")))
+    val day = datediff(col("d"), lit("1970-01-01").cast("date"))
+    val wBack = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v_cents").isNotNull, day)
+    val joined = spine.join(lastPerDay, Seq("user_id", "d"), "left")
+      .withColumn("vp", last(col("v_cents"), ignoreNulls = true).over(wBack))
+      .withColumn("dp", last(obsDay, ignoreNulls = true).over(wBack))
+      .withColumn("vn", first(col("v_cents"), ignoreNulls = true).over(wFwd))
+      .withColumn("dn", first(obsDay, ignoreNulls = true).over(wFwd))
+    val interp =
+      when(col("v_cents").isNotNull, col("v_cents").cast("double") / 100.0)
+        .when(col("vp").isNotNull && col("vn").isNotNull,
+          col("vp").cast("double") / 100.0 +
+            (col("vn") - col("vp")).cast("double") / 100.0 *
+            ((day - col("dp")).cast("double") / (col("dn") - col("dp")).cast("double")))
+    joined.select(col("user_id"), day.as("epoch_day"),
+                  r6(interp).as("interp"),
+                  col("v_cents").isNotNull.cast("int").as("is_observed"))
+      .orderBy(col("user_id"), col("epoch_day"))
+  }
+
   /** q_interval_coverage: merge OVERLAPPING intervals per user and report
     * island count + total covered microseconds — the interval-union
     * algebra behind "actual watch time", SLA uptime, and machine

@@ -205,4 +205,26 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     val dot = c.map(x => x * x).sum.toDouble
     assert(math.abs(dot / math.sqrt(dot * dot) - 1.0) < 1e-12)
   }
+
+  test("weighted median: equals the brute-force expansion median; lower-median convention") {
+    val rows = Stats.weightedMedian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute force: expand each (price, qty) into qty copies, take the lower median
+    import org.apache.spark.sql.functions._
+    val raw = graft.io.Sources.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), graft.Det.cents(col("l_extendedprice")).as("p"),
+              col("l_quantity").cast("long").as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val expanded = raw.filter(_._1 == flag)
+        .flatMap { case (_, p, q) => Seq.fill(q.toInt)(p) }.sorted
+      val w = expanded.length.toLong
+      // lower weighted median = element at ceil(W/2) in 1-based order
+      val med = expanded(((w + 1) / 2 - 1).toInt)
+      assert(math.abs(r.getDouble(1) - med / 100.0) < 1e-6,
+        s"$flag: got ${r.getDouble(1)}, brute ${med / 100.0}")
+      assert(r.getLong(2) === w)
+    }
+  }
 }

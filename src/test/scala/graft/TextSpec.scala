@@ -317,4 +317,26 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       s"docs 1,2 share a 37-char span and MUST be flagged; doc 3 must not: got $flagged")
   }
 
+  test("containment: fragment pairs score ~1 where their Jaccard sits near 0.6") {
+    val rows = graft.ops.Text.containmentQuery(spark, sfDir).collect()
+    // every doc 0..49 must pair with its planted 60%-prefix fragment
+    val fragPairs = rows.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(fragPairs.length >= 40, s"planted fragments must surface: ${fragPairs.length}")
+    fragPairs.foreach { r =>
+      assert(r.getDouble(2) >= 0.95, s"fragment containment must be ~1: $r")
+    }
+    // and the same pairs are INVISIBLE to the 0.7-Jaccard dedup path:
+    // shingles(frag) ⊂ shingles(full) with |frag| ~ 0.6|full| ⇒ J ~ 0.6
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Sources.documents(spark, sfDir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val frags = docs.select((col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(toks, lit(1), ceil(size(toks) * 0.6).cast("int")), " ").as("text"))
+    val j = graft.ops.Text.ngramJaccardPairs(docs.unionByName(frags), "doc_id", "text", 3)
+      .filter(col("id_b") === col("id_a") + 100000)
+      .select(col("jaccard")).collect().map(_.getDouble(0))
+    assert(j.nonEmpty && j.forall(_ < 0.7),
+      "fragment pairs must sit BELOW the Jaccard dedup threshold — the blind spot containment closes")
+  }
 }

@@ -159,4 +159,60 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getDouble(3) - expected) < 1e-5)
     }
   }
+
+  test("ema: equals the direct recursive EWM on a hand series; observed days only") {
+    val rows = Timeseries.ema(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute adjust=True EWM per type driver-side from the same daily counts
+    val daily = rows.map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    rows.foreach { r =>
+      val (tpe, day) = (r.getString(0), r.getInt(1).toLong)
+      val hist = daily(tpe).filter(_._2 <= day)
+      val num = hist.map { case (_, d, n) => n * math.pow(0.8, (day - d).toDouble) }.sum
+      val den = hist.map { case (_, d, _) => math.pow(0.8, (day - d).toDouble) }.sum
+      assert(math.abs(r.getDouble(3) - num / den) < 1e-4,
+        s"$tpe day $day: ${r.getDouble(3)} vs ${num / den}")
+    }
+    // smoothing sanity: every ema lies within the type's count range
+    daily.foreach { case (tpe, h) =>
+      val (lo, hi) = (h.map(_._3).min.toDouble, h.map(_._3).max.toDouble)
+      rows.filter(_.getString(0) == tpe).foreach { r =>
+        assert(r.getDouble(3) >= lo - 1e-6 && r.getDouble(3) <= hi + 1e-6)
+      }
+    }
+  }
+
+  test("interp gapfill: exact on observed days, linear between, NULL outside the known range") {
+    val rows = Timeseries.interpGapfill(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1).toLong),
+                 (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))))
+      .toMap
+    val byUser = rows.groupBy(_._1._1)
+    byUser.foreach { case (_, m) =>
+      val days = m.keys.map(_._2).toSeq.sorted
+      assert(days.size === 30) // full spine
+      val obs = m.filter(_._2._2 == 1).keys.map(_._2)
+      if (obs.nonEmpty) {
+        val (first, last) = (obs.min, obs.max)
+        days.foreach { d =>
+          val (v, o) = m((m.keys.head._1, d))
+          if (d < first || d > last) {
+            if (o == 0) assert(v.isEmpty, s"day $d outside [$first,$last] must be NULL")
+          } else assert(v.isDefined, s"day $d inside the known range must be filled")
+        }
+        // linearity: for any gap day, value lies between its bracketing observations
+        val obsSorted = obs.toSeq.sorted
+        obsSorted.sliding(2).foreach {
+          case Seq(a, b) if b > a + 1 =>
+            val (va, vb) = (m((m.keys.head._1, a))._1.get, m((m.keys.head._1, b))._1.get)
+            ((a + 1) until b).foreach { d =>
+              val v = m((m.keys.head._1, d))._1.get
+              assert(v >= math.min(va, vb) - 1e-6 && v <= math.max(va, vb) + 1e-6)
+            }
+          case _ => ()
+        }
+      }
+    }
+  }
 }
