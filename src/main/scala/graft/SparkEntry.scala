@@ -148,6 +148,9 @@ object SparkEntry {
     "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
+    "q_rfm" -> Analytics.rfm,
+    "q_cumulative_uniques" -> Analytics.cumulativeUniques,
+    "q_attribution" -> Analytics.attribution,
     "q_funnel" -> Analytics.funnel,
     "q_event_bigrams" -> Analytics.eventBigrams,
     "q_sessionize" -> Analytics.sessionize,
@@ -1632,6 +1635,65 @@ object SparkEntry {
         |  CAST(l.value IS NOT NULL AS INT) AS is_observed
         |FROM spine s LEFT JOIN lastv l ON s.user_id = l.user_id AND s.d = l.d
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_rfm" ->
+      // RFM quartiles WITHIN market segment (ntile fills early buckets
+      // first under the same rule in both engines; every order ends in
+      // the custkey tiebreak); anchor = max order date in the data
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |anchor AS (SELECT max(d) AS anchor FROM o),
+        |pc AS (
+        |  SELECT o_custkey, datediff('day', max(d), (SELECT anchor FROM anchor)) AS r_days,
+        |    count(*) AS f, SUM(cents) AS m_cents
+        |  FROM o GROUP BY 1),
+        |j AS (
+        |  SELECT pc.*, c.c_mktsegment AS seg
+        |  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey),
+        |b AS (
+        |  SELECT seg,
+        |    ntile(4) OVER (PARTITION BY seg ORDER BY r_days, o_custkey) AS r_bucket,
+        |    ntile(4) OVER (PARTITION BY seg ORDER BY f DESC, o_custkey) AS f_bucket,
+        |    ntile(4) OVER (PARTITION BY seg ORDER BY m_cents DESC, o_custkey) AS m_bucket,
+        |    m_cents
+        |  FROM j)
+        |SELECT seg, r_bucket, f_bucket, m_bucket, COUNT(*) AS n_customers,
+        |  CAST(SUM(m_cents) AS DOUBLE) / 100 AS cell_value
+        |FROM b GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q_cumulative_uniques" ->
+      // first-seen day per user, then daily new + running cumulative
+      """WITH fd AS (
+        |  SELECT user_id,
+        |    min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS epoch_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT epoch_day, count(*) AS n_new FROM fd GROUP BY 1)
+        |SELECT epoch_day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY epoch_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY epoch_day""".stripMargin,
+
+    "q_attribution" ->
+      // first-touch channel by the (ts, event_id) total order; purchase
+      // money exact decimal; non-buyers counted with zero value
+      """WITH ft AS (
+        |  SELECT user_id, event_type AS channel FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) z WHERE rn = 1),
+        |sp AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchased,
+        |    count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT channel, COUNT(*) AS n_users,
+        |  COUNT(purchased) AS n_buyers,
+        |  CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(COALESCE(purchased, 0) AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM ft LEFT JOIN sp USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ema" ->
       // adjust=True EWM with calendar-distance decay, factored running

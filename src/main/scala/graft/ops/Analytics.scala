@@ -349,4 +349,96 @@ object Analytics {
     stepped.select(col("t"), col("d"), col("c"), col("n_at_risk"), col("s"))
       .orderBy(col("t"))
   }
+
+  /** q_rfm: RFM (recency / frequency / monetary) customer segmentation —
+    * the classic CRM slicing. Per customer: R = days from last order to
+    * the dataset's max order date (a deterministic data-derived anchor —
+    * never wall clock), F = order count, M = exact decimal spend. Buckets
+    * are QUARTILES WITHIN MARKET SEGMENT via ntile(4) — partitioning the
+    * quartile windows by c_mktsegment keeps every window partitioned (the
+    * PlanGate rule: no global windows over unbounded input) and reads as
+    * "top spender quartile within BUILDING", the form a campaign targets.
+    * Every ntile order ends in the custkey tiebreak, so bucket assignment
+    * is a total order in both engines (NTILE fills earlier buckets first
+    * under the same rule in Spark and DuckDB). Output: the 3-digit RFM
+    * cell census per segment.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, moneySum}
+    import org.apache.spark.sql.expressions.Window
+    val o = Sources.orders(spark, dir)
+    val anchor = o.agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val perCust = o
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+           count(lit(1)).as("f"),
+           sum(cents(col("o_totalprice"))).as("m_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("r_days", datediff(col("anchor"), col("last_d")))
+      .join(Sources.customer(spark, dir)
+              .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
+            Seq("o_custkey"))
+    def q(metric: org.apache.spark.sql.Column, asc: Boolean) = ntile(4).over(
+      if (asc) Window.partitionBy(col("seg")).orderBy(metric, col("o_custkey"))
+      else Window.partitionBy(col("seg")).orderBy(metric.desc, col("o_custkey")))
+    perCust
+      .withColumn("r_bucket", q(col("r_days"), asc = true))   // recent = bucket 1
+      .withColumn("f_bucket", q(col("f"), asc = false))        // frequent = bucket 1
+      .withColumn("m_bucket", q(col("m_cents"), asc = false))  // big spender = bucket 1
+      .groupBy(col("seg"), col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+           // exact BIGINT cents sum, ONE double division at the end
+           (sum(col("m_cents")).cast("double") / 100.0).as("cell_value"))
+      .orderBy(col("seg"), col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
+  /** q_cumulative_uniques: daily NEW users and the cumulative distinct-user
+    * count — the growth curve every event product reports. Exact form: a
+    * user contributes to "new" only on their FIRST day (min over their
+    * events — one user_id shuffle), then a running sum over the daily
+    * rollup. The cumulative window is global but its input is the DAILY
+    * aggregate — cardinality = calendar days (30 here; 365/decade at any
+    * scale), a bounded domain like q_ks_test's (PlanGate-allowlisted with
+    * that justification).
+    */
+  def cumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Sources.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))).as("epoch_day"))
+    firstDay.groupBy(col("epoch_day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("epoch_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("epoch_day"))
+  }
+
+  /** q_attribution: FIRST-TOUCH revenue attribution — each user's total
+    * purchase value credited to the channel (event_type) of their very
+    * first event, the marketing-analytics primitive behind "which channel
+    * acquires buyers". First touch by the (ts, event_id) total order (one
+    * row_number window), purchase value as exact decimal money; both
+    * per-user passes share the user_id shuffle, the final rollup is
+    * |channels| rows.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.events(spark, dir)
+    val firstTouch = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("channel"))
+    val spend = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(moneySum(col("value")).as("purchased"), count(lit(1)).as("n_purchases"))
+    firstTouch.join(spend, Seq("user_id"), "left")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"),
+           count(col("purchased")).as("n_buyers"),
+           sum(col("n_purchases")).as("n_purchases"),
+           moneySum(coalesce(col("purchased"), lit(0.0))).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
 }

@@ -114,4 +114,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       case _ =>
     }
   }
+
+  test("rfm: buckets 1..4, cells conserve customers, cell_value conserves spend") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Analytics.rfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 3).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4, s"bucket out of range: $r"))
+    }
+    val nCustWithOrders = graft.io.Sources.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(4)).sum === nCustWithOrders)
+    val spend = graft.io.Sources.orders(spark, sfDir)
+      .agg(sum(graft.Det.cents(col("o_totalprice")))).collect()(0).getLong(0)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - spend / 100.0) < 1.0)
+  }
+
+  test("cumulative uniques: monotone, ends at total distinct users, new sums to total") {
+    val rows = graft.ops.Analytics.cumulativeUniques(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    val total = graft.io.Sources.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(cums.last === total)
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
+  test("attribution: users conserved across channels; attributed value equals total purchase money") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Analytics.attribution(spark, sfDir).collect()
+    val totalUsers = graft.io.Sources.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === totalUsers)
+    val totalPurchase = graft.io.Sources.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.Det.cents(col("value")))).collect()(0).getLong(0)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - totalPurchase / 100.0) < 0.01)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), "buyers <= users per channel"))
+  }
 }

@@ -30,8 +30,10 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_ks_test",         // cumulative counts × broadcast(1-row n1/n2 totals)
     "q_market_basket",   // pair counts × broadcast(1-row order total)
     "q_locf_gapfill",    // distinct users × broadcast(30-row generated date spine)
+    "q_interp_gapfill",  // the same users × 30-row generated spine cross join
     "q_benford",         // 9 digit rows × broadcast(1-row total)
-    "q_freshness"        // 5 stream rows × broadcast(1-row global max)
+    "q_freshness",       // 5 stream rows × broadcast(1-row global max)
+    "q_rfm"              // per-customer aggregate × broadcast(1-row anchor date)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
@@ -180,7 +182,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_skyline",   // distinct price cents domain
     "q_survival",  // ~30-row Kaplan-Meier curve
     "q_mixture_weights", // T* min over the per-LANGUAGE aggregate (<= |langs| rows)
-    "q_mixture_sample"   // reuses the q_mixture_weights rate frame
+    "q_mixture_sample",  // reuses the q_mixture_weights rate frame
+    "q_cumulative_uniques" // running sum over the DAILY aggregate (calendar-days domain)
   )
 
   test("no partition-less WindowExec over unbounded input in any declared plan") {
