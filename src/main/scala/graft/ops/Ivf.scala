@@ -121,6 +121,41 @@ object Ivf {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Materialize the index PARTITIONED BY CELL — the on-disk form the
+    * 100 TB path requires: each cell is a directory, so a search with
+    * nprobe cells opens exactly those directories and no others
+    * (partition pruning at planning time — asserted in IvfSpec). At
+    * cluster scale this is the same layout FAISS shards by inverted
+    * list; here it's plain hive-partitioned parquet, so EVERY Spark
+    * reader prunes it with no custom code.
+    */
+  def writeIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search against the MATERIALIZED index: identical semantics to
+    * [[search]], but candidates come from `IN (probed cells)` on the
+    * partition column — the scan plans only those directories. The probe
+    * set's cells are collected (|probes|·nprobe ids, bounded) because
+    * partition pruning needs plan-time literals; at true scale this is
+    * the "query router" step every IVF service runs.
+    */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                        probes: DataFrame, centroids: Array[(Int, Array[Double])],
+                        k: Int, nprobe: Int): DataFrame = {
+    val probeCells = assignCellsMulti(probes, centroids, nprobe)
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: <= #centroids
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+              r6(Similarity.cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
+      .dropDuplicates("probe_id", "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** nprobe nearest cells per probe (exploded → one row per (probe, cell)). */
   private def assignCellsMulti(probes: DataFrame, centroids: Array[(Int, Array[Double])],
                                nprobe: Int): DataFrame = {

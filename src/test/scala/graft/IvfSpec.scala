@@ -63,4 +63,31 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     // by the DuckDB oracle gate (q_ivf_search)
     assert(df.count() === 50) // 10 probes x top-5
   }
+
+  test("partitioned index: a search with nprobe=2 scans ONLY the 2 probed cell directories") {
+    import org.apache.spark.sql.functions._
+    val corpus = emb.filter(col("vec_id") >= 15)
+    val cents = Ivf.buildCentroids(corpus, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ivf.writeIndex(Ivf.index(corpus, cents), dir)
+    // on disk: one directory per cell (hive layout — any reader prunes it)
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length >= 4, s"expected multiple cell dirs, got ${cellDirs.length}")
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val res = Ivf.searchPartitioned(spark, dir, probes, cents, k = 3, nprobe = 2)
+    val p = plan(res)
+    // the scan's PartitionFilters must carry the cell IN-list: pruning at
+    // planning time, not a data filter over every directory
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), s"cell predicate not in PartitionFilters:\n$p")
+    // and the results agree with the unpartitioned search path exactly
+    val mem = Ivf.search(Ivf.index(corpus, cents), probes, cents, k = 3, nprobe = 2)
+      .select("probe_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val disk = res.select("probe_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(disk === mem, "materialized-index search must equal the in-memory path")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
