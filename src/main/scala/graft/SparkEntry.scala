@@ -103,6 +103,7 @@ object SparkEntry {
     "q_dedup_substring_winnow" -> Text.dedupSubstringWinnowQuery,
     "q_dedup_lsh_candidates" -> Text.dedupLshQuery,
     "q_dedup_clusters" -> Text.dedupClustersQuery,
+    "q_dedup_keep_best" -> Text.dedupKeepBestQuery,
     "q_pagerank" -> Graph.pageRankQuery,
     "q_triangle_count" -> Graph.triangleCountQuery,
     "q_bfs_hops" -> Graph.bfsHopsQuery,
@@ -421,6 +422,52 @@ object SparkEntry {
        |  CAST(id = MIN(label) AS INT) AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q_dedup_keep_best oracle: the q_dedup_clusters recursive components
+    * joined to the q_quality_score computation (CTE names prefixed q* —
+    * both helper CTE sets define a `t`), argmax by (quality desc, doc_id)
+    * per cluster. Quality values are the proven-portable round-6 doubles,
+    * so the ordering is a total order in both engines.
+    */
+  private def keepBestOracle: String = {
+    val allStops = sqlList(graft.ops.Text.stopwords.values.flatten.toSeq)
+    s"""WITH RECURSIVE $lshScoredCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM scored WHERE est_j >= 0.5
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM scored WHERE est_j >= 0.5),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       |qt AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS nchars,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntoks,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $allStops)) AS DOUBLE) AS stop_hits
+       |  FROM documents),
+       |qsc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nchars BETWEEN 100 AND 2000 THEN 1.0
+       |         WHEN nchars < 100 THEN nchars/100.0
+       |         ELSE 2000.0/nchars END AS len_score,
+       |    1.0 - least(punct/greatest(ntoks, 1.0), 1.0) AS punct_score,
+       |    least(stop_hits/5.0, 1.0) AS stop_score
+       |  FROM qt),
+       |qq AS (
+       |  SELECT doc_id, round(len_score*0.4 + punct_score*0.3 + stop_score*0.3, 6) AS quality
+       |  FROM qsc),
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN qq q USING (doc_id))
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+       |  MAX(quality) AS best_quality
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_pagerank oracle: the identical 5 fixed PageRank rounds UNROLLED as
     * chained CTEs (pr0..pr5) — the simplified formulation needs no
     * recursion, no per-round scalar, and runs the same IEEE-double tree
@@ -502,6 +549,8 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> lshOracle,
 
     "q_dedup_clusters" -> clustersOracle,
+
+    "q_dedup_keep_best" -> keepBestOracle,
 
     "q_pagerank" -> pagerankOracle,
 

@@ -360,6 +360,33 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q_dedup_keep_best: cluster resolution with a QUALITY keep rule —
+    * near-dup clusters (the q_dedup_clusters components) each keep their
+    * HIGHEST-QUALITY member (ties → lowest doc_id), not the lowest id.
+    * This is the keep rule production corpus dedup actually ships: of N
+    * near-identical crawls keep the cleanest, not the first-seen. Output
+    * is the per-cluster resolution record (size, kept doc, its quality).
+    * Quality values are the declared q_quality_score round-6 doubles, so
+    * the (quality desc, doc_id) argmax is a total order both engines
+    * agree on; components are the same min-label CC as q_dedup_clusters.
+    */
+  def dedupKeepBestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshScoredCandidates(spark, dir).filter(col("est_j") >= 0.5)
+    val comp = Graph.connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val q = qualityScore(Sources.documents(spark, dir), "text")
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    comp.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           min(when(col("rn") === 1, col("doc_id"))).as("keep_doc"),
+           max(col("quality")).as("best_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q_dedup_substring: EXACT cross-document substring-duplication
     * profile — the Lee-et-al "Deduplicating Training Data" shape, the one
     * dedup signal shingle-Jaccard misses (a verbatim 30-char span copied

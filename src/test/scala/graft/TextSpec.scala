@@ -339,4 +339,27 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(j.nonEmpty && j.forall(_ < 0.7),
       "fragment pairs must sit BELOW the Jaccard dedup threshold — the blind spot containment closes")
   }
+
+  test("dedup keep-best: kept doc is a max-quality member; clusters agree with q_dedup_clusters") {
+    import org.apache.spark.sql.functions._
+    val kb = graft.ops.Text.dedupKeepBestQuery(spark, sfDir).collect()
+    assert(kb.nonEmpty)
+    val clusters = graft.ops.Text.dedupClustersQuery(spark, sfDir).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val q = graft.ops.Text.qualityScore(
+        graft.io.Sources.documents(spark, sfDir), "text")
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    kb.foreach { r =>
+      val (cid, n, keep, bq) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val members = clusters(cid)
+      assert(members.size.toLong === n, s"cluster $cid size mismatch")
+      assert(members.contains(keep), s"kept doc $keep not in cluster $cid")
+      val maxQ = members.map(q).max
+      assert(q(keep) === maxQ, s"kept doc must have the max quality in cluster $cid")
+      assert(bq === maxQ)
+      // the tie rule: among max-quality members, the lowest id wins
+      assert(keep === members.filter(m => q(m) == maxQ).min)
+    }
+  }
 }
