@@ -150,6 +150,9 @@ object SparkEntry {
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
     "q_rfm" -> Analytics.rfm,
+    "q_quantile_bands" -> Relational.quantileBands,
+    "q_changepoint" -> Analytics.changepoint,
+    "q_psi" -> Stats.psi,
     "q_cumulative_uniques" -> Analytics.cumulativeUniques,
     "q_attribution" -> Analytics.attribution,
     "q_funnel" -> Analytics.funnel,
@@ -1684,6 +1687,75 @@ object SparkEntry {
         |  CAST(l.value IS NOT NULL AS INT) AS is_observed
         |FROM spine s LEFT JOIN lastv l ON s.user_id = l.user_id AND s.d = l.d
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_quantile_bands" ->
+      // equi-depth deciles per priority: ntile over the (cents, orderkey)
+      // total order — deterministic band assignment in both engines
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderpriority, p_cents,
+        |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY p_cents, o_orderkey) AS BIGINT) AS band
+        |  FROM o)
+        |SELECT o_orderpriority, band, COUNT(*) AS n,
+        |  CAST(min(p_cents) AS DOUBLE) / 100 AS lo,
+        |  CAST(max(p_cents) AS DOUBLE) / 100 AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_changepoint" ->
+      // integer-exact scaled CUSUM: T_i = n·cum_i − i·total (BIGINT), so
+      // the argmax can never flip; one double division at the end
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, epoch_day, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY epoch_day) AS BIGINT) AS i,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY epoch_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily),
+        |t AS (
+        |  SELECT event_type, epoch_day, n_days,
+        |    n_days * cum - i * total AS t_stat,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_days * cum - i * total) DESC, epoch_day) AS rk
+        |  FROM c)
+        |SELECT event_type, epoch_day AS cp_day, n_days,
+        |  round(CAST(t_stat AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum_peak
+        |FROM t WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_psi" ->
+      // PSI with Laplace-smoothed exact integer counts; fixed cents bands;
+      // Σ(p−q)·ln(p/q) as one shared double tree, round-6
+      """WITH e AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) <= 19737 AS is_a,
+        |    least(9, CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / 1000) AS BIGINT)) AS band
+        |  FROM events),
+        |cnt AS (
+        |  SELECT event_type, band,
+        |    count(*) FILTER (is_a) AS ca, count(*) FILTER (NOT is_a) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, band, ca, cb,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM cnt),
+        |pq AS (
+        |  SELECT event_type,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS p,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS q
+        |  FROM w)
+        |SELECT event_type, COUNT(*) AS n_bands,
+        |  round(SUM((p - q) * ln(p / q)), 6) AS psi
+        |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rfm" ->
       // RFM quartiles WITHIN market segment (ntile fills early buckets

@@ -441,4 +441,38 @@ object Analytics {
            moneySum(coalesce(col("purchased"), lit(0.0))).as("attributed_value"))
       .orderBy(col("channel"))
   }
+
+  /** q_changepoint: CUSUM change-point detection per event_type — the day
+    * where the cumulative deviation from the series mean peaks (the
+    * level-shift detector behind "when did traffic change"). ENTIRELY
+    * INTEGER until the final rendering: with daily counts x_1..x_n,
+    * T_i = n·cum_i − i·total is the mean-centered CUSUM scaled by n —
+    * exact BIGINT — so the argmax over |T_i| (ties → earliest day) can
+    * never flip between engines; the reported statistic T/n is one double
+    * division, round-6. One shuffle (daily rollup); windows partitioned
+    * by event_type.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    val daily = Sources.events(spark, dir)
+      .groupBy(col("event_type"),
+               datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+    val run = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("i", row_number().over(byType).cast("long"))
+      .withColumn("cum", sum(col("x")).over(run))
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("t_stat", col("n_days") * col("cum") - col("i") * col("total"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(abs(col("t_stat")).desc, col("epoch_day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("epoch_day").as("cp_day"), col("n_days"),
+              r6(col("t_stat").cast("double") / col("n_days").cast("double")).as("cusum_peak"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -481,4 +481,29 @@ object Relational {
       .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** q_quantile_bands: EQUI-DEPTH deciles of order value within each order
+    * priority — the complement of q_histogram's fixed-width bands (equal
+    * POPULATION per band, data-driven edges; what percentile-based SLAs
+    * and feature bucketizers use). ntile(10) over (exact cents, orderkey
+    * tiebreak) — a total order, so band assignment is deterministic and
+    * identical in both engines (NTILE fills earlier buckets first under
+    * the same rule); windows are partitioned by priority (never global).
+    * Band edges reported as exact-cents-derived doubles.
+    */
+  def quantileBands(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.cents
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("p_cents"), col("o_orderkey"))
+    Sources.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              cents(col("o_totalprice")).as("p_cents"))
+      .withColumn("band", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("band"))
+      .agg(count(lit(1)).as("n"),
+           (min(col("p_cents")).cast("double") / 100.0).as("lo"),
+           (max(col("p_cents")).cast("double") / 100.0).as("hi"))
+      .orderBy(col("o_orderpriority"), col("band"))
+  }
 }

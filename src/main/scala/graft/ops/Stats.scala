@@ -386,4 +386,35 @@ object Stats {
            sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cos"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** q_psi: Population Stability Index of the event-value distribution,
+    * first half-month vs second (days 1-15 vs 16-30) per event_type — THE
+    * standard model-monitoring drift score (PSI < 0.1 stable, > 0.25
+    * action). Values land in 10 fixed cents-derived bands; counts get
+    * Laplace +1 smoothing (exact integers — no empty-bucket infinities);
+    * PSI = Σ (p−q)·ln(p/q) as one shared double tree over exact integer
+    * inputs, round-6 (the q_entropy ln argument). Everything is one
+    * aggregate at (type, band) grain + a |types|-row rollup.
+    */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val banded = Sources.events(spark, dir)
+      .select(col("event_type"),
+              (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")) <= lit(19723 + 14)).as("is_a"),
+              least(lit(9L), floor(cents(col("value")) / 1000L)).cast("long").as("band"))
+    val counts = banded
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(when(col("is_a"), 1)).as("ca"), count(when(!col("is_a"), 1)).as("cb"))
+    val tot = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      // Laplace smoothing: +1 per band, +10 per denominator (10 bands)
+      .withColumn("p", (col("ca") + 1L).cast("double") / (col("na") + 10L).cast("double"))
+      .withColumn("q", (col("cb") + 1L).cast("double") / (col("nb") + 10L).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bands"),
+           r6(sum((col("p") - col("q")) * log(col("p") / col("q")))).as("psi"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -153,4 +153,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rows.map(_.getDouble(4)).sum - totalPurchase / 100.0) < 0.01)
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), "buyers <= users per channel"))
   }
+
+  test("changepoint: equals the driver-side argmax of the exact scaled CUSUM") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.events(spark, sfDir)
+      .groupBy(col("event_type"),
+               datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.ops.Analytics.changepoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getInt(1).toLong, r.getDouble(3))).toMap
+    daily.foreach { case (tpe, rows) =>
+      val s = rows.sortBy(_._2)
+      val total = s.map(_._3).sum; val n = s.length.toLong
+      var cum = 0L
+      val ts = s.zipWithIndex.map { case ((_, d, x), i) =>
+        cum += x; (d, n * cum - (i + 1) * total)
+      }
+      val best = ts.minBy { case (d, t) => (-math.abs(t), d) }
+      assert(got(tpe)._1 === best._1, s"$tpe changepoint day")
+      assert(math.abs(got(tpe)._2 - best._2.toDouble / n) < 1e-4)
+    }
+  }
 }

@@ -133,4 +133,19 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(maxDepth === (63 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 1,
       s"deepest level is floor(log2(maxkey)) + 1, got $maxDepth for n=$n")
   }
+
+  test("quantile bands: 10 bands per priority, sizes differ by <= 1, edges ordered") {
+    val rows = graft.ops.Relational.quantileBands(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (pri, band) =>
+      assert(band.length === 10, s"$pri must have 10 bands")
+      val ns = band.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$pri equi-depth: sizes $ns")
+      // bands are contiguous in value: hi(b) <= lo(b+1)
+      val sorted = band.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) + 1e-9)
+      }
+      sorted.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    }
+  }
 }

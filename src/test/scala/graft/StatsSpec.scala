@@ -227,4 +227,27 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) === w)
     }
   }
+
+  test("psi: non-negative, equals the driver-side smoothed computation") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")) <= 19737).as("a"),
+        least(lit(9L), floor(graft.Det.cents(col("value")) / 1000L)).cast("long").as("band"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val got = graft.ops.Stats.psi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    e.groupBy(_._1).foreach { case (tpe, rows) =>
+      val bands = rows.map(_._3).distinct
+      val na = rows.count(_._2).toLong; val nb = rows.count(!_._2).toLong
+      val psi = bands.map { b =>
+        val ca = rows.count(r => r._2 && r._3 == b).toLong
+        val cb = rows.count(r => !r._2 && r._3 == b).toLong
+        val p = (ca + 1).toDouble / (na + 10); val q = (cb + 1).toDouble / (nb + 10)
+        (p - q) * math.log(p / q)
+      }.sum
+      assert(psi >= -1e-12, "PSI is a sum of non-negative terms")
+      assert(math.abs(got(tpe) - psi) < 1e-4, s"$tpe: ${got(tpe)} vs $psi")
+    }
+  }
 }
