@@ -105,6 +105,9 @@ object SparkEntry {
     "q_dedup_clusters" -> Text.dedupClustersQuery,
     "q_dedup_keep_best" -> Text.dedupKeepBestQuery,
     "q_pagerank" -> Graph.pageRankQuery,
+    "q_degree_dist" -> Graph.degreeDistQuery,
+    "q_user_paths" -> Analytics.userPaths,
+    "q_sql_macro" -> Functions.sqlMacroQuery,
     "q_triangle_count" -> Graph.triangleCountQuery,
     "q_bfs_hops" -> Graph.bfsHopsQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
@@ -554,6 +557,40 @@ object SparkEntry {
     "q_dedup_clusters" -> clustersOracle,
 
     "q_dedup_keep_best" -> keepBestOracle,
+
+    "q_degree_dist" ->
+      // same weighted co-order edge construction as q_triangle_count
+      // (join spelling — semantics identical to the HOF pair generation)
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM ls a JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |deg AS (SELECT n, COUNT(*) AS deg
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY 1)
+        |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(n) AS BIGINT) AS sum_id
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_user_paths" ->
+      // first-3-event journey per user by the (ts, event_id) total order
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, COUNT(*) AS n_users FROM p
+        |GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "q_sql_macro" ->
+      // the macro body inlined: exact decimal revenue per flag (the
+      // engine side calls the CREATE FUNCTION form; the analyzer inlines
+      // it to exactly this expression)
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
 

@@ -475,4 +475,27 @@ object Analytics {
               r6(col("t_stat").cast("double") / col("n_days").cast("double")).as("cusum_peak"))
       .orderBy(col("event_type"))
   }
+
+  /** q_user_paths: top user JOURNEYS — each user's first three event types
+    * in (ts, event_id) order joined with '>', counted across users, top-20
+    * by (count desc, path). The sequence-mining rollup behind onboarding
+    * funnels and UX flow dashboards (q_event_bigrams is the memoryless
+    * transition view; this is the path-prefix view). One user_id shuffle
+    * for the window + per-user aggregate; the path table is tiny
+    * (<= |event_types|^3 rows) and the top-20 is a TakeOrdered.
+    */
+  def userPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Sources.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+                                x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
 }

@@ -229,4 +229,27 @@ object Functions {
               (col("s") =!= col("norm")).cast("int").as("changed"))
       .orderBy(col("doc_id"))
   }
+
+  /** q_sql_macro: a SQL-DEFINED FUNCTION (Spark 4 `CREATE FUNCTION …
+    * RETURN <expr>`, the engine's `CREATE EXTENSION`/server-side-function
+    * analogue — SURVEY §2 J) declared and then CALLED inside a gated
+    * query: per-flag revenue through the macro. The analyzer INLINES the
+    * function body (SqlUdfSpec pins that), so the plan is identical to
+    * writing the expression in place — the oracle twin simply inlines the
+    * same exact-decimal arithmetic. Proves the extension surface under
+    * the hash gate, not just in unit tests.
+    */
+  def sqlMacroQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(p DOUBLE, d DOUBLE)
+        |RETURNS DECIMAL(22, 4)
+        |RETURN CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(d AS DECIMAL(4,2)))
+        |""".stripMargin)
+    Sources.lineitem(spark, dir).createOrReplaceTempView("sqlmacro_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(graft_rev(l_extendedprice, l_discount)) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM sqlmacro_lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

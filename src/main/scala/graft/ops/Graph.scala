@@ -290,4 +290,31 @@ object Graph {
               r6(col("rank")).as("pr"))
       .orderBy(col("kind"), col("key"))
   }
+
+  /** q_degree_dist: degree distribution of the co-order supplier graph —
+    * the first thing anyone asks of a graph ("is it power-law? any
+    * hubs?") and the input to the q_triangle_count orientation argument.
+    * Same weighted edge construction as the triangle key (suppliers
+    * co-filling >= 5 orders, map-side HOF pair generation); then degree
+    * per node, nodes per degree. All integers; the id sum pins membership,
+    * not just counts.
+    */
+  def degreeDistQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+                y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u"), col("p.v"))
+    val edges = pairs
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .select(col("u"), col("v"))
+    edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"), sum(col("n")).as("sum_id"))
+      .orderBy(col("deg"))
+  }
 }
