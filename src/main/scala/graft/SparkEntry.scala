@@ -125,6 +125,7 @@ object SparkEntry {
     "q_semantic_dedup" -> Similarity.semanticDedupQuery,
     "q_kmeans" -> Similarity.kmeansQuery,
     "q_ivf_search" -> Ivf.ivfSearchQuery,
+    "q_pq_adc" -> Pq.pqAdcQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -2661,6 +2662,23 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
         |  FROM sims) z
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_pq_adc" ->
+      // lossless-regime ADC == exact squared L2 (inner-product expansion);
+      // top-10 sits inside one 50-replica group — exact ties, row_id break
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |corpus AS (
+        |  SELECT vec_id * 100 + r.range AS row_id, emb FROM base, range(50) r),
+        |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pemb FROM embeddings WHERE vec_id = 20),
+        |d AS (
+        |  SELECT row_id,
+        |    list_inner_product(emb, emb) + list_inner_product(pemb, pemb)
+        |      - 2 * list_inner_product(emb, pemb) AS dist2
+        |  FROM corpus, p)
+        |SELECT row_id, round(dist2, 6) AS dist2 FROM d
+        |ORDER BY dist2, row_id LIMIT 10""".stripMargin,
 
     "q_knn_majority" ->
       """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings WHERE vec_id < 10),

@@ -33,7 +33,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_interp_gapfill",  // the same users × 30-row generated spine cross join
     "q_benford",         // 9 digit rows × broadcast(1-row total)
     "q_freshness",       // 5 stream rows × broadcast(1-row global max)
-    "q_rfm"              // per-customer aggregate × broadcast(1-row anchor date)
+    "q_rfm",             // per-customer aggregate × broadcast(1-row anchor date)
+    "q_pq_adc"           // 16 base vectors × broadcast(50-row replica range)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
