@@ -149,6 +149,7 @@ object SparkEntry {
     "q_stream_session" -> Streaming.session,
     "q_session_native" -> Streaming.sessionNative,
     "q_join_asof" -> Streaming.asofClickSignup,
+    "q_join_pit" -> Merge.joinPit,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
     "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_join_interval" -> Streaming.intervalJoin,
@@ -1471,6 +1472,31 @@ object SparkEntry {
         |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, from_us, o_orderkey""".stripMargin,
+
+    "q_join_pit" ->
+      // the as-of union form mirrored exactly: versions (kind 0, one per
+      // customer-day, last order wins) + facts (kind 1) in one stream,
+      // running last-non-null carries the in-effect version id
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders),
+        |v AS (
+        |  SELECT o_custkey AS ck, epoch_us(o_orderdate) AS us, max(o_orderkey) AS ver
+        |  FROM o GROUP BY 1, 2),
+        |f AS (
+        |  SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS fln,
+        |    o.o_custkey AS ck, epoch_us(l.l_shipdate) AS us
+        |  FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey),
+        |u AS (
+        |  SELECT ck, us, ver, 0 AS kind, CAST(NULL AS BIGINT) AS fok, CAST(NULL AS BIGINT) AS fln FROM v
+        |  UNION ALL
+        |  SELECT ck, us, CAST(NULL AS BIGINT), 1, l_orderkey, fln FROM f),
+        |w AS (
+        |  SELECT ck, us, kind, fok, fln,
+        |    last_value(ver IGNORE NULLS) OVER (PARTITION BY ck ORDER BY us, kind, ver
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit
+        |  FROM u)
+        |SELECT fok AS l_orderkey, fln AS l_linenumber, ck AS c_custkey,
+        |  us AS ship_us, pit AS pit_orderkey
+        |FROM w WHERE kind = 1 ORDER BY 1, 2""".stripMargin,
 
     "q_dq_checks" ->
       """WITH base AS (

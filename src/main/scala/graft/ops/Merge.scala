@@ -165,4 +165,51 @@ object Merge {
       .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q_join_pit: POINT-IN-TIME dimension join — each fact row (a
+    * lineitem, timestamped by ship date) enriched with the dimension
+    * VERSION valid at that instant (the customer's latest order state at
+    * or before the ship date). This is the warehouse verb SCD2 tables
+    * exist FOR (q_scd2 builds the versions; this key consumes them) and
+    * the feature-store rule against training-serving skew ("the feature
+    * value as of label time", never the current one).
+    *
+    * Shape: the as-of union trick (the q_join_asof pattern) — versions
+    * (kind 0) and facts (kind 1) union into ONE per-customer stream; a
+    * running last-non-null carries the in-effect version id forward. One
+    * user-key shuffle, no range-join blowup, facts never re-sorted
+    * globally. Versions dedupe to one per (customer, day) — the day's
+    * last order wins — so the stream has no same-instant version ties.
+    * A fact that PREDATES every version (this synthetic data draws ship
+    * dates independently of order dates) gets a NULL version id — "no
+    * state in effect yet", never a later version leaking backward (the
+    * exact training-serving-skew bug PIT joins exist to prevent).
+    */
+  def joinPit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Sources.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val versions = o
+      .groupBy(col("o_custkey").as("ck"),
+               unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .agg(max(col("o_orderkey")).as("ver"))
+      .select(col("ck"), col("us"), col("ver"), lit(0).as("kind"),
+              lit(null).cast("long").as("fok"), lit(null).cast("long").as("fln"))
+    val facts = Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("fln"),
+              unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+      .join(o.select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("ck")),
+            Seq("l_orderkey"))
+      .select(col("ck"), col("us"), lit(null).cast("long").as("ver"), lit(1).as("kind"),
+              col("l_orderkey").as("fok"), col("fln"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("us"), col("kind"), col("ver"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(facts)
+      .withColumn("pit", last(col("ver"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("fok").as("l_orderkey"), col("fln").as("l_linenumber"),
+              col("ck").as("c_custkey"), col("us").as("ship_us"),
+              col("pit").as("pit_orderkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 }

@@ -81,4 +81,33 @@ class MergeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join PIT: the picked version is the latest at-or-before each fact; own order qualifies") {
+    import org.apache.spark.sql.functions._
+    val res = graft.ops.Merge.joinPit(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    val orders = graft.io.Sources.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = orders.groupBy(_._2)
+    var nulls = 0
+    res.foreach { r =>
+      val (ck, shipUs) = (r.getLong(2), r.getLong(3))
+      val eligible = byCust(ck).filter(_._3 <= shipUs)
+      if (eligible.isEmpty) {
+        // synthetic ship dates are drawn independently of order dates, so
+        // a fact can predate every version — "no version in effect yet"
+        // must surface as NULL, never as a later version leaking backward
+        assert(r.isNullAt(4), s"cust $ck at $shipUs: no eligible version, pit must be NULL")
+        nulls += 1
+      } else {
+        val maxUs = eligible.map(_._3).max
+        val expect = eligible.filter(_._3 == maxUs).map(_._1).max
+        assert(r.getLong(4) === expect, s"cust $ck at $shipUs: pit ${r.getLong(4)} vs $expect")
+      }
+    }
+    assert(nulls > 0, "this dataset contains pre-version facts — the NULL path must be exercised")
+    // row count conserves lineitems
+    assert(res.length.toLong === graft.io.Sources.lineitem(spark, sfDir).count())
+  }
 }
