@@ -155,6 +155,9 @@ object SparkEntry {
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
     "q_rfm" -> Analytics.rfm,
+    "q_percent_total" -> Relational.percentTotal,
+    "q_regex_extract_all" -> Functions.regexExtractAllQuery,
+    "q_cohort_ltv" -> Analytics.cohortLtv,
     "q_quantile_bands" -> Relational.quantileBands,
     "q_changepoint" -> Analytics.changepoint,
     "q_psi" -> Stats.psi,
@@ -1751,6 +1754,45 @@ object SparkEntry {
         |  CAST(l.value IS NOT NULL AS INT) AS is_observed
         |FROM spine s LEFT JOIN lastv l ON s.user_id = l.user_id AND s.d = l.d
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_percent_total" ->
+      // ratio-to-report: exact decimal sums, one shared double division
+      """WITH seg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_bal
+        |  FROM customer GROUP BY 1),
+        |tot AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_bal FROM customer)
+        |SELECT c_mktsegment, n, CAST(seg_bal AS DOUBLE) AS seg_bal,
+        |  round(CAST(seg_bal AS DOUBLE) / CAST(tot_bal AS DOUBLE), 6) AS share
+        |FROM seg, tot ORDER BY c_mktsegment""".stripMargin,
+
+    "q_regex_extract_all" ->
+      // all matches of the shared RE2/Java-common pattern; scalar rollup
+      // (count/first/last) of the internal match array
+      """WITH m AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+a[a-z]*') AS ms FROM documents)
+        |SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |  ms[1] AS first_match, ms[-1] AS last_match
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_cohort_ltv" ->
+      // cumulative purchase value per signup cohort by week offset; cells
+      // are exact decimal sums, the running sum adds exact 2-dp doubles
+      // over the identical ordered frame
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, date_trunc('week', ts) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_wk,
+        |    CAST(datediff('day', CAST(c.cohort_wk AS DATE), CAST(e.wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |    COUNT(DISTINCT e.user_id) AS n_buyers,
+        |    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS wk_value
+        |  FROM e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT epoch_us(cohort_wk) AS cohort_us, week_offset, n_buyers, wk_value,
+        |  round(SUM(wk_value) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+        |FROM cells ORDER BY 1, 2""".stripMargin,
 
     "q_quantile_bands" ->
       // equi-depth deciles per priority: ntile over the (cents, orderkey)

@@ -498,4 +498,37 @@ object Analytics {
       .orderBy(col("n_users").desc, col("path"))
       .limit(20)
   }
+
+  /** q_cohort_ltv: cumulative purchase value per signup cohort by week
+    * offset — the LTV curve (q_retention_cohort counts heads; this one
+    * follows the money). Cohort = each user's first ISO week; purchase
+    * money lands in exact decimal cells at (cohort, offset) grain; the
+    * running cumulative sums those exact 2-dp doubles over an ordered
+    * partitioned frame (identical order both engines), round-6 on output.
+    * Offsets are exact integer day-diffs / 7. One user_id shuffle + a
+    * |cohorts| x |weeks| rollup.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{moneySum, r6}
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+              date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val cells = e.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+               (datediff(col("wk").cast("date"), col("cohort_wk").cast("date")) / 7)
+                 .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+           moneySum(col("value")).as("wk_value"))
+    val w = Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_value", r6(sum(col("wk_value")).over(w)))
+      .select(unix_micros(col("cohort_wk").cast("timestamp")).as("cohort_us"),
+              col("week_offset"), col("n_buyers"),
+              col("wk_value"), col("cum_value"))
+      .orderBy(col("cohort_us"), col("week_offset"))
+  }
 }

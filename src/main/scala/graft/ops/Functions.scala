@@ -252,4 +252,24 @@ object Functions {
         |  COUNT(*) AS n
         |FROM sqlmacro_lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** q_regex_extract_all: global regex extraction — all matches per
+    * document (count, first, last), the log-mining/token-harvesting verb
+    * (regexp_extract gets ONE match; pipelines need them all). The match
+    * ARRAY stays internal (declared outputs are scalar by contract);
+    * count/first/last pin its content. Pattern syntax is the
+    * RE2/Java-common subset (no backreferences/lookahead), the
+    * q_url_canonicalize portability rule.
+    */
+  def regexExtractAllQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ms = regexp_extract_all(col("text"), lit("[a-z]+a[a-z]*"), lit(0))
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), ms.as("ms"))
+      // get() is 0-based and NULL-safe out of range (ANSI element_at
+      // throws on an empty array — a zero-match doc must yield NULLs)
+      .select(col("doc_id"), size(col("ms")).cast("long").as("n_matches"),
+              get(col("ms"), lit(0)).as("first_match"),
+              get(col("ms"), size(col("ms")) - 1).as("last_match"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -506,4 +506,25 @@ object Relational {
            (max(col("p_cents")).cast("double") / 100.0).as("hi"))
       .orderBy(col("o_orderpriority"), col("band"))
   }
+
+  /** q_percent_total: ratio-to-report — each market segment's share of
+    * total account balance (the "% of total" column every BI tool bolts
+    * onto a rollup). Exact decimal sums per segment AND for the total;
+    * the share is one double division of two exactly-agreed operands,
+    * round-6. The total is a 1-row broadcast (the q_benford pattern),
+    * never a global window.
+    */
+  def percentTotal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{money, r6}
+    val seg = Sources.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(money(col("c_acctbal"))).as("seg_bal"))
+    val tot = Sources.customer(spark, dir)
+      .agg(sum(money(col("c_acctbal"))).as("tot_bal"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("c_mktsegment"), col("n"),
+              col("seg_bal").cast("double").as("seg_bal"),
+              r6(col("seg_bal").cast("double") / col("tot_bal").cast("double")).as("share"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

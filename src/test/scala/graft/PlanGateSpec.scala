@@ -34,7 +34,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_benford",         // 9 digit rows × broadcast(1-row total)
     "q_freshness",       // 5 stream rows × broadcast(1-row global max)
     "q_rfm",             // per-customer aggregate × broadcast(1-row anchor date)
-    "q_pq_adc"           // 16 base vectors × broadcast(50-row replica range)
+    "q_pq_adc",          // 16 base vectors × broadcast(50-row replica range)
+    "q_percent_total"    // 5 segment rows × broadcast(1-row grand total)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
