@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> Text.dedupKeepBestQuery,
     "q_pagerank" -> Graph.pageRankQuery,
     "q_degree_dist" -> Graph.degreeDistQuery,
+    "q_communities" -> Graph.communitiesQuery,
     "q_user_paths" -> Analytics.userPaths,
     "q_sql_macro" -> Functions.sqlMacroQuery,
     "q_triangle_count" -> Graph.triangleCountQuery,
@@ -574,6 +575,31 @@ object SparkEntry {
         |        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY 1)
         |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(n) AS BIGINT) AS sum_id
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_communities" ->
+      // 3 sync LPA rounds unrolled as chained CTEs (most-frequent
+      // neighbour label, ties to the smallest — all integer, no FP)
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM ls a JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |e2 AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e2),
+        |l1 AS (SELECT src AS id, label FROM (
+        |  SELECT e2.src, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e2.src ORDER BY count(*) DESC, l.label) AS rn
+        |  FROM e2 JOIN l0 l ON l.id = e2.dst GROUP BY 1, 2) z WHERE rn = 1),
+        |l2 AS (SELECT src AS id, label FROM (
+        |  SELECT e2.src, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e2.src ORDER BY count(*) DESC, l.label) AS rn
+        |  FROM e2 JOIN l1 l ON l.id = e2.dst GROUP BY 1, 2) z WHERE rn = 1),
+        |l3 AS (SELECT src AS id, label FROM (
+        |  SELECT e2.src, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e2.src ORDER BY count(*) DESC, l.label) AS rn
+        |  FROM e2 JOIN l2 l ON l.id = e2.dst GROUP BY 1, 2) z WHERE rn = 1)
+        |SELECT label AS community, COUNT(*) AS n_members,
+        |  MIN(id) AS min_id, CAST(SUM(id) AS BIGINT) AS sum_id
+        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_user_paths" ->
       // first-3-event journey per user by the (ts, event_id) total order

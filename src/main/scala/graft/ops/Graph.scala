@@ -317,4 +317,62 @@ object Graph {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"), sum(col("n")).as("sum_id"))
       .orderBy(col("deg"))
   }
+
+  /** Synchronous label propagation (LPA, Raghavan et al. 2007 — public
+    * method): `rounds` sync updates where every node adopts the most
+    * frequent label among its neighbours, ties to the SMALLEST label.
+    * Sync + min-tiebreak makes the result a pure function of the edge
+    * set (async LPA is order-dependent — unusable under a hash gate).
+    * Each round is ONE hash join (edges ⋈ labels) + one aggregate + one
+    * per-node argmax window — all partitioned by node id; lineage is cut
+    * per round (the CC pattern).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+    (1 to rounds).foreach { _ =>
+      labels = und
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q_communities: LPA communities of the co-order supplier graph after
+    * 3 sync rounds — the community census (which supplier cliques fill
+    * orders together), the graph sibling of q_dedup_clusters' pure
+    * connectivity. Same weighted edge construction as q_triangle_count /
+    * q_degree_dist; output pins membership (min id, id sum), not just
+    * sizes. The oracle unrolls the 3 rounds as chained CTEs — identical
+    * integer semantics, no recursion needed for a FIXED round count.
+    */
+  def communitiesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
+    val pairs = perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+                y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u"), col("p.v"))
+    val edges = pairs
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .select(col("u"), col("v"))
+    labelPropagation(edges, "u", "v", rounds = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
+           sum(col("id")).as("sum_id"))
+      .orderBy(col("community"))
+  }
 }
