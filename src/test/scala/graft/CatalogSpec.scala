@@ -1494,4 +1494,24 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       assert(GroupFiles.live(dir).head.stats === Map("ok" -> (5L, 6L)))
     } finally GroupFiles.delete(dir)
   }
+
+  test("CTAS into the graft catalog: create-from-query, row-level ops on the result, no-clobber") {
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val T = "graft_fb.default.fb_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+    // CTAS: schema inferred from the query, rows land in the same commit
+    spark.sql(s"CREATE TABLE $T AS SELECT id AS k, concat('v', id) AS v FROM range(0, 7, 1, 1)")
+    assert(spark.table(T).count() === 7)
+    assert(spark.table(T).schema.fieldNames.toSeq === Seq("k", "v"))
+    // the created table is a real graft table: row-level ops work on it
+    spark.sql(s"DELETE FROM $T WHERE k >= 5")
+    assert(spark.table(T).count() === 5)
+    // CTAS onto an existing name fails; IF NOT EXISTS is a no-op
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $T AS SELECT 1 AS x")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $T AS SELECT 1 AS x")
+    assert(spark.table(T).schema.fieldNames.toSeq === Seq("k", "v"), "IF NOT EXISTS must not clobber")
+    spark.sql(s"DROP TABLE $T")
+  }
 }
