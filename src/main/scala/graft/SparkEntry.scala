@@ -165,6 +165,9 @@ object SparkEntry {
     "q_cumulative_uniques" -> Analytics.cumulativeUniques,
     "q_attribution" -> Analytics.attribution,
     "q_funnel" -> Analytics.funnel,
+    "q_funnel_window" -> Analytics.funnelWindow,
+    "q_error_spikes" -> Analytics.errorSpikes,
+    "q_retention_curve" -> Analytics.retentionCurve,
     "q_event_bigrams" -> Analytics.eventBigrams,
     "q_sessionize" -> Analytics.sessionize,
     "q_winsorize" -> Analytics.winsorize,
@@ -2625,6 +2628,56 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE t_click > t_view) AS n_view_click,
         |  COUNT(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click) AS n_full_funnel
         |FROM f""".stripMargin,
+
+    "q_funnel_window" ->
+      // the same conditional-min frame under conversion deadlines:
+      // click within 24h of first view, purchase within 72h of the click
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(t_view) AS n_view,
+        |  COUNT(*) FILTER (WHERE t_click > t_view
+        |    AND t_click - t_view <= 86400000000) AS n_click_24h,
+        |  COUNT(*) FILTER (WHERE t_click > t_view
+        |    AND t_click - t_view <= 86400000000
+        |    AND t_purchase > t_click
+        |    AND t_purchase - t_click <= 259200000000) AS n_purchase_72h
+        |FROM f""".stripMargin,
+
+    "q_error_spikes" ->
+      // top-3 by the ROUND-6 daily error share, epoch-day tiebreak (a
+      // fixed multiplicative gate goes vacuous at scale — see scaladoc)
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    count(*) AS n,
+        |    count(*) FILTER (event_type = 'error') AS n_err
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_err) AS BIGINT) AS et FROM daily)
+        |SELECT epoch_day, n, n_err,
+        |  round(CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE), 6) AS day_rate,
+        |  round(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS overall_rate
+        |FROM daily, tot
+        |ORDER BY day_rate DESC, epoch_day LIMIT 3""".stripMargin,
+
+    "q_retention_curve" ->
+      // normalized retention: active share of each cohort per week offset
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort_wk, COUNT(DISTINCT user_id) AS cohort_n FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_wk,
+        |    CAST(datediff('day', CAST(c.cohort_wk AS DATE), CAST(e.wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |    COUNT(DISTINCT e.user_id) AS n_active
+        |  FROM e JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT epoch_us(a.cohort_wk) AS cohort_us, a.week_offset, s.cohort_n, a.n_active,
+        |  round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+        |FROM act a JOIN sizes s USING (cohort_wk)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_join_interval" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs

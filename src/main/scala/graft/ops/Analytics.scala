@@ -531,4 +531,79 @@ object Analytics {
               col("wk_value"), col("cum_value"))
       .orderBy(col("cohort_us"), col("week_offset"))
   }
+
+  /** q_funnel_window: the ordered funnel under a CONVERSION WINDOW — a
+    * click only converts if within 24h of the first view, a purchase
+    * within 72h of that click (real funnels always carry deadlines;
+    * q_funnel is the unbounded form). Same shape: one conditional-min
+    * aggregate per user, then NULL-safe integer microsecond comparisons —
+    * a missing step or a blown deadline simply never counts.
+    */
+  def funnelWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val dayUs = 24L * 3600 * 1000000
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"),
+           min(when(col("event_type") === "click", col("us"))).as("t_click"),
+           min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+    firsts.agg(
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view") &&
+                 col("t_click") - col("t_view") <= dayUs, 1)).as("n_click_24h"),
+      count(when(col("t_click") > col("t_view") &&
+                 col("t_click") - col("t_view") <= dayUs &&
+                 col("t_purchase") > col("t_click") &&
+                 col("t_purchase") - col("t_click") <= 3 * dayUs, 1)).as("n_purchase_72h"))
+  }
+
+  /** q_error_spikes: the TOP-3 spikiest days by daily error share — the
+    * ops-analytics anomaly view ("which days did the error rate run
+    * hottest"), with the overall share alongside for contrast. A top-k
+    * rather than a fixed multiplicative threshold: under the law of large
+    * numbers daily shares concentrate toward the mean as volume grows, so
+    * any fixed "2× the overall rate" gate goes VACUOUS at scale (measured:
+    * 9 qualifying days at sf0.001, 1 at sf0.01, none at sf1) — the top-k
+    * form asks the question that stays answerable. Counts exact; ranking
+    * on the ROUND-6 share with the epoch-day tiebreak (a total order both
+    * engines agree on); top-3 is a TakeOrderedAndProject.
+    */
+  def errorSpikes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("event_type") === "error", 1)).as("n_err"))
+    val tot = daily.agg(sum(col("n")).as("nt"), sum(col("n_err")).as("et"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("epoch_day"), col("n"), col("n_err"),
+              r6(col("n_err").cast("double") / col("n").cast("double")).as("day_rate"),
+              r6(col("et").cast("double") / col("nt").cast("double")).as("overall_rate"))
+      .orderBy(col("day_rate").desc, col("epoch_day"))
+      .limit(3)
+  }
+
+  /** q_retention_curve: the NORMALIZED retention curve — per cohort week
+    * and week offset, the share of the cohort still active (the rate form
+    * of q_retention_cohort's head counts; what actually gets plotted).
+    * Cohort sizes and active counts are exact distinct counts; the rate
+    * is one division, round-6; offsets are exact integer day-diffs / 7.
+    */
+  def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val e = Sources.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(countDistinct(col("user_id")).as("cohort_n"))
+    e.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+               (datediff(col("wk").cast("date"), col("cohort_wk").cast("date")) / 7)
+                 .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_wk"))
+      .select(unix_micros(col("cohort_wk").cast("timestamp")).as("cohort_us"),
+              col("week_offset"), col("cohort_n"), col("n_active"),
+              r6(col("n_active").cast("double") / col("cohort_n").cast("double")).as("retention"))
+      .orderBy(col("cohort_us"), col("week_offset"))
+  }
 }

@@ -35,7 +35,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_freshness",       // 5 stream rows × broadcast(1-row global max)
     "q_rfm",             // per-customer aggregate × broadcast(1-row anchor date)
     "q_pq_adc",          // 16 base vectors × broadcast(50-row replica range)
-    "q_percent_total"    // 5 segment rows × broadcast(1-row grand total)
+    "q_percent_total",   // 5 segment rows × broadcast(1-row grand total)
+    "q_error_spikes"     // 30 day rows × broadcast(1-row totals)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
