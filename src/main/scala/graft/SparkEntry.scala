@@ -89,6 +89,8 @@ object SparkEntry {
     "q_dedup_exact" -> Text.dedupExact,
     "q_text_stats" -> Text.textStats,
     "q_tfidf_topterms" -> Text.tfidfTopTerms,
+    "q_bpe_pairs" -> Text.bpePairsQuery,
+    "q_vocab_growth" -> Text.vocabGrowthQuery,
     "q_bm25" -> Text.bm25Query,
     "q_sim_cosine_topk" -> Similarity.cosineTopK,
     "q_knn_majority" -> Similarity.knnMajority,
@@ -566,6 +568,32 @@ object SparkEntry {
     "q_dedup_clusters" -> clustersOracle,
 
     "q_dedup_keep_best" -> keepBestOracle,
+
+    "q_bpe_pairs" ->
+      // distinct-word counts first, then char bigrams x word count —
+      // the BPE trainer's pair census; all integers, top-20 (n desc, pair)
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair, wc
+        |  FROM w)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q_vocab_growth" ->
+      // each type's first doc, then ten exact integer threshold counts
+      """WITH fd AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE tok <> '' GROUP BY 1),
+        |md AS (SELECT max(doc_id) AS max_doc FROM documents),
+        |cuts AS (SELECT unnest(range(1, 11)) AS decile)
+        |SELECT decile, COUNT(*) AS vocab
+        |FROM fd, md, cuts
+        |WHERE first_doc * 10 <= max_doc * decile
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_degree_dist" ->
       // same weighted co-order edge construction as q_triangle_count

@@ -872,4 +872,51 @@ object Text {
            countDistinct(col("url")).as("n_variants"),
            min(col("doc_id")).as("keep_doc"))
       .orderBy(col("canon"))
+
+  /** q_bpe_pairs: the FIRST MERGE STEP of BPE tokenizer training — the
+    * top adjacent-character-pair frequencies over the corpus (Sennrich et
+    * al. 2016; a full trainer iterates exactly this census between
+    * merges). Weighted by WORD frequency, not word occurrences: the
+    * distinct-word aggregate collapses the corpus first (|vocab| rows),
+    * then each distinct word explodes into its char bigrams × its count —
+    * the standard trainer optimization, and the reason this is two hash
+    * aggregates rather than a corpus-sized explode. Top-20 by (count
+    * desc, pair) via TakeOrderedAndProject. All integer counts.
+    */
+  def bpePairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val words = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2) // a 1-char word has no pair (and
+      // sequence(1, 0) would COUNT DOWN — Spark infers step −1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** q_vocab_growth: the Heaps'-law vocabulary-growth curve — distinct
+    * token types seen within the first k% of documents (by doc_id), at
+    * ten checkpoints. Exact form: each type's FIRST document (one min
+    * aggregate at token grain), then ten threshold counts — never a
+    * running distinct-count window. The sub-linear curve is the
+    * "is my corpus still contributing new vocabulary" signal dedup and
+    * mixture planning consume.
+    */
+  def vocabGrowthQuery(spark: SparkSession, dir: String): DataFrame = {
+    val firstDoc = Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val maxDoc = Sources.documents(spark, dir).agg(max(col("doc_id")).as("max_doc"))
+    val cuts = spark.range(1, 11).select(col("id").as("decile"))
+    firstDoc.crossJoin(broadcast(maxDoc)).crossJoin(broadcast(cuts))
+      // cutoff = floor(max_doc * decile / 10): exact integer arithmetic
+      .filter(col("first_doc") * 10 <= col("max_doc") * col("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
+      .orderBy(col("decile"))
+  }
 }

@@ -36,7 +36,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_rfm",             // per-customer aggregate × broadcast(1-row anchor date)
     "q_pq_adc",          // 16 base vectors × broadcast(50-row replica range)
     "q_percent_total",   // 5 segment rows × broadcast(1-row grand total)
-    "q_error_spikes"     // 30 day rows × broadcast(1-row totals)
+    "q_error_spikes",    // 30 day rows × broadcast(1-row totals)
+    "q_vocab_growth"     // token first-doc table × broadcast(1-row max + 10-row deciles)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
