@@ -61,7 +61,9 @@ object Bench {
     // 2000-char tail, and BENCH_LAST.json is clobbered by dev runs at
     // other SFs — this file preserves the full per-query table of the
     // most recent run AT EACH SCALE for the judge's round-over-round read
-    val sfTag = sfDir.replaceAll(".*/", "")
+    // Paths.getFileName handles trailing slashes ("/x/sf1/" -> "sf1");
+    // the raw-regex form wrote an empty tag (BENCH_FULL_.json) in that case
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
     if (only.isEmpty) // full-suite runs only; subset runs must not masquerade
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"BENCH_FULL_$sfTag.json"),

@@ -485,21 +485,25 @@ object Relational {
   /** q_quantile_bands: EQUI-DEPTH deciles of order value within each order
     * priority — the complement of q_histogram's fixed-width bands (equal
     * POPULATION per band, data-driven edges; what percentile-based SLAs
-    * and feature bucketizers use). ntile(10) over (exact cents, orderkey
+    * and feature bucketizers use). NTILE(10) over (exact cents, orderkey
     * tiebreak) — a total order, so band assignment is deterministic and
     * identical in both engines (NTILE fills earlier buckets first under
-    * the same rule); windows are partitioned by priority (never global).
-    * Band edges reported as exact-cents-derived doubles.
+    * the same rule). Band edges reported as exact-cents-derived doubles.
+    *
+    * SCALE (VERDICT r9 #2): o_orderpriority has 5 values — a per-priority
+    * ntile window is 5 tasks at any scale. Rank.ntileExact computes the
+    * identical bands over a $20k price grid (o_totalprice's domain is
+    * SF-invariant, ~[850, 600k] → ≤ ~30 chunks/priority), so parallelism
+    * is grid-grain and each sort touches only one chunk's rows.
     */
   def quantileBands(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.cents
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("p_cents"), col("o_orderkey"))
-    Sources.orders(spark, dir)
+    val base = Sources.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
               cents(col("o_totalprice")).as("p_cents"))
-      .withColumn("band", ntile(10).over(w).cast("long"))
+    Rank.ntileExact(base, "o_orderpriority", col("p_cents"),
+        col("o_orderkey"), 10, 2000000L, desc = false, "band0")
+      .withColumn("band", col("band0").cast("long")).drop("band0")
       .groupBy(col("o_orderpriority"), col("band"))
       .agg(count(lit(1)).as("n"),
            (min(col("p_cents")).cast("double") / 100.0).as("lo"),

@@ -80,19 +80,21 @@ object Scale {
     * across engines, so any system replaying the pipeline keeps the SAME
     * rows; doc_id tiebreak makes the order total). The rate-sampling
     * sibling is q_mixture_sample (keep-probability per stratum — the
-    * preferred 100 TB form); exact-k needs a per-stratum order. Here that
-    * is one window over a lang shuffle; at extreme per-stratum skew the
-    * two-phase form (per-partition keep k smallest hashes, then re-rank
-    * the k·P survivors) bounds the sort memory — same declared semantics.
+    * preferred 100 TB form); exact-k needs a per-stratum order, computed
+    * as the two-phase form (per-partition keep the k smallest hashes,
+    * then re-rank the ≤ k·P survivors — Rank.topK), which bounds every
+    * sort task regardless of per-stratum skew.
     */
   def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.io.Sources.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
               md5(col("doc_id").cast("string")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    d.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+    // the "two-phase form" promised above, now the implementation:
+    // Rank.topK keeps ≤ 10 smallest hashes per (input partition, lang)
+    // locally, then ranks the bounded survivors — lang is a 5-value
+    // domain, so a single per-lang window would be 5 tasks at scale
+    graft.ops.Rank.topK(d, Seq("lang"), Seq(col("h"), col("doc_id")), 10, "rk")
+      .withColumn("rk", col("rk").cast("int"))
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
   }

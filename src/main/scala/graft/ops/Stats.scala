@@ -281,7 +281,10 @@ object Stats {
     * customer totals in (spend, custkey) order: spend is exact integer
     * cents, ranks are integers, so numerator and denominator are exact
     * BIGINTs and the one division is shared, round-6. One customer-grain
-    * aggregate, one |segment|-partition window, |segments| output rows.
+    * aggregate, then the rank comes from Rank.rankExact (two-phase over a
+    * $200k spend grid — per-customer spend is SF-invariant, ≤ ~$7.5M, so
+    * ≤ ~38 chunks/segment at any scale; a per-SEGMENT row_number window
+    * would be 5 tasks at 100 TB — the q_rfm r9 anti-pattern).
     */
   def gini(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.{money, r6}
@@ -290,10 +293,8 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("cents"), col("c_custkey"))
-    spend
-      .withColumn("i", row_number().over(w).cast("long"))
+    Rank.rankExact(spend, "c_mktsegment", col("cents"), col("c_custkey"),
+        20000000L, desc = false, "i")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
            sum(col("cents")).as("total_cents"),
@@ -311,8 +312,10 @@ object Stats {
     * of the customer base that is. The operational complement of q_gini
     * (gini scores concentration; this names the head size a campaign
     * must reach). Exact integer cents; the cumulative share test is
-    * 5·cum >= 4·total in BIGINTs, so the 80% boundary cannot flip; one
-    * customer-grain aggregate + one |segment|-partition window.
+    * 5·cum >= 4·total in BIGINTs, so the 80% boundary cannot flip.
+    * Rank + cumulative spend come from Rank.rankCumsum (two-phase over
+    * the same $200k spend grid as q_gini — a per-SEGMENT rank/cumsum
+    * window would be 5 tasks at 100 TB, the q_rfm r9 anti-pattern).
     */
   def paretoTopN(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
@@ -321,16 +324,9 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(graft.Det.money(col("o_totalprice"))) * 100).cast("long").as("cents"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("cents").desc, col("c_custkey"))
-    spend
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("cents")).over(
-        Window.partitionBy(col("c_mktsegment"))))
-      .withColumn("n_customers", count(lit(1)).over(
-        Window.partitionBy(col("c_mktsegment"))))
+    Rank.rankCumsum(spend, "c_mktsegment", col("cents"), col("c_custkey"),
+        col("cents"), 20000000L, desc = true,
+        "rk", "cum", "n_customers", "total")
       // first rank whose cumulative share reaches 80% — integer test
       .filter(col("cum") * 5 >= col("total") * 4)
       .groupBy(col("c_mktsegment"), col("n_customers"), col("total"))

@@ -154,10 +154,11 @@ object Text {
       .agg(sum(col("c_dt")).as("len"),
            r6(sum(col("c_dt") * log(col("c") / col("n"))) / sum(col("c_dt")))
              .as("avg_logprob"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_logprob"), col("doc_id"))
-    perDoc.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 10)
+    // two-phase bottom-10 per lang (Rank.topK): lang is a 5-value domain,
+    // so a per-lang row_number window is 5 tasks at scale; the local
+    // pre-rank keeps ≤ 10 rows per (input partition, lang) and the final
+    // rank runs over that bounded survivor frame
+    Rank.topK(perDoc, Seq("lang"), Seq(col("avg_logprob"), col("doc_id")), 10, "rk")
       .select(col("lang"), col("rk"), col("doc_id"), col("len"), col("avg_logprob"))
       .orderBy(col("lang"), col("rk"))
   }
@@ -182,9 +183,9 @@ object Text {
     val scored = tf.join(dfreq, Seq("term"))
       .select(col("lang"), col("term"),
               round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
+    // two-phase top-5 per lang (Rank.topK) — same reason as q_lm_score:
+    // the (lang, term) grain grows with the vocab, lang has 5 values
+    Rank.topK(scored, Seq("lang"), Seq(col("score").desc, col("term")), 5, "rn")
       .orderBy(col("lang"), col("rn"))
   }
 

@@ -18,7 +18,14 @@ import graft.io.Sources
   */
 object Windows {
 
-  /** q_window_rank: rank / dense_rank / row_number per market segment. */
+  /** q_window_rank: rank / dense_rank / row_number per market segment —
+    * the §2 F demonstration of the ranking-window CONSTRUCTS themselves
+    * (PlanGate-allowlisted). SCALE NOTE: c_mktsegment is a 5-value
+    * domain, so this exact shape at 100 TB sorts N/5 rows per task; a
+    * production full-table ranking goes through Rank.rankExact /
+    * Rank.topK (see q_gini / q_topk_per_group), which compute the same
+    * numbers with grid-grain parallelism.
+    */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -178,19 +185,20 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
-  /** q_topk_per_group: top-3 orders by price per market segment —
-    * row_number + filter, the scalable per-group top-k (heap-free, one
-    * shuffle on the group key).
+  /** q_topk_per_group: top-3 orders by price per market segment — the
+    * two-phase Rank.topK form: c_mktsegment has 5 values, so a single
+    * per-segment row_number window would sort N/5 rows on 5 tasks at
+    * scale (the q_rfm r9 anti-pattern); the local pre-rank keeps ≤ 3
+    * rows per (input partition, segment), the final rank sees only that
+    * bounded survivor frame.
     */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val o = Sources.orders(spark, dir)
     val c = Sources.customer(spark, dir)
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
-              row_number().over(w).cast("long").as("rn"))
-      .filter(col("rn") <= 3)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    graft.ops.Rank.topK(joined, Seq("c_mktsegment"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3, "rn")
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 

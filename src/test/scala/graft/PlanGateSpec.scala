@@ -228,6 +228,81 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  /** Column names whose value domain is a CONSTANT regardless of scale
+    * factor (TPC-H enumerations / fixture categoricals). A ranking window
+    * partitioned ONLY by these runs on |domain| tasks at any scale — the
+    * r9-verdict q_rfm/q_quantile_bands shape (each window task sorts N/5
+    * rows at 100 TB). Legal only when the window's INPUT is a bounded
+    * aggregate (a census over constant domains / calendar days), recorded
+    * in the allowlist below with its bound.
+    */
+  private val constantDomainCols = Set(
+    "c_mktsegment", "seg", "o_orderpriority", "o_orderstatus",
+    "l_returnflag", "l_linestatus", "event_type", "lang", "mktsegment")
+
+  /** Ranking windows partitioned by a constant-domain key whose input is
+    * bounded BY CONSTRUCTION — every entry carries its bound.
+    */
+  private val boundedSegRankWindowAllowed = Map(
+    "q_window_ntile" -> "§2F ranking-construct demo; doc-commented scale note",
+    "q_window_rank" -> "§2F ranking-construct demo; doc-commented scale note",
+    "q_mode" -> "window input = (status × priority) census, ≤ 15 rows",
+    "q_changepoint" -> "window input = daily census per event_type, ≤ days × types rows",
+    // Rank.topK keys: the FINAL per-group rank window runs over the local
+    // pre-rank's survivors — ≤ k × input-partitions rows per group by
+    // construction (the two-phase top-k; phase 1 is chunk-partitioned)
+    "q_lm_score" -> "final window input = Rank.topK survivors, ≤ 10·P per lang",
+    "q_tfidf_topterms" -> "final window input = Rank.topK survivors, ≤ 5·P per lang",
+    "q_topk_per_group" -> "final window input = Rank.topK survivors, ≤ 3·P per segment",
+    "q_stratified_sample" -> "final window input = Rank.topK survivors, ≤ 10·P per lang"
+  )
+
+  test("no constant-domain-partitioned ranking window over unbounded input") {
+    // q_rfm/q_quantile_bands lesson (VERDICT r9 #1/#2): ntile/row_number
+    // PARTITION BY a 5-value column moves everything through 5 tasks.
+    // Rank.ntileExact is the sanctioned rewrite; windows like it must
+    // either ride a bounded census (allowlist, with the bound documented)
+    // or carry a high-cardinality column in the partition spec.
+    import org.apache.spark.sql.catalyst.expressions.{CumeDist, DenseRank, NTile, PercentRank, Rank => CRank, RowNumber, WindowExpression}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def isRanking(w: WindowExec): Boolean = w.windowExpression.exists(_.exists {
+      case WindowExpression(_: NTile | _: RowNumber | _: CRank | _: DenseRank |
+                            _: PercentRank | _: CumeDist, _) => true
+      case _ => false
+    })
+    def constantDomainOnly(w: WindowExec): Boolean =
+      w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.references.forall(a =>
+        constantDomainCols(a.name.toLowerCase)))
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (boundedSegRankWindowAllowed.contains(name)) None
+        else {
+          val phys = strip(fn(spark, sfDir).queryExecution.executedPlan)
+          val bad = phys.collect {
+            case w: WindowExec if isRanking(w) && constantDomainOnly(w) => w
+          }
+          if (bad.nonEmpty) Some(name) else None
+        }
+      }
+      assert(offenders.isEmpty,
+        s"constant-domain ranking window (the q_rfm r9 anti-pattern) in:\n  ${offenders.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("constant-domain ranking-window allowlist is not stale") {
+    boundedSegRankWindowAllowed.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name), s"allowlist names unknown query $name")
+    }
+  }
+
   test("every lineitem scan prunes its ReadSchema") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (unprunedLineitem(plan(fn(spark, sfDir)))) Some(name) else None

@@ -9,7 +9,17 @@ import org.scalatest.Suite
   */
 trait SparkFixture { this: Suite =>
   lazy val spark: SparkSession = SparkFixture.session
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir = SparkFixture.resolveSf("sf0.001")
+
+  /** Resolve a scale-factor dir from SPARK_GRAFT_TESTDATA (root override)
+    * with the driver's default root as fallback — tests that need a
+    * specific SF call this and `assume` on existence rather than
+    * hard-coding absolute paths (ADVICE r9).
+    */
+  def sfDirFor(tag: String): String = SparkFixture.resolveSf(tag)
+
+  def sfDirExists(tag: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfDirFor(tag)))
 
   /** The executed physical plan as a string, for strategy assertions. */
   def plan(df: org.apache.spark.sql.DataFrame): String =
@@ -17,6 +27,9 @@ trait SparkFixture { this: Suite =>
 }
 
 object SparkFixture {
+  def resolveSf(tag: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/" + tag
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
