@@ -128,6 +128,7 @@ object SparkEntry {
     "q_semantic_dedup" -> Similarity.semanticDedupQuery,
     "q_kmeans" -> Similarity.kmeansQuery,
     "q_ivf_search" -> Ivf.ivfSearchQuery,
+    "q_ivf_probe" -> Ivf.ivfProbeQuery,
     "q_pq_adc" -> Pq.pqAdcQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
@@ -148,6 +149,7 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))),
     // §2 H event-time processing (batch twins; streaming twins in tests)
     "q_stream_tumbling" -> Streaming.tumbling,
+    "q_stream_exec" -> Streaming.streamExec,
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_session_native" -> Streaming.sessionNative,
@@ -194,6 +196,7 @@ object SparkEntry {
     "q_market_basket" -> Stats.marketBasket,
     "q_zipf_slope" -> Stats.zipfSlope,
     "q_url_canonicalize" -> Text.urlCanonicalizeQuery,
+    "q_tokenize_cjk" -> Text.tokenizeCjkQuery,
     "q_text_nfc" -> Functions.textNfcQuery,
     "q_mode" -> Relational.modeQuery,
     "q_window_exclude" -> Windows.windowExclude,
@@ -1657,6 +1660,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_stream_exec" ->
+      // the APPEND-MODE contract of the real streaming run: the tumbling
+      // aggregate restricted to windows CLOSED by the final watermark
+      // (max event time, 0s delay) — the window holding max(ts) stays
+      // open in state and is correctly absent from the sink
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        |b AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT b.win_us, b.event_type, b.n, b.sum_value
+        |FROM b, m WHERE b.win_us + 3600000000 <= m.max_us
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_stream_sliding" ->
       """WITH wins AS (
         |  SELECT event_type,
@@ -2210,6 +2228,21 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m""".stripMargin,
+
+    "q_tokenize_cjk" ->
+      // synthesized mixed ASCII+Han text from the SAME codepoint
+      // arithmetic; the oracle states the expected tokenization directly:
+      // the ASCII word whole, the unspaced Han run as character unigrams
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(doc_id % 5 AS VARCHAR) AS w,
+        |    ['一','二','三','四','五','六','七','八'][CAST(doc_id % 8 AS INT) + 1] AS c1,
+        |    ['一','二','三','四','五','六','七','八'][CAST((doc_id + 3) % 8 AS INT) + 1] AS c2,
+        |    ['一','二','三','四','五','六','七','八'][CAST((doc_id + 5) % 8 AS INT) + 1] AS c3
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest([w, c1, c2, c3]) AS token FROM s)
+        |SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_url_canonicalize" ->
       // identical synthetic URLs both engines; canonicalization = the
@@ -2836,6 +2869,37 @@ object SparkEntry {
         |  SELECT probe_id, vec_id, label, sim,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
         |  FROM sims) z
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_ivf_probe" ->
+      // the PRUNED regime (nprobe=2 of 8 fixed cells): assignment and
+      // probe-cell choice rank the ROUND-6 cosine with centroid-id
+      // tiebreak; the top-5 runs over the 2 probed cells' candidates only
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cent
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+        |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 18),
+        |corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id >= 18),
+        |asg AS (SELECT vec_id, label, v, cell FROM (
+        |          SELECT co.vec_id, co.label, co.v, c.cell,
+        |            row_number() OVER (PARTITION BY co.vec_id
+        |              ORDER BY round(list_cosine_similarity(co.v, c.cent), 6) DESC,
+        |                       c.cell) AS rn
+        |          FROM corpus co CROSS JOIN c) z WHERE rn = 1),
+        |pc AS (SELECT probe_id, pvec, cell FROM (
+        |          SELECT p.probe_id, p.pvec, c.cell,
+        |            row_number() OVER (PARTITION BY p.probe_id
+        |              ORDER BY round(list_cosine_similarity(p.pvec, c.cent), 6) DESC,
+        |                       c.cell) AS rn
+        |          FROM p CROSS JOIN c) z WHERE rn <= 2),
+        |cand AS (SELECT pc.probe_id, a.vec_id, a.label,
+        |           round(list_cosine_similarity(a.v, pc.pvec), 6) AS sim
+        |         FROM pc JOIN asg a USING (cell))
+        |SELECT probe_id, vec_id, label, sim, rn FROM (
+        |  SELECT probe_id, vec_id, label, sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM cand) z
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     "q_pq_adc" ->

@@ -183,7 +183,9 @@ object Md5MinHash {
     * fewer than w tokens (no shingle exists).
     */
   def signatureFromText(text: UTF8String, w: Int, k: Int): ArrayData = {
-    val bytes = text.getBytes
+    // CJK unigram rewrite first (CjkFold — byte twin of Text.tokens'
+    // regexp), so the byte-span identity holds for space-free scripts too
+    val bytes = CjkFold.normalize(text.getBytes)
     val len = bytes.length
     // token start offsets: 0 and every position after a 0x20 byte (UTF-8
     // multi-byte sequences never contain 0x20, so byte split == string

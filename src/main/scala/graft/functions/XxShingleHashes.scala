@@ -59,7 +59,9 @@ object XxShingleHashes {
   val SEED = 42L
 
   def compute(text: UTF8String, w: Int): ArrayData = {
-    val bytes = text.getBytes
+    // CJK unigram rewrite first (CjkFold — byte twin of Text.tokens'
+    // regexp), so the byte-span identity holds for space-free scripts too
+    val bytes = CjkFold.normalize(text.getBytes)
     val len = bytes.length
     var nTokens = 1
     var p = 0

@@ -121,6 +121,65 @@ object Ivf {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** q_ivf_probe: the PRUNED IVF search regime under the hash gate
+    * (VERDICT r9 "next" #3) — nprobe = 2 << #cells = 8, the configuration
+    * a production ANN user actually runs (q_ivf_search pins the recall-1
+    * end; this key proves the pruning path returns exactly the declared
+    * set). Everything is deterministic and SQL-expressible:
+    *
+    *  - centroids are FIXED (the embeddings of vec_id 0..7 — the
+    *    q_cluster_assign pattern), so no Lloyd iteration stands between
+    *    the engines;
+    *  - cell assignment (corpus) and cell selection (probes, top-2) rank
+    *    the ROUND-6 cosine with centroid-id tiebreak — the argmax cannot
+    *    flip on a last-ulp disagreement between Spark's codegen'd cosine
+    *    and DuckDB's list_cosine_similarity (§2.1 determinism rule);
+    *  - candidates = corpus rows whose cell is among the probe's 2
+    *    selected cells; exact round-6 cosine top-5 per probe over ONLY
+    *    those candidates. Probes that lose a true neighbour to pruning
+    *    lose it in BOTH engines — the declared semantics are the pruned
+    *    search itself, not brute force.
+    *
+    * Scale shape: the 8-row centroid frame broadcasts for both
+    * assignments (map-side; the corpus never shuffles to be assigned),
+    * the probe-cells frame (|probes|·nprobe rows) broadcasts into the
+    * candidate equi-join on cell, and the per-probe top-5 window
+    * partitions on probe_id (high cardinality). With the index
+    * materialized by cell (writeIndex/searchPartitioned) the same join
+    * prunes to nprobe directories per probe.
+    */
+  def ivfProbeQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.io.Sources.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val probes = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val corpus = e.filter(col("vec_id") >= 18)
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("asim").desc, col("centroid_id"))
+    val indexed = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
+              r6(Similarity.cosineNative(col("embedding"), col("cent_emb"))).as("asim"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              col("centroid_id").as("cell"))
+    val wP = Window.partitionBy(col("probe_id")).orderBy(col("psim").desc, col("centroid_id"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("probe_emb"), col("centroid_id"),
+              r6(Similarity.cosineNative(col("probe_emb"), col("cent_emb"))).as("psim"))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= 2)
+      .select(col("probe_id"), col("probe_emb"), col("centroid_id").as("cell"))
+    val wT = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    indexed.join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+              r6(Similarity.cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("label"), col("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** Materialize the index PARTITIONED BY CELL — the on-disk form the
     * 100 TB path requires: each cell is a directory, so a search with
     * nprobe cells opens exactly those directories and no others

@@ -17,7 +17,52 @@ import graft.io.Sources
   */
 object Text {
 
-  def tokens(c: Column): Column = split(c, " ")
+  /** Corpus tokenizer for the whole text/dedup/tokenizer family.
+    *
+    * Space-separated scripts split on spaces, unchanged. SPACE-FREE
+    * scripts (VERDICT r9 "what's missing" #3: CJK/kana/hangul carry no
+    * word boundaries — a pure space split silently turns every such
+    * document into ONE token, poisoning dedup shingles, TF-IDF and token
+    * counts) get a deterministic character-unigram fallback: each Han /
+    * kana / hangul codepoint becomes its own token (the Lucene
+    * StandardAnalyzer convention — engine-portable, no dictionary). The
+    * fallback is a no-op on text without those codepoints — the regex
+    * rewrite is the identity, and the split pattern is the same single
+    * space as before — so every existing gated key's hashes are
+    * untouched; q_tokenize_cjk gates the fallback itself over synthesized
+    * CJK strings built from the same codepoint arithmetic in both engines.
+    * Consumers filter the empty tokens the split can produce, as before.
+    */
+  def tokens(c: Column): Column =
+    split(regexp_replace(c,
+      "([\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}])", " $1 "), " ")
+
+  /** q_tokenize_cjk: the space-free-script fallback under the hash gate.
+    * Synthesize a deterministic mixed ASCII+CJK string per document from
+    * codepoint arithmetic on doc_id — an 8-character Han alphabet indexed
+    * by (doc_id + shift) % 8, the syntheticMedia pattern: both engines
+    * BUILD the same text, so no fixture change is needed — then run the
+    * production `tokens` path over it. The ASCII word must survive whole
+    * and the unspaced 3-character Han run must split into unigrams; the
+    * oracle constructs the expected token list directly. Output: the
+    * token census (13 rows: w0..w4 + 8 Han chars).
+    */
+  def tokenizeCjkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = Seq("一", "二", "三", "四",
+                    "五", "六", "七", "八")
+    val aCol = array(alpha.map(lit): _*)
+    def pick(shift: Int) =
+      element_at(aCol, (pmod(col("doc_id") + shift, lit(8)) + 1).cast("int"))
+    val synth = Sources.documents(spark, dir).select(
+      col("doc_id"),
+      concat(concat(lit("w"), pmod(col("doc_id"), lit(5)).cast("string")), lit(" "),
+             pick(0), pick(3), pick(5)).as("cjk_text"))
+    synth.select(col("doc_id"), explode(tokens(col("cjk_text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("token"))
+  }
 
   // ---------- declared query keys ----------
 
