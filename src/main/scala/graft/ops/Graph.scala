@@ -254,28 +254,36 @@ object Graph {
     * is the one-row (nodes, edges, triangles) profile — the clustering-
     * coefficient numerator every graph-shape audit starts with.
     */
-  def triangleCountQuery(spark: SparkSession, dir: String): DataFrame = {
-    // per-order supplier sets are TINY (~4-7), so pair generation runs as
-    // a map-side HOF over one collect_set aggregate instead of the
-    // distinct + self-join spelling (two fewer shuffles over the fact;
-    // the oracle twin keeps the equivalent join spelling — semantics are
-    // identical, candidates = supplier pairs co-filling an order).
-    // NB the round-3 note: for LARGE per-key lists (doc shingles) the
-    // explode-pairs form measured slower — list size decides, not taste.
+  /** The shared co-order supplier edge set (u, v), u < v: suppliers
+    * co-filling at least `minCount` distinct orders — the one graph all
+    * three graph-census keys (triangles, degrees, communities) run over;
+    * factored per VERDICT r9 #5 (was triplicated verbatim).
+    *
+    * Per-order supplier sets are TINY (~4-7), so pair generation runs as
+    * a map-side HOF over one collect_set aggregate instead of the
+    * distinct + self-join spelling (two fewer shuffles over the fact;
+    * the oracle twins keep the equivalent join spelling — semantics are
+    * identical). NB the round-3 note: for LARGE per-key lists (doc
+    * shingles) the explode-pairs form measured slower — list size
+    * decides, not taste. The weight threshold keeps the graph sparse as
+    * the corpus grows.
+    */
+  def coOrderEdges(spark: SparkSession, dir: String, minCount: Long = 5L): DataFrame = {
     val perOrder = Sources.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
-    val pairs = perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
+    perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
       transform(slice(col("ss"), i + lit(2), size(col("ss"))),
                 y => struct(x.as("u"), y.as("v")))))).as("p"))
       .select(col("p.u"), col("p.v"))
-    val edges = pairs
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 5)
+      .filter(col("cnt") >= minCount)
       .select(col("u"), col("v"))
-    triangleCount(edges)
   }
+
+  def triangleCountQuery(spark: SparkSession, dir: String): DataFrame =
+    triangleCount(coOrderEdges(spark, dir))
 
   def pageRankQuery(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Sources.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -300,18 +308,7 @@ object Graph {
     * not just counts.
     */
   def degreeDistQuery(spark: SparkSession, dir: String): DataFrame = {
-    val perOrder = Sources.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
-    val pairs = perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
-      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-                y => struct(x.as("u"), y.as("v")))))).as("p"))
-      .select(col("p.u"), col("p.v"))
-    val edges = pairs
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 5)
-      .select(col("u"), col("v"))
+    val edges = coOrderEdges(spark, dir)
     edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"), sum(col("n")).as("sum_id"))
@@ -356,23 +353,10 @@ object Graph {
     * sizes. The oracle unrolls the 3 rounds as chained CTEs — identical
     * integer semantics, no recursion needed for a FIXED round count.
     */
-  def communitiesQuery(spark: SparkSession, dir: String): DataFrame = {
-    val perOrder = Sources.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_suppkey"))).as("ss"))
-    val pairs = perOrder.select(explode(flatten(transform(col("ss"), (x, i) =>
-      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-                y => struct(x.as("u"), y.as("v")))))).as("p"))
-      .select(col("p.u"), col("p.v"))
-    val edges = pairs
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 5)
-      .select(col("u"), col("v"))
-    labelPropagation(edges, "u", "v", rounds = 3)
+  def communitiesQuery(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(coOrderEdges(spark, dir), "u", "v", rounds = 3)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
            sum(col("id")).as("sum_id"))
       .orderBy(col("community"))
-  }
 }

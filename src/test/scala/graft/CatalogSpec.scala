@@ -1514,4 +1514,42 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table(T).schema.fieldNames.toSeq === Seq("k", "v"), "IF NOT EXISTS must not clobber")
     spark.sql(s"DROP TABLE $T")
   }
+
+  test("pinned multi-table snapshot: reads stay consistent while concurrent writes land") {
+    // VERDICT r9 #7 — the read-side analogue of atomicOverwriteAll
+    // (postpy execute_transaction heritage): a two-table report must not
+    // mix pre-write A with post-write B.
+    import graft.catalog.Snapshot
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.catalog.GraftCatalog")
+    val A = "graft_fb.default.fb_snap_a"
+    val B = "graft_fb.default.fb_snap_b"
+    Seq(A, B).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"CREATE TABLE $A (k BIGINT, v STRING)")
+    spark.sql(s"CREATE TABLE $B (k BIGINT, w STRING)")
+    spark.sql(s"INSERT INTO $A SELECT id, 'a1' FROM range(10)")
+    spark.sql(s"INSERT INTO $B SELECT id, 'b1' FROM range(10)")
+    val pin = Snapshot.pin(spark, Seq(A, B))
+    val joinedBefore = pin.table(spark, A).join(pin.table(spark, B), "k").count()
+    assert(joinedBefore === 10)
+    // a concurrent writer lands on BOTH tables after the pin
+    spark.sql(s"INSERT INTO $A SELECT id, 'a2' FROM range(10, 20)")
+    spark.sql(s"DELETE FROM $B WHERE k >= 5")
+    // live reads see the new world…
+    assert(spark.table(A).count() === 20)
+    assert(spark.table(B).count() === 5)
+    // …but the pinned vector still serves the consistent pre-write state
+    assert(pin.table(spark, A).count() === 10)
+    assert(pin.table(spark, B).count() === 10)
+    assert(pin.table(spark, A).join(pin.table(spark, B), "k").count() === 10)
+    assert(pin.table(spark, A).filter(org.apache.spark.sql.functions.col("v") === "a2").count() === 0)
+    // an unpinned table is a loud error, never a silent "latest" read
+    intercept[IllegalArgumentException] {
+      pin.table(spark, "graft_fb.default.fb_snap_c")
+    }
+    // a FRESH pin after the writes sees the new consistent state
+    val pin2 = Snapshot.pin(spark, Seq(A, B))
+    assert(pin2.table(spark, A).count() === 20)
+    assert(pin2.table(spark, B).count() === 5)
+    Seq(A, B).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
