@@ -153,6 +153,7 @@ object SparkEntry {
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_session_native" -> Streaming.sessionNative,
+    "q_stream_session_exec" -> Streaming.streamSessionExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_pit" -> Merge.joinPit,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
@@ -1685,6 +1686,29 @@ object SparkEntry {
         |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_session" -> sessionOracle,
+
+    // the real streaming session run emits exactly the sessions CLOSED by
+    // the final watermark (session end = last event + 30-min gap)
+    "q_stream_session_exec" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT max(us) AS max_us FROM e),
+        |d AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM d),
+        |g AS (
+        |  SELECT user_id, MIN(us) AS sess_start_us, MAX(us) AS sess_end_us, COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT g.user_id, g.sess_start_us, g.sess_end_us, g.n_events
+        |FROM g, m WHERE g.sess_end_us + 1800000000 <= m.max_us
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     // the SAME oracle verbatim: q_session_native runs Spark's native
     // session_window against the portable lag/cumsum ground truth, so the

@@ -382,6 +382,7 @@ object Analytics {
       .join(Sources.customer(spark, dir)
               .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
             Seq("o_custkey"))
+      .localCheckpoint() // consumed by 3 censuses + 3 rank joins (q_kmeans pattern)
     val bucketed = Seq[(String, org.apache.spark.sql.Column, Long, Boolean)](
       ("r_bucket", col("r_days"), 16L, false),  // recent = bucket 1 (asc)
       ("f_bucket", col("f"), 4L, true),         // frequent = bucket 1 (desc)

@@ -293,6 +293,7 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .localCheckpoint() // consumed by census + rank join (q_kmeans pattern)
     Rank.rankExact(spend, "c_mktsegment", col("cents"), col("c_custkey"),
         20000000L, desc = false, "i")
       .groupBy(col("c_mktsegment"))
@@ -324,6 +325,7 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(graft.Det.money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .localCheckpoint() // consumed by census + rank join (q_kmeans pattern)
     Rank.rankCumsum(spend, "c_mktsegment", col("cents"), col("c_custkey"),
         col("cents"), 20000000L, desc = true,
         "rk", "cum", "n_customers", "total")

@@ -113,35 +113,81 @@ object Streaming {
     * The job runs once per (session, source dir) behind a conf marker
     * (the bucketed-twin pattern); sink + checkpoint are wiped first so a
     * stale append log can never double rows. Scale: state is bounded by
-    * (open windows × event_type); the sink is partition-parallel parquet.
+    * (open windows × event_type); the sink is partition-parallel parquet;
+    * state lives in ROCKSDB for the run (the provider a 1000-executor
+    * deployment uses — heap state caps at executor memory, RocksDB
+    * spills; StreamingSpec proves heap/RocksDB equivalence separately).
     */
-  def streamExec(spark: SparkSession, dir: String): DataFrame = {
+  def streamExec(spark: SparkSession, dir: String): DataFrame =
+    runStreamOnce(spark, dir, "graft_stream_exec", "streamExec",
+      src => tumblingOn(src), Seq(col("win_us"), col("event_type")))
+
+  /** Shared once-per-(session, dir) streaming harness for the declared
+    * `*_exec` keys: wipe sink+checkpoint, run the file-source micro-batch
+    * job (append mode, watermark 0s, AvailableNow) with RocksDB state,
+    * then read the sink back. The watermark cast: watermarks require
+    * TIMESTAMP (ltz); the source ts is ntz — with the session pinned to
+    * UTC the cast is epoch-identical.
+    */
+  private def runStreamOnce(spark: SparkSession, dir: String, prefix: String,
+                            markerName: String, plan: DataFrame => DataFrame,
+                            order: Seq[Column]): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = sys.props("java.io.tmpdir") + s"/graft_stream_exec_$tag"
+    val base = sys.props("java.io.tmpdir") + s"/${prefix}_$tag"
     val sink = s"$base/sink"
-    val marker = s"graft.streamExec.done.$tag"
+    val marker = s"graft.$markerName.done.$tag"
     if (!spark.conf.getOption(marker).contains("true")) {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      // watermarks require TIMESTAMP (ltz); the source ts is ntz — with the
-      // session pinned to UTC the cast is epoch-identical
-      val agg = tumblingOn(
+      val agg = plan(
         eventsStream(spark, dir)
           .withColumn("ts", col("ts").cast("timestamp"))
           .withWatermark("ts", "0 seconds"))
-      val q = agg.writeStream
-        .format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
       spark.conf.set(marker, "true")
     }
-    spark.read.parquet(sink).orderBy(col("win_us"), col("event_type"))
+    spark.read.parquet(sink).orderBy(order: _*)
   }
+
+  /** q_stream_session_exec: the SESSION pipeline as a true Structured
+    * Streaming job under the hash gate — the stateful sibling of
+    * q_stream_exec: where the tumbling run exercises fixed-window state,
+    * this one exercises the session-window state store (dynamic window
+    * MERGE as events extend a session) plus watermark-driven eviction.
+    * Same harness: file source → watermark(0s) → session_window agg →
+    * append-mode parquet sink (AvailableNow) → sink re-read and declared.
+    *
+    * Append mode emits exactly the sessions CLOSED by the final
+    * watermark: a session window ends at last_event + gap, so the oracle
+    * is the q_stream_session lag/cumsum SQL restricted to
+    * sess_end + gap <= max(ts). Runs once per (session, dir) via the
+    * shared runStreamOnce harness (RocksDB state, wiped sink+checkpoint).
+    */
+  def streamSessionExec(spark: SparkSession, dir: String): DataFrame =
+    runStreamOnce(spark, dir, "graft_stream_sess", "streamSessionExec",
+      src => src
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), max(us(col("ts"))).as("sess_end_us"))
+        .select(col("user_id"), us(col("w.start")).as("sess_start_us"),
+                col("sess_end_us"), col("n_events")),
+      Seq(col("user_id"), col("sess_start_us")))
 
   /** Streaming twin of `session` — native session_window (same gap
     * semantics as the batch sessionization above).
