@@ -124,6 +124,7 @@ object SparkEntry {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_sim_neardup" -> Similarity.simPairsQuery,
     "q_vector_stats" -> Similarity.vectorStatsQuery,
+    "q_embed_quant_int8" -> Similarity.embedQuantQuery,
     "q_cluster_assign" -> Similarity.clusterAssignQuery,
     "q_semantic_dedup" -> Similarity.semanticDedupQuery,
     "q_kmeans" -> Similarity.kmeansQuery,
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_ivf_probe" -> Ivf.ivfProbeQuery,
     "q_pq_adc" -> Pq.pqAdcQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
+    "q_quality_funnel" -> Pipeline.qualityFunnelQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
     "q_mixture_weights" -> Pipeline.mixtureWeightsQuery,
@@ -154,6 +156,7 @@ object SparkEntry {
     "q_stream_session" -> Streaming.session,
     "q_session_native" -> Streaming.sessionNative,
     "q_stream_session_exec" -> Streaming.streamSessionExec,
+    "q_stream_join_exec" -> Streaming.streamJoinExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_pit" -> Merge.joinPit,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
@@ -926,6 +929,23 @@ object SparkEntry {
     "q_quality_score" -> qualityOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
+
+    // cumulative ingest-funnel survivor counts; quality gate tests the
+    // shared round-6 qscore, dedup keep = min doc_id per md5(text)
+    "q_quality_funnel" ->
+      s"""WITH $qualityCtes,
+         |docs AS (
+         |  SELECT d.doc_id, d.lang, length(d.text) AS nchars,
+         |    len(string_split(d.text, ' ')) AS ntoks, q.quality,
+         |    (row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)) = 1 AS keep
+         |  FROM documents d JOIN qscore q USING (doc_id))
+         |SELECT lang,
+         |  COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN nchars >= 100 THEN 1 END) AS n_len,
+         |  COUNT(CASE WHEN nchars >= 100 AND ntoks >= 20 THEN 1 END) AS n_tok,
+         |  COUNT(CASE WHEN nchars >= 100 AND ntoks >= 20 AND keep THEN 1 END) AS n_dedup,
+         |  COUNT(CASE WHEN nchars >= 100 AND ntoks >= 20 AND keep AND quality >= 0.5 THEN 1 END) AS n_quality
+         |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pack_tokens" ->
       // exact integer cumulative sums + integer division: pack_id is the
@@ -2764,6 +2784,15 @@ object SparkEntry {
         |FROM act a JOIN sizes s USING (cohort_wk)
         |ORDER BY 1, 2""".stripMargin,
 
+    // the stream-stream inner join emits every matched pair exactly once,
+    // so the streamed execution shares the batch interval-join oracle
+    "q_stream_join_exec" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_join_interval" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs
         |FROM events a JOIN events b
@@ -2894,6 +2923,28 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
         |  FROM sims) z
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_embed_quant_int8" ->
+      // symmetric per-vector int8 quant audit; ONE operator order per
+      // element (round(x*127/max)*max/127) so both engines run identical
+      // IEEE ops; round() is half-away-from-zero in both
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, x,
+        |    list_max(list_transform(x, e -> abs(e))) AS maxabs FROM v),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    round(list_sum(list_transform(x, e ->
+        |      abs(e - round(e * 127.0 / maxabs) * maxabs / 127.0))) / len(x), 6) AS err,
+        |    len(list_filter(x, e -> round(e * 127.0 / maxabs) = 0)) AS n_zero,
+        |    len(list_filter(x, e -> abs(round(e * 127.0 / maxabs)) = 127)) AS n_sat
+        |  FROM m WHERE maxabs > 0)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  round(SUM(err) / COUNT(*), 6) AS avg_err,
+        |  CAST(SUM(n_zero) AS BIGINT) AS n_zero,
+        |  CAST(SUM(n_sat) AS BIGINT) AS n_sat
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ivf_probe" ->
       // the PRUNED regime (nprobe=2 of 8 fixed cells): assignment and

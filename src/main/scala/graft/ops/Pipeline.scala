@@ -87,6 +87,37 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q_quality_funnel: the ingest FUNNEL REPORT — per language, how many
+    * documents survive each successive pipeline gate (the dashboard every
+    * 100 TB ingest runs before anyone trusts the survivor corpus):
+    * total → length ≥ 100 chars → ≥ 20 tokens → exact-dup representative
+    * (min doc_id per md5) → quality ≥ 0.5. Stages are CUMULATIVE (each
+    * condition ANDs the previous), counted as conditional aggregates in
+    * ONE pass over the scored frame — one shuffle for the dedup window
+    * (content-hash partitioned, high cardinality), one for the lang
+    * rollup. The quality threshold tests the ROUND-6 score, so the
+    * boundary cannot flip between engines (house rule §2.1).
+    */
+  def qualityFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Text.qualityScore(Sources.documents(spark, dir), "text")
+      .withColumn("nchars", length(col("text")).cast("long"))
+      .withColumn("ntoks", size(Text.tokens(col("text"))).cast("long"))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val flagged = scored.withColumn("keep", row_number().over(w) === 1)
+    val s1 = col("nchars") >= 100
+    val s2 = s1 && col("ntoks") >= 20
+    val s3 = s2 && col("keep")
+    val s4 = s3 && col("quality") >= 0.5
+    flagged.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_total"),
+        count(when(s1, lit(1))).as("n_len"),
+        count(when(s2, lit(1))).as("n_tok"),
+        count(when(s3, lit(1))).as("n_dedup"),
+        count(when(s4, lit(1))).as("n_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** q_pack_tokens: SEQUENCE PACKING — assign documents to fixed
     * token-budget packs (context windows) by cumulative token count in
     * deterministic doc_id order, one packing stream per language. The

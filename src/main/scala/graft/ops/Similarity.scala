@@ -312,6 +312,46 @@ object Similarity {
     * min/max are order-free; only the mean needs round-6 (double
     * summation order differs between engines).
     */
+  /** q_embed_quant_int8: symmetric per-vector INT8 quantization audit —
+    * the 4× footprint cut every 100 TB embedding store takes before ANN
+    * serving (q = round(x·127/max|x|), dequant = q·max|x|/127). Declared
+    * output: per-label vector count, mean reconstruction error, and the
+    * exact zero / saturated code counts (dead-dimension and clipping
+    * detectors). All map-side HOFs over the embedding array — no shuffle
+    * before the label rollup; nothing collects.
+    *
+    * Determinism (§2.1): float→double casts are exact; the quant
+    * expression keeps ONE operator order — round(x·127.0/max)·max/127.0 —
+    * so both engines run identical IEEE ops per element; round() is
+    * half-away-from-zero in both (Spark HALF_UP on BigDecimal, DuckDB
+    * away-from-zero); |x| ≤ max ⇒ |q| ≤ 127, no clamp branch to diverge;
+    * code counts are integers; the only cross-row double sum (label mean
+    * of per-vector round-6 means) is absorbed by the final round-6.
+    */
+  def embedQuantQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    def xd(x: org.apache.spark.sql.Column) = x.cast("double")
+    val e = Sources.embeddings(spark, dir)
+      .withColumn("maxabs",
+        aggregate(col("embedding"), lit(0.0), (a, x) => greatest(a, abs(xd(x)))))
+      .filter(col("maxabs") > 0)
+    def quant(x: org.apache.spark.sql.Column) =
+      round(xd(x) * lit(127.0) / col("maxabs"))
+    val perVec = e.select(
+      col("label"),
+      r6(aggregate(col("embedding"), lit(0.0), (a, x) =>
+        a + abs(xd(x) - quant(x) * col("maxabs") / lit(127.0))) /
+        size(col("embedding"))).as("err"),
+      size(filter(col("embedding"), x => quant(x) === 0.0)).cast("long").as("n_zero"),
+      size(filter(col("embedding"), x => abs(quant(x)) === 127.0)).cast("long").as("n_sat"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           r6(sum(col("err")) / count(lit(1))).as("avg_err"),
+           sum(col("n_zero")).as("n_zero"),
+           sum(col("n_sat")).as("n_sat"))
+      .orderBy(col("label"))
+  }
+
   def vectorStatsQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
     Sources.embeddings(spark, dir)

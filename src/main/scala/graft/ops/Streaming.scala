@@ -131,7 +131,18 @@ object Streaming {
     */
   private def runStreamOnce(spark: SparkSession, dir: String, prefix: String,
                             markerName: String, plan: DataFrame => DataFrame,
-                            order: Seq[Column]): DataFrame = {
+                            order: Seq[Column]): DataFrame =
+    runStreamOnceRaw(spark, dir, prefix, markerName, () => plan(
+      eventsStream(spark, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds"))).orderBy(order: _*)
+
+  /** The raw harness: `build` constructs ANY streaming DataFrame (one or
+    * several sources); result is the unordered sink read.
+    */
+  private def runStreamOnceRaw(spark: SparkSession, dir: String, prefix: String,
+                               markerName: String,
+                               build: () => DataFrame): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val base = sys.props("java.io.tmpdir") + s"/${prefix}_$tag"
     val sink = s"$base/sink"
@@ -140,10 +151,7 @@ object Streaming {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      val agg = plan(
-        eventsStream(spark, dir)
-          .withColumn("ts", col("ts").cast("timestamp"))
-          .withWatermark("ts", "0 seconds"))
+      val agg = build()
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(providerKey)
       spark.conf.set(providerKey,
@@ -163,7 +171,43 @@ object Streaming {
       }
       spark.conf.set(marker, "true")
     }
-    spark.read.parquet(sink).orderBy(order: _*)
+    spark.read.parquet(sink)
+  }
+
+  /** q_stream_join_exec: a REAL stream-stream join execution under the
+    * hash gate — the symmetric-hash-join state engine itself, the third
+    * streaming pillar after fixed-window (q_stream_exec) and session
+    * state (q_stream_session_exec). Two file-source streams over the same
+    * events table self-join on user_id with the ±30-minute event-time
+    * range condition (watermarks 0s both sides bound the join state: a
+    * row's state is evictable once the other side's watermark passes
+    * ts + 30 min). INNER stream-stream joins emit each matched pair
+    * exactly once as both sides arrive — no closure predicate needed, so
+    * the emitted pair set equals the batch interval join and the declared
+    * aggregate shares the EXISTING q_join_interval oracle verbatim. The
+    * per-user pair count is computed in batch over the re-read sink
+    * (grouping by a non-time key in append mode is unsupported by design
+    * — counting emitted pairs is the honest streaming form).
+    */
+  def streamJoinExec(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = runStreamOnceRaw(spark, dir, "graft_stream_join", "streamJoinExec", () => {
+      def side(idCol: String, tsCol: String, userCol: String) =
+        eventsStream(spark, dir)
+          .select(col("user_id").as(userCol), col("event_id").as(idCol),
+                  col("ts").cast("timestamp").as(tsCol))
+          .withWatermark(tsCol, "0 seconds")
+      side("id_a", "ts_a", "user_id")
+        .join(side("id_b", "ts_b", "user_b"),
+          col("user_id") === col("user_b") &&
+            col("id_a") < col("id_b") &&
+            col("ts_b") >= col("ts_a") - expr("INTERVAL 30 MINUTES") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 30 MINUTES"),
+          "inner")
+        .select(col("user_id"), col("id_a"), col("id_b"))
+    })
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
   }
 
   /** q_stream_session_exec: the SESSION pipeline as a true Structured

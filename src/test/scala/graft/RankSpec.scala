@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Rank
+
+/** Property tests for the two-phase exact-rank family (ops/Rank.scala):
+  * each helper must equal its naive window form on every input — the
+  * helpers exist for SCALE (grid-grain parallelism instead of
+  * |constant-domain| window tasks), never for different answers.
+  * Adversarial shapes: heavy ties (many rows per metric value), skewed
+  * chunks (one grid cell holding most rows), n < k, single-row segments,
+  * negative metrics, and a step so large everything lands in one chunk
+  * (degenerates to the naive form — still exact).
+  */
+class RankSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // deterministic pseudo-random rows: (segment 0..4, metric with heavy
+  // ties and skew, unique id as tiebreak)
+  private def rows(n: Int): Seq[(String, Long, Long)] =
+    (0 until n).map { i =>
+      val seg = "s" + (i % 5)
+      val metric =
+        if (i % 7 == 0) 42L // hot tie value
+        else ((i * 2654435761L) % 1000) * ((i % 3) + 1)
+      (seg, metric, i.toLong)
+    }
+
+  test("ntileExact equals ntile() over (partition by seg order by metric, id) — asc and desc") {
+    val df = rows(400).toDF("seg", "m", "id")
+    for (k <- Seq(1, 3, 4, 10); step <- Seq(1L, 17L, 1000000L); desc <- Seq(false, true)) {
+      val got = Rank.ntileExact(df, "seg", col("m"), col("id"), k, step, desc, "b")
+      val w =
+        if (desc) Window.partitionBy(col("seg")).orderBy(col("m").desc, col("id"))
+        else Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))
+      val want = df.withColumn("b", ntile(k).over(w))
+      assert(got.select("seg", "m", "id", "b").exceptAll(want.select("seg", "m", "id", "b")).isEmpty &&
+             want.select("seg", "m", "id", "b").exceptAll(got.select("seg", "m", "id", "b")).isEmpty,
+        s"k=$k step=$step desc=$desc")
+    }
+  }
+
+  test("ntileExact: n < k fills one row per bucket (rank order)") {
+    val tiny = Seq(("a", 5L, 1L), ("a", 3L, 2L), ("b", 9L, 3L)).toDF("seg", "m", "id")
+    val got = Rank.ntileExact(tiny, "seg", col("m"), col("id"), 10, 4L, desc = false, "b")
+      .select("seg", "id", "b").as[(String, Long, Int)].collect().toSet
+    assert(got === Set(("a", 2L, 1), ("a", 1L, 2), ("b", 3L, 1)))
+  }
+
+  test("rankExact equals row_number(); negative metrics rank correctly across chunk 0") {
+    // negative metric: floor division must keep chunk order monotone
+    val df = rows(300).map { case (s, m, id) => (s, m - 500, id) }.toDF("seg", "m", "id")
+    val got = Rank.rankExact(df, "seg", col("m"), col("id"), 13L, desc = false, "r")
+    val w = Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+    assert(got.select("seg", "m", "id", "r").exceptAll(want.select("seg", "m", "id", "r")).isEmpty &&
+           want.select("seg", "m", "id", "r").exceptAll(got.select("seg", "m", "id", "r")).isEmpty)
+  }
+
+  test("rankCumsum equals rank + running sum + per-seg totals (desc)") {
+    val df = rows(250).toDF("seg", "m", "id").withColumn("v", col("m") * 3 + 1)
+    val got = Rank.rankCumsum(df, "seg", col("m"), col("id"), col("v"),
+      50L, desc = true, "r", "cum", "n", "tot")
+    val w = Window.partitionBy(col("seg")).orderBy(col("m").desc, col("id"))
+    val want = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy(col("seg"))))
+    val cols = Seq("seg", "m", "id", "v", "r", "cum", "n", "tot").map(col)
+    assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).isEmpty &&
+           want.select(cols: _*).exceptAll(got.select(cols: _*)).isEmpty)
+  }
+
+  test("topK equals window top-k for any repartitioning of the input") {
+    val df = rows(300).toDF("seg", "m", "id")
+    for (k <- Seq(1, 3, 10); parts <- Seq(1, 7)) {
+      val in = df.repartition(parts)
+      val got = Rank.topK(in, Seq("seg"), Seq(col("m").desc, col("id")), k, "rn")
+      val w = Window.partitionBy(col("seg")).orderBy(col("m").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+      assert(got.select("seg", "m", "id", "rn").exceptAll(want.select("seg", "m", "id", "rn")).isEmpty &&
+             want.select("seg", "m", "id", "rn").exceptAll(got.select("seg", "m", "id", "rn")).isEmpty,
+        s"k=$k parts=$parts")
+    }
+  }
+}
