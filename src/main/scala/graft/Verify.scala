@@ -27,6 +27,10 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/_SUBSET_RUN"),
         s"SPARK_GRAFT_KEYS=$re\nThis output covers a KEY SUBSET — not a full verification.\n")
     }
+    // ...and the inverse: a FULL run into a dir a subset run used earlier
+    // must clear the stale sentinel, or full coverage reads as partial
+    if (keyRe.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/_SUBSET_RUN"))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
