@@ -76,6 +76,7 @@ object SparkEntry {
     "q_merge_sql" -> Merge.mergeSqlQuery,
     "q_scd2" -> Merge.scd2Query,
     "q_dq_checks" -> Etl.dqChecksQuery,
+    "q_dataset_diff" -> Etl.datasetDiffQuery,
     "q_insert_missing" -> Merge.insertMissingQuery,
     "q_delete_keys" -> Merge.deleteKeysQuery,
     // §2 G scalar functions / generators
@@ -158,6 +159,7 @@ object SparkEntry {
     "q_stream_session_exec" -> Streaming.streamSessionExec,
     "q_stream_join_exec" -> Streaming.streamJoinExec,
     "q_join_asof" -> Streaming.asofClickSignup,
+    "q_join_asof_fwd" -> Streaming.asofForward,
     "q_join_pit" -> Merge.joinPit,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
     "q_join_asof_tol" -> Streaming.asofTolerance,
@@ -1582,6 +1584,36 @@ object SparkEntry {
         |  us AS ship_us, pit AS pit_orderkey
         |FROM w WHERE kind = 1 ORDER BY 1, 2""".stripMargin,
 
+    "q_dataset_diff" ->
+      // replay the deterministic perturbation, then the same md5-fingerprint
+      // full-outer diff (sep chr(1), null marker chr(0) — matching the
+      // Spark fingerprint bytes)
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+        |aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'X-' || o_orderpriority
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, o_orderpriority
+        |  FROM base WHERE o_orderkey % 19 = 0),
+        |fa AS (SELECT o_orderkey, md5(concat_ws(chr(1),
+        |         coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+        |         coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))) AS f FROM base),
+        |fb AS (SELECT o_orderkey, md5(concat_ws(chr(1),
+        |         coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+        |         coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))) AS f FROM aft),
+        |j AS (
+        |  SELECT coalesce(fa.o_orderkey, fb.o_orderkey) AS k,
+        |    CASE WHEN fa.f IS NULL THEN 'added'
+        |         WHEN fb.f IS NULL THEN 'removed'
+        |         WHEN fa.f = fb.f THEN 'unchanged' ELSE 'changed' END AS status
+        |  FROM fa FULL OUTER JOIN fb ON fa.o_orderkey = fb.o_orderkey)
+        |SELECT status, COUNT(*) AS n_rows, min(k) AS min_key, max(k) AS max_key,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dq_checks" ->
       """WITH base AS (
         |  SELECT
@@ -1740,6 +1772,16 @@ object SparkEntry {
         |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
         |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
         |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      // forward direction: the inequality flips, DuckDB picks the
+      // EARLIEST signup at-or-after each click
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
+        |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, c.user_id, c.click_us, s.signup_us,
+        |       s.signup_us - c.click_us AS wait_us
+        |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts <= s.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "q_join_asof_bucketed" ->

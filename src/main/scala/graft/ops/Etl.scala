@@ -286,4 +286,60 @@ object Etl {
       .select(lit("dup_composite_key").as("chk"), col("violations"))
     rowChecks.unionByName(dups).orderBy(col("chk"))
   }
+
+  /** DATASET DIFF — the reconciliation verb every migration / backfill /
+    * replication audit runs ("did the copy change anything?"): full outer
+    * join on the primary key, non-key columns compared via a portable
+    * row fingerprint (md5 over control-byte-joined values (sep \\u0001, null marker
+    * \\u0000) — unambiguous because the separator cannot occur in the
+    * fixture domains; for arbitrary binary-ish columns swap in length-
+    * prefixed encoding). Returns the row-grain status frame
+    * (key…, status ∈ added|removed|changed|unchanged). ONE shuffle per
+    * side on the key; fingerprints are map-side, so wide rows ride the
+    * shuffle as 32-byte digests plus the key.
+    */
+  def datasetDiff(a: DataFrame, b: DataFrame, pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(a.columns.sameElements(b.columns), "diff requires identical schemas")
+    val vals = a.columns.filterNot(pk.contains)
+    def fp(df: DataFrame, name: String) = df.select(
+      pk.map(col) :+ md5(concat_ws("\u0001",
+        vals.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(name): _*)
+    fp(a, "__fa").join(fp(b, "__fb"), pk, "full_outer")
+      .withColumn("status",
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "unchanged")
+          .otherwise("changed"))
+      .drop("__fa", "__fb")
+  }
+
+  /** q_dataset_diff: datasetDiff under the gate — the "after" side is a
+    * deterministic arithmetic perturbation of orders built identically in
+    * both engines (drop key%13=0, retag priority on key%17=0, clone
+    * key%19=0 under key+10^9), so the oracle replays the construction and
+    * the diff in SQL. Output: per-status row count + key-range pin (min /
+    * max key and an exact key sum — membership, not just counts).
+    */
+  def datasetDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Sources.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val after = base
+      .filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(17)) === 0,
+             concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")))
+      .unionAll(base.filter(pmod(col("o_orderkey"), lit(19)) === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+                col("o_orderstatus"), col("o_orderpriority")))
+    datasetDiff(base, after, Seq("o_orderkey"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"),
+           sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("status"))
+  }
 }

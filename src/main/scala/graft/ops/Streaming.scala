@@ -273,6 +273,36 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q_join_asof_fwd: FORWARD as-of — each click paired with the EARLIEST
+    * signup of the same user at-or-after it (DuckDB `ASOF JOIN … ON
+    * c.ts <= s.ts`, inner): the "time-to-next-event" direction
+    * (click → conversion, alert → resolution) the backward key cannot
+    * express. Same single-shuffle union trick as q_join_asof, mirrored:
+    * the per-user window scans time DESCENDING and carries the last
+    * signup seen — which in a descending scan is exactly the smallest
+    * signup_us ≥ the current click. Signups order before clicks at equal
+    * timestamps (kind tiebreak under the desc scan too), so a click
+    * matches a same-instant signup in both engines. One shuffle on
+    * user_id, no range-join blowup; wait_us is the exact integer
+    * time-to-conversion.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir).withColumn("us", us(col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("us"), lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").desc, col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionByName(clicks)
+      .withColumn("signup_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("signup_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+              col("signup_us"), (col("signup_us") - col("us")).as("wait_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_join_asof_bucketed: the SAME as-of semantics run over the CATALOG'S
     * bucketed layout — events loaded once into a GraftCatalog table
     * `PARTITIONED BY (bucket(8, user_id))`, whose scan reports

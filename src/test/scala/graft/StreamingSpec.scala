@@ -56,6 +56,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.table(name)
   }
 
+  test("append emission boundary: a window ending EXACTLY at the watermark IS emitted (<=)") {
+    // pins the eviction predicate the q_stream_exec / q_stream_session_exec
+    // oracles assume: Spark emits when window.end <= watermark, so the
+    // closure filter is `win_end <= max(ts)` (NOT strict <). If a Spark
+    // upgrade ever flips this to strict inequality, this test fails before
+    // the oracle gate can silently hash-mismatch on an exactly-hour-aligned
+    // max event time.
+    val events = MemoryStream[Ev]
+    val hour = 3600000L
+    val base = 1700000000000L / hour * hour
+    val streamed = runBatches(events,
+      Streaming.tumblingOn(events.toDF.withWatermark("ts", "0 seconds")),
+      Seq(
+        Seq(Ev(1, new Timestamp(base + 10), 1, "view", 1.0)),
+        // max ts lands EXACTLY on the next hour boundary → watermark ==
+        // the end of window [base, base+1h)
+        Seq(Ev(2, new Timestamp(base + hour), 1, "view", 1.0)),
+        // same-max batch triggers eviction at that watermark
+        Seq(Ev(3, new Timestamp(base + hour), 2, "view", 1.0))))
+    assert(streamed.filter(col("win_us") === base * 1000).count() === 1,
+      "window ending exactly at the watermark must be emitted (predicate is <=)")
+  }
+
   test("session: session_window stream equals batch sessionization") {
     val events = MemoryStream[Ev]
     val base = 1700000000000L
