@@ -172,6 +172,8 @@ object SparkEntry {
     "q_quantile_bands" -> Relational.quantileBands,
     "q_changepoint" -> Analytics.changepoint,
     "q_psi" -> Stats.psi,
+    "q_spearman" -> Stats.spearman,
+    "q_mannwhitney" -> Stats.mannWhitney,
     "q_cumulative_uniques" -> Analytics.cumulativeUniques,
     "q_attribution" -> Analytics.attribution,
     "q_funnel" -> Analytics.funnel,
@@ -207,6 +209,8 @@ object SparkEntry {
     "q_mode" -> Relational.modeQuery,
     "q_window_exclude" -> Windows.windowExclude,
     "q_rolling_median" -> Timeseries.rollingMedian,
+    "q_drawdown" -> Timeseries.drawdown,
+    "q_seasonal_index" -> Timeseries.seasonalIndex,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
@@ -2024,6 +2028,63 @@ object SparkEntry {
         |  round(SUM((p - q) * ln(p / q)), 6) AS psi
         |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_spearman" ->
+      // tie-averaged ranks doubled (min+max of the row_number rank per
+      // tie group — exact BIGINT), centered on (n+1); rho = one shared
+      // IEEE tree (div + two sqrts) over exact integer moments, round-6
+      """WITH per AS (
+        |  SELECT o_custkey, COUNT(*) AS x,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT o_custkey, x, y,
+        |    ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rx,
+        |    ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS ry
+        |  FROM per),
+        |ar AS (
+        |  SELECT
+        |    MIN(rx) OVER (PARTITION BY x) + MAX(rx) OVER (PARTITION BY x) AS ax2,
+        |    MIN(ry) OVER (PARTITION BY y) + MAX(ry) OVER (PARTITION BY y) AS ay2
+        |  FROM rk),
+        |c AS (SELECT COUNT(*) AS n FROM ar),
+        |ctr AS (SELECT n, ax2 - (n + 1) AS cx, ay2 - (n + 1) AS cy FROM ar, c)
+        |SELECT n, CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+        |  round(CAST(SUM(cx * cy) AS DOUBLE) /
+        |        (sqrt(CAST(SUM(cx * cx) AS DOUBLE)) * sqrt(CAST(SUM(cy * cy) AS DOUBLE))), 6) AS rho
+        |FROM ctr GROUP BY n""".stripMargin,
+
+    "q_mannwhitney" ->
+      // pooled tie-averaged ranks doubled → 2R1, 2U1 exact BIGINTs;
+      // tie-corrected z as one shared IEEE tree, round-6; u is an exact
+      // half-integer double
+      """WITH two AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |rk AS (
+        |  SELECT seg, v, ROW_NUMBER() OVER (ORDER BY v, c_custkey) AS rk FROM two),
+        |ar AS (
+        |  SELECT seg,
+        |    MIN(rk) OVER (PARTITION BY v) + MAX(rk) OVER (PARTITION BY v) AS ar2
+        |  FROM rk),
+        |m AS (
+        |  SELECT
+        |    COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END) AS n1,
+        |    COUNT(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS n2,
+        |    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN ar2 END) AS BIGINT) AS r1_2
+        |  FROM ar),
+        |tie AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+        |  FROM (SELECT COUNT(*) AS t FROM two GROUP BY v))
+        |SELECT n1, n2,
+        |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u,
+        |  round(CAST((r1_2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE) /
+        |    (2 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |       CAST(tsum AS DOUBLE) /
+        |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z
+        |FROM m, tie""".stripMargin,
+
     "q_rfm" ->
       // RFM quartiles WITHIN market segment (ntile fills early buckets
       // first under the same rule in both engines; every order ends in
@@ -2412,6 +2473,49 @@ object SparkEntry {
         |  round(quantile_cont(cnt, 0.5e0) OVER (PARTITION BY event_type ORDER BY epoch_day
         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
         |FROM daily ORDER BY event_type, epoch_day""".stripMargin,
+
+    "q_drawdown" ->
+      // running peak = cumulative max over the daily series; drawdowns
+      // exact integers; relative form maxed BEFORE the single round-6
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, cnt,
+        |    MAX(cnt) OVER (PARTITION BY event_type ORDER BY epoch_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily)
+        |SELECT event_type, COUNT(*) AS n_days, CAST(MAX(peak) AS BIGINT) AS peak,
+        |  CAST(MAX(peak - cnt) AS BIGINT) AS max_dd,
+        |  round(MAX(CAST(peak - cnt AS DOUBLE) / CAST(peak AS DOUBLE)), 6) AS max_dd_rel
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_seasonal_index" ->
+      // ISO dow from the epoch day (1970-01-01 = Thursday = ISO 4) — an
+      // arithmetic definition, not a locale; index = one exact BIGINT
+      // ratio (s_dow*n_days)/(n_dow*s_tot), single IEEE division, round-6
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type, cnt,
+        |    CAST((epoch_day + 3) % 7 + 1 AS INT) AS dow
+        |  FROM daily),
+        |by_dow AS (
+        |  SELECT event_type, dow, COUNT(*) AS n_dow, CAST(SUM(cnt) AS BIGINT) AS s_dow
+        |  FROM d2 GROUP BY 1, 2),
+        |by_type AS (
+        |  SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS s_tot
+        |  FROM d2 GROUP BY 1)
+        |SELECT a.event_type, a.dow, a.n_dow,
+        |  round(CAST(a.s_dow * b.n_days AS DOUBLE) /
+        |        CAST(a.n_dow * b.s_tot AS DOUBLE), 6) AS idx
+        |FROM by_dow a JOIN by_type b USING (event_type)
+        |ORDER BY a.event_type, a.dow""".stripMargin,
 
     "q_benford" ->
       // first digit via the DECIMAL(18,2) string rendering (both engines

@@ -415,4 +415,101 @@ object Stats {
            r6(sum((col("p") - col("q")) * log(col("p") / col("q")))).as("psi"))
       .orderBy(col("event_type"))
   }
+
+  /** q_spearman: Spearman rank correlation between per-customer order
+    * count and total spend — "do frequent buyers also spend more",
+    * the monotone-association measure that (unlike Pearson) ignores the
+    * spend distribution's heavy tail. Ranks are GLOBAL but never computed
+    * by a single-partition window: Rank.rankExact's two-phase grid rank
+    * (census → broadcast offsets → per-chunk row_number) keeps full
+    * parallelism; ties then collapse to the textbook average rank via
+    * min+max over each tie group (doubled so it stays an exact BIGINT).
+    *
+    * rho = Pearson over the tie-averaged ranks, computed on CENTERED
+    * doubled ranks c = 2·avg_rank − (n+1): every moment is an exact
+    * BIGINT (|Σc²| ≤ n(n²−1)/3 < 2⁵³ for n ≤ ~3·10⁵ — holds through sf1
+    * with 30× headroom; beyond that move the three moments to
+    * DECIMAL(38,0), the statistic is unchanged), finalized by one shared
+    * IEEE tree (div, two sqrts), round-6. Σc = 0 by construction, so no
+    * mean subtraction survives to floating point.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val per = Sources.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"), sum(cents(col("o_totalprice"))).as("y"))
+      .withColumn("__all", lit(0))
+    // steps sized for grid ≈ tens-to-hundreds at any SF (per-customer
+    // order count and spend are SF-invariant in TPC-H-style generators)
+    val rx = Rank.rankExact(per, "__all", col("x"), col("o_custkey"),
+      step = 1L, desc = false, out = "rx")
+    val rxy = Rank.rankExact(rx, "__all", col("y"), col("o_custkey"),
+      step = 20000000L, desc = false, out = "ry")
+    // tie-group averages as CENSUS aggregates, not windows: partitionBy(x)
+    // would run |x-domain| (~tens) tasks over ALL customers — the r9
+    // q_rfm shape. The x census is tiny (order-count domain) → broadcast;
+    // the y census is ~n rows (cents nearly unique) → shuffle hash join
+    // on y, full parallelism, no per-partition sort.
+    val tieX = rxy.groupBy(col("x"))
+      .agg((min(col("rx")) + max(col("rx"))).as("ax2"))
+    val tieY = rxy.groupBy(col("y"))
+      .agg((min(col("ry")) + max(col("ry"))).as("ay2"))
+    val ar = rxy.join(broadcast(tieX), Seq("x")).join(tieY, Seq("y"))
+    val tot = ar.agg(count(lit(1)).as("n"))
+    ar.crossJoin(broadcast(tot))
+      .withColumn("cx", col("ax2") - (col("n") + 1L))
+      .withColumn("cy", col("ay2") - (col("n") + 1L))
+      .groupBy(col("n"))
+      .agg(sum(col("cx") * col("cy")).as("sxy"),
+           sum(col("cx") * col("cx")).as("sxx"),
+           sum(col("cy") * col("cy")).as("syy"))
+      .select(col("n"), col("sxy"),
+        r6(col("sxy").cast("double") /
+           (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+          .as("rho"))
+  }
+
+  /** q_mannwhitney: Mann–Whitney U (Wilcoxon rank-sum) between the
+    * BUILDING and MACHINERY segments' account balances — the
+    * NONPARAMETRIC sibling of q_ttest over the same drift-monitoring
+    * inputs as q_ks_test: "does one arm stochastically dominate", robust
+    * to outliers a mean-based t would chase. Pooled global ranks come
+    * from the same two-phase Rank.rankExact (no single-partition window);
+    * tie groups collapse to average ranks (doubled → exact BIGINT), so
+    * the doubled rank-sum 2R₁, 2U₁ = 2R₁ − n₁(n₁+1), and the tie
+    * correction Σ(t³−t) are ALL exact integers. U surfaces as an exact
+    * half-integer double; z uses the tie-corrected normal approximation
+    * in one shared IEEE tree, round-6.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val two = Sources.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+              cents(col("c_acctbal")).as("v"))
+      .withColumn("__all", lit(0))
+    val rk = Rank.rankExact(two, "__all", col("v"), col("c_custkey"),
+      step = 10000L, desc = false, out = "rk")
+    // tie census + shuffle join on v (cents nearly unique → ~n tiny
+    // groups): same rewrite as q_spearman's — no small-domain window
+    val tieV = rk.groupBy(col("v"))
+      .agg((min(col("rk")) + max(col("rk"))).as("ar2"))
+    val ar = rk.join(tieV, Seq("v"))
+    val m = ar.agg(
+      count(when(col("seg") === "BUILDING", 1)).as("n1"),
+      count(when(col("seg") === "MACHINERY", 1)).as("n2"),
+      sum(when(col("seg") === "BUILDING", col("ar2"))).as("r1_2"))
+    val tie = two.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val u2 = col("r1_2") - col("n1") * (col("n1") + 1L) // doubled U1, exact
+    val nn = col("n1") + col("n2")
+    m.crossJoin(broadcast(tie))
+      .select(col("n1"), col("n2"),
+        (u2.cast("double") / 2).as("u"),
+        r6((u2 - col("n1") * col("n2")).cast("double") /
+           (lit(2.0) * sqrt(col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+             ((nn + 1L).cast("double") -
+              col("tsum").cast("double") /
+                (nn.cast("double") * (nn - 1L).cast("double")))))).as("z"))
+  }
 }

@@ -289,4 +289,64 @@ object Timeseries {
               col("med7"))
       .orderBy(col("event_type"), col("epoch_day"))
   }
+
+  /** q_drawdown: maximum drawdown of each event_type's DAILY volume from
+    * its running peak — "how far below the best day seen so far did
+    * traffic fall, at worst": the SLO/regression-alarm statistic (and,
+    * over equity curves, the classic finance risk measure). Running peak
+    * is a cumulative max over the per-type daily series (bounded by
+    * calendar days — the documented window-input bound shared by
+    * q_ema/q_rolling_median); drawdowns stay exact integers, the relative
+    * form is a per-row double ratio whose max is taken BEFORE the single
+    * round-6, so no rounding boundary can reorder the argmax.
+    */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("cnt")).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           max(col("peak")).as("peak"),
+           max(col("peak") - col("cnt")).as("max_dd"),
+           r6(max((col("peak") - col("cnt")).cast("double") /
+                  col("peak").cast("double"))).as("max_dd_rel"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_seasonal_index: day-of-week seasonality index per event_type —
+    * mean daily volume on each weekday relative to the type's overall
+    * mean daily volume (index 1.0 = flat week; the capacity-planning /
+    * anomaly-baseline primitive: an alert that ignores weekly shape pages
+    * every Sunday). The ratio of two means collapses to ONE exact BIGINT
+    * ratio — (Σ_dow · n_days) / (n_dow · Σ_total) — finalized by a single
+    * shared IEEE division, round-6. Two tiny aggregates at (type, dow)
+    * and (type) grain; dow is ISO (1 = Monday … 7 = Sunday) so both
+    * engines share the same arithmetic definition, not a locale.
+    */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+      // ISO dow from the epoch day: 1970-01-01 was a Thursday (ISO 4)
+      .withColumn("dow", (pmod(col("epoch_day") + 3L, lit(7L)) + 1L).cast("int"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_dow"), sum(col("cnt")).as("s_dow"))
+    val byType = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s_tot"))
+    byDow.join(broadcast(byType), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_dow"),
+        r6((col("s_dow") * col("n_days")).cast("double") /
+           (col("n_dow") * col("s_tot")).cast("double")).as("idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
 }

@@ -38,7 +38,9 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_pq_adc",          // 16 base vectors × broadcast(50-row replica range)
     "q_percent_total",   // 5 segment rows × broadcast(1-row grand total)
     "q_error_spikes",    // 30 day rows × broadcast(1-row totals)
-    "q_vocab_growth"     // token first-doc table × broadcast(1-row max + 10-row deciles)
+    "q_vocab_growth",    // token first-doc table × broadcast(1-row max + 10-row deciles)
+    "q_spearman",        // ranked frame × broadcast(1-row n total)
+    "q_mannwhitney"      // 1-row moments × broadcast(1-row tie correction)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
@@ -188,7 +190,13 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_survival",  // ~30-row Kaplan-Meier curve
     "q_mixture_weights", // T* min over the per-LANGUAGE aggregate (<= |langs| rows)
     "q_mixture_sample",  // reuses the q_mixture_weights rate frame
-    "q_cumulative_uniques" // running sum over the DAILY aggregate (calendar-days domain)
+    "q_cumulative_uniques", // running sum over the DAILY aggregate (calendar-days domain)
+    // GLOBAL two-phase ranks (seg = a constant column, which Catalyst
+    // folds out of the partition spec): the flagged window is rankExact's
+    // census prefix-sum, whose input is the (seg, chunk) census —
+    // ≤ |chunk grid| rows by construction (tens-to-hundreds at any SF)
+    "q_spearman",   // census grids: order-count step=1 (~tens), spend step=2e7 (~hundreds)
+    "q_mannwhitney" // census grid: balance cents step=1e4 (~110 chunks)
   )
 
   test("no partition-less WindowExec over unbounded input in any declared plan") {

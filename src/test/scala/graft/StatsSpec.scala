@@ -250,4 +250,52 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(got(tpe) - psi) < 1e-4, s"$tpe: ${got(tpe)} vs $psi")
     }
   }
+
+  /** Driver-side tie-averaged ranks (the textbook definition the two-phase
+    * pipeline must reproduce). */
+  private def avgRanks(v: Array[Long]): Array[Double] = {
+    val idx = v.zipWithIndex.sortBy(_._1)
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && idx(j + 1)._1 == idx(i)._1) j += 1
+      val ar = (i + 1 + j + 1) / 2.0
+      (i to j).foreach(k => out(idx(k)._2) = ar)
+      i = j + 1
+    }
+    out
+  }
+
+  test("spearman: rho in [-1,1]; equals brute-force tie-averaged-rank Pearson") {
+    val r = Stats.spearman(spark, sfDir).collect()(0)
+    val (n, rho) = (r.getLong(0), r.getDouble(2))
+    assert(n > 0 && rho >= -1.0 && rho <= 1.0)
+    val per = graft.io.Sources.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"), sum(graft.Det.cents(col("o_totalprice"))).as("y"))
+      .collect().map(row => (row.getLong(1), row.getLong(2)))
+    val rx = avgRanks(per.map(_._1))
+    val ry = avgRanks(per.map(_._2))
+    val mx = rx.sum / rx.length; val my = ry.sum / ry.length
+    val num = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum) *
+              math.sqrt(ry.map(a => (a - my) * (a - my)).sum)
+    assert(math.abs(rho - num / den) < 1e-6, s"engine rho=$rho brute=${num / den}")
+  }
+
+  test("mannwhitney: U equals the brute pair count; U1 + U2 = n1*n2") {
+    val r = Stats.mannWhitney(spark, sfDir).collect()(0)
+    val (n1, n2, u) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(u >= 0.0 && u <= (n1 * n2).toDouble)
+    val c = graft.io.Sources.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), graft.Det.cents(col("c_acctbal")).as("v"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val a = c.filter(_._1 == "BUILDING").map(_._2)
+    val b = c.filter(_._1 == "MACHINERY").map(_._2)
+    // U1 = #(a > b) pairs + half the ties (sf0.001 is small enough for n1*n2)
+    val brute = a.map(x => b.count(x > _) + 0.5 * b.count(x == _)).sum
+    assert(math.abs(u - brute) < 1e-9, s"engine U=$u brute=$brute")
+  }
 }

@@ -215,4 +215,39 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("drawdown: equals the brute running-peak sweep per type") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = graft.ops.Timeseries.drawdown(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      var peak = 0L; var dd = 0L; var rel = 0.0
+      series.foreach { c =>
+        peak = math.max(peak, c)
+        dd = math.max(dd, peak - c)
+        rel = math.max(rel, (peak - c).toDouble / peak)
+      }
+      val (gp, gd, gr) = got(tpe)
+      assert(gp == peak && gd == dd, s"$tpe: got ($gp,$gd) want ($peak,$dd)")
+      assert(math.abs(gr - rel) < 1e-6, s"$tpe: rel $gr vs $rel")
+    }
+  }
+
+  test("seasonal index: dow in 1..7; per-type weighted mean of idx is 1") {
+    val rows = graft.ops.Timeseries.seasonalIndex(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._2 >= 1 && r._2 <= 7))
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      // Σ s_dow = s_tot  ⇔  Σ idx·n_dow / n_days = 1 (within round-6)
+      val nDays = rs.map(_._3).sum
+      val weighted = rs.map(r => r._4 * r._3).sum / nDays
+      assert(math.abs(weighted - 1.0) < 1e-4, s"$tpe: weighted mean $weighted")
+    }
+  }
 }
