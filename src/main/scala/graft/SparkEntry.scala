@@ -133,6 +133,7 @@ object SparkEntry {
     "q_ivf_probe" -> Ivf.ivfProbeQuery,
     "q_pq_adc" -> Pq.pqAdcQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
+    "q_dataset_card" -> Pipeline.datasetCardQuery,
     "q_quality_funnel" -> Pipeline.qualityFunnelQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_stream_join_exec" -> Streaming.streamJoinExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_fwd" -> Streaming.asofForward,
+    "q_join_asof_near" -> Streaming.asofNearest,
     "q_join_pit" -> Merge.joinPit,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
     "q_join_asof_tol" -> Streaming.asofTolerance,
@@ -174,6 +176,7 @@ object SparkEntry {
     "q_psi" -> Stats.psi,
     "q_spearman" -> Stats.spearman,
     "q_mannwhitney" -> Stats.mannWhitney,
+    "q_cramers_v" -> Analytics.cramersV,
     "q_cumulative_uniques" -> Analytics.cumulativeUniques,
     "q_attribution" -> Analytics.attribution,
     "q_funnel" -> Analytics.funnel,
@@ -211,6 +214,7 @@ object SparkEntry {
     "q_rolling_median" -> Timeseries.rollingMedian,
     "q_drawdown" -> Timeseries.drawdown,
     "q_seasonal_index" -> Timeseries.seasonalIndex,
+    "q_bollinger" -> Timeseries.bollinger,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
@@ -935,6 +939,31 @@ object SparkEntry {
     "q_quality_score" -> qualityOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
+
+    "q_dataset_card" ->
+      // exact median via the value-histogram pick (rank ⌈n/2⌉ over
+      // distinct n_chars); dup rate = content-hash distinct count;
+      // dup_pct = one exact BIGINT ratio, single IEEE division, round-6
+      """WITH base AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |         COUNT(DISTINCT md5(text)) AS n_uniq
+        |  FROM documents GROUP BY 1, 2),
+        |counts AS (
+        |  SELECT source, lang, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT source, lang, n_chars, c,
+        |    SUM(c) OVER (PARTITION BY source, lang ORDER BY n_chars) AS cum,
+        |    SUM(c) OVER (PARTITION BY source, lang) AS n
+        |  FROM counts),
+        |med AS (
+        |  SELECT source, lang, n_chars AS med_chars
+        |  FROM cum WHERE cum >= ceil(n * 0.5) AND cum - c < ceil(n * 0.5))
+        |SELECT b.source, b.lang, b.n_docs, b.chars, m.med_chars,
+        |  round(CAST(b.n_docs - b.n_uniq AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS dup_pct
+        |FROM base b JOIN med m USING (source, lang)
+        |ORDER BY b.source, b.lang""".stripMargin,
 
     // cumulative ingest-funnel survivor counts; quality gate tests the
     // shared round-6 qscore, dedup keep = min doc_id per md5(text)
@@ -1788,6 +1817,26 @@ object SparkEntry {
         |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts <= s.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    "q_join_asof_near" ->
+      // two directional ASOF LEFT candidates + the same exact-integer
+      // |Δ| CASE as the engine (ties → backward); inner on either side
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
+        |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT c.event_id, c.user_id, c.click_us, s.signup_us AS b_us
+        |      FROM c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts),
+        |f AS (SELECT c.event_id, s.signup_us AS f_us
+        |      FROM c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts <= s.ts),
+        |j AS (SELECT b.event_id, b.user_id, b.click_us,
+        |        CASE WHEN b.b_us IS NULL THEN f.f_us
+        |             WHEN f.f_us IS NULL THEN b.b_us
+        |             WHEN b.click_us - b.b_us <= f.f_us - b.click_us THEN b.b_us
+        |             ELSE f.f_us END AS signup_us
+        |      FROM b JOIN f USING (event_id)
+        |      WHERE b.b_us IS NOT NULL OR f.f_us IS NOT NULL)
+        |SELECT event_id, user_id, click_us, signup_us,
+        |       signup_us - click_us AS delta_us
+        |FROM j ORDER BY event_id""".stripMargin,
+
     "q_join_asof_bucketed" ->
       // the oracle is the PLAIN ASOF JOIN on flat parquet: the catalog's
       // bucketed layout must be semantically invisible (only the plan —
@@ -2084,6 +2133,27 @@ object SparkEntry {
         |       CAST(tsum AS DOUBLE) /
         |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z
         |FROM m, tie""".stripMargin,
+
+    "q_cramers_v" ->
+      // χ² terms over ≤15 cells as one IEEE tree (round-6 absorbs the Σ
+      // order — the q_chisq pattern); V from the UNROUNDED χ²
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT p, SUM(obs) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT s, SUM(obs) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n,
+        |               COUNT(DISTINCT p) AS nr, COUNT(DISTINCT s) AS nc FROM cells),
+        |x AS (
+        |  SELECT n, nr, nc, COUNT(*) AS n_cells,
+        |    SUM((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+        |      * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)) AS chi2raw
+        |  FROM cells JOIN rt USING (p) JOIN ct USING (s) CROSS JOIN tot
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(n AS BIGINT) AS n_orders, n_cells, round(chi2raw, 6) AS chi2,
+        |  round(sqrt(chi2raw / (n * (least(nr, nc) - 1))), 6) AS v
+        |FROM x""".stripMargin,
 
     "q_rfm" ->
       // RFM quartiles WITHIN market segment (ntile fills early buckets
@@ -2491,6 +2561,31 @@ object SparkEntry {
         |  CAST(MAX(peak - cnt) AS BIGINT) AS max_dd,
         |  round(MAX(CAST(peak - cnt AS DOUBLE) / CAST(peak AS DOUBLE)), 6) AS max_dd_rel
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bollinger" ->
+      // all window moments exact BIGINTs over the daily census; the
+      // breach flag is PURE INTEGER arithmetic ((n·x−Σx)² vs 4·(nΣx²−(Σx)²))
+      // so no rounding boundary can flip it between engines
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |    COUNT(*) OVER win AS n7,
+        |    SUM(cnt) OVER win AS s7,
+        |    SUM(cnt * cnt) OVER win AS q7
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY epoch_day
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, epoch_day, cnt,
+        |  round(CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6) AS ma7,
+        |  round(sqrt(CAST(n7 * q7 - s7 * s7 AS DOUBLE)) / CAST(n7 AS DOUBLE), 6) AS sd7,
+        |  CAST(CASE WHEN n7 * cnt - s7 > 0
+        |         AND (n7 * cnt - s7) * (n7 * cnt - s7) > 4 * (n7 * q7 - s7 * s7)
+        |       THEN 1 ELSE 0 END AS INT) AS breach_hi
+        |FROM w ORDER BY event_type, epoch_day""".stripMargin,
 
     "q_seasonal_index" ->
       // ISO dow from the epoch day (1970-01-01 = Thursday = ISO 4) — an

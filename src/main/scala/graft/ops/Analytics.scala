@@ -241,6 +241,42 @@ object Analytics {
               ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("chi2"))
   }
 
+  /** q_cramers_v: Cramér's V EFFECT SIZE for the order-priority ×
+    * order-status contingency table — the companion q_chisq lacks: χ²
+    * says "dependence is statistically detectable" (and grows with N
+    * without bound); V = sqrt(χ² / (N·(min(r,c)−1))) ∈ [0,1] says how
+    * STRONG the association is, comparable across tables and scale
+    * factors — the feature-selection / drift-triage number. Same shape
+    * as q_chisq: exact integer observed counts, expected = row·col/N and
+    * the χ² terms as one shared IEEE tree over ≤ 15 cells, V derived
+    * from the UNROUNDED χ² before the two round-6s. Nothing scales past
+    * the first (priority, status) rollup.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val cells = Sources.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy(col("o_orderpriority")).agg(sum(col("obs")).as("rt"))
+    val colTot = cells.groupBy(col("o_orderstatus")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).cast("double").as("n"),
+                        count_distinct(col("o_orderpriority")).as("nr"),
+                        count_distinct(col("o_orderstatus")).as("nc"))
+    val exp0 = col("rt").cast("double") * col("ct").cast("double") / col("n")
+    cells
+      .join(broadcast(rowTot), Seq("o_orderpriority"))
+      .join(broadcast(colTot), Seq("o_orderstatus"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(count(lit(1)).as("n_cells"),
+           sum((col("obs").cast("double") - exp0) * (col("obs").cast("double") - exp0) / exp0)
+             .as("chi2raw"))
+      .select(col("n").cast("long").as("n_orders"), col("n_cells"),
+              r6(col("chi2raw")).as("chi2"),
+              r6(sqrt(col("chi2raw") / (col("n") *
+                (least(col("nr"), col("nc")) - 1).cast("double")))).as("v"))
+  }
+
   /** q_sessionize: assign SESSION IDS to raw events — a gap of more than
     * 30 minutes between a user's consecutive events starts a new session
     * (the batch sibling of the streaming session window: that one

@@ -223,4 +223,42 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** q_dataset_card: the per-(source, lang) DATA CARD rollup — the
+    * summary table every corpus release ships (and the first thing a
+    * data buyer asks for): document count, total characters, exact
+    * median length, and the exact-duplicate rate within the slice.
+    *
+    * Shapes: counts/char sums are one hash aggregate; the exact median
+    * uses the q_agg_percentile_disc VALUE-HISTOGRAM selection (window
+    * over |distinct n_chars| rows per slice, never a per-slice row
+    * sort); the dup rate is count_distinct(md5(text)) — the content
+    * hash shuffles, the text never does. dup_pct = one exact BIGINT
+    * ratio, single IEEE division, round-6.
+    */
+  def datasetCardQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    val docs = Sources.documents(spark, dir)
+    val base = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("chars"),
+           count_distinct(md5(col("text"))).as("n_uniq"))
+    val counts = docs.groupBy(col("source"), col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source"), col("lang")).orderBy(col("n_chars"))
+    val wAll = Window.partitionBy(col("source"), col("lang"))
+    val rank = ceil(col("n") * 0.5)
+    val med = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") >= rank && col("cum") - col("c") < rank)
+      .select(col("source"), col("lang"), col("n_chars").as("med_chars"))
+    base.join(med, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("chars"),
+              col("med_chars"),
+              r6((col("n_docs") - col("n_uniq")).cast("double") /
+                 col("n_docs").cast("double")).as("dup_pct"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

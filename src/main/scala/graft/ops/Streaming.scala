@@ -303,6 +303,43 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** q_join_asof_near: NEAREST as-of — each click paired with the signup
+    * whose timestamp is closest in EITHER direction (ties → the backward
+    * match, the "already signed up" reading): the sensor-fusion /
+    * record-alignment semantics neither directional key gives. Both
+    * directional candidates come from ONE union frame under ONE
+    * partitioning (user_id): the ascending window carries the last
+    * signup ≤ t, the descending window the first signup ≥ t — two sorts,
+    * ONE shuffle, no range-join blowup. The winner is picked by exact
+    * integer |Δus| comparison (never floats), inner on "some signup
+    * exists either side". delta_us is signed (negative = matched
+    * backward). Oracle: two DuckDB ASOF LEFT JOINs + the same integer
+    * CASE.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.events(spark, dir).withColumn("us", us(col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("us"), lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(1).as("kind"), col("event_id"))
+    val sig = when(col("kind") === 0, col("us"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("us").desc, col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val near = when(col("b_us").isNull, col("f_us"))
+      .when(col("f_us").isNull, col("b_us"))
+      .when(col("us") - col("b_us") <= col("f_us") - col("us"), col("b_us"))
+      .otherwise(col("f_us"))
+    signups.unionByName(clicks)
+      .withColumn("b_us", last(sig, ignoreNulls = true).over(wB))
+      .withColumn("f_us", last(sig, ignoreNulls = true).over(wF))
+      .filter(col("kind") === 1 && (col("b_us").isNotNull || col("f_us").isNotNull))
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+              near.as("signup_us"), (near - col("us")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_join_asof_bucketed: the SAME as-of semantics run over the CATALOG'S
     * bucketed layout — events loaded once into a GraftCatalog table
     * `PARTITIONED BY (bucket(8, user_id))`, whose scan reports

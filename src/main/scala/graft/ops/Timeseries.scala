@@ -320,6 +320,40 @@ object Timeseries {
       .orderBy(col("event_type"))
   }
 
+  /** q_bollinger: 7-day trailing mean ± 2σ volatility bands over each
+    * event_type's daily volume, with an EXACT-INTEGER breach test — the
+    * alerting primitive q_outlier_zscore's global form can't give ("is
+    * TODAY anomalous vs the trailing week", not "vs all history"). All
+    * window moments are exact BIGINTs over the calendar-bounded daily
+    * census (the q_ema/q_rolling_median input bound); ma7/sd7 surface
+    * through single IEEE trees round-6, and the breach flag NEVER
+    * touches a float: cnt > ma+2σ  ⇔  d := n·cnt − Σx > 0  AND
+    * d² > 4·(n·Σx² − (Σx)²) — pure integer arithmetic, so no rounding
+    * boundary can flip a flag between engines. (Population σ over the
+    * trailing window, the Bollinger convention.)
+    */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(-6, Window.currentRow)
+    val d = col("n7") * col("cnt") - col("s7") // n·x − Σx, exact
+    val varN2 = col("n7") * col("q7") - col("s7") * col("s7") // n·Σx² − (Σx)², exact ≥ 0
+    daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("cnt")).over(w))
+      .withColumn("q7", sum(col("cnt") * col("cnt")).over(w))
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+        r6(col("s7").cast("double") / col("n7").cast("double")).as("ma7"),
+        r6(sqrt(varN2.cast("double")) / col("n7").cast("double")).as("sd7"),
+        when(d > 0 && d * d > lit(4L) * varN2, 1).otherwise(0).as("breach_hi"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
   /** q_seasonal_index: day-of-week seasonality index per event_type —
     * mean daily volume on each weekday relative to the type's overall
     * mean daily volume (index 1.0 = flat week; the capacity-planning /

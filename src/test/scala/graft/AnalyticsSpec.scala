@@ -176,4 +176,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(got(tpe)._2 - best._2.toDouble / n) < 1e-4)
     }
   }
+
+  test("cramers v: equals the brute contingency computation; V in [0,1]") {
+    val r = Analytics.cramersV(spark, sfDir).collect()(0)
+    val (n, chi2, v) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+    assert(v >= 0.0 && v <= 1.0)
+    val cells = graft.io.Sources.orders(spark, sfDir)
+      .groupBy("o_orderpriority", "o_orderstatus").count().collect()
+      .map(row => ((row.getString(0), row.getString(1)), row.getLong(2))).toMap
+    val nb = cells.values.sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val chi2b = cells.map { case ((p, s), obs) =>
+      val e = rt(p) * ct(s) / nb
+      (obs - e) * (obs - e) / e
+    }.sum
+    val vb = math.sqrt(chi2b / (nb * (math.min(rt.size, ct.size) - 1)))
+    assert(n == nb.toLong)
+    assert(math.abs(chi2 - chi2b) < 1e-4, s"chi2 $chi2 vs $chi2b")
+    assert(math.abs(v - vb) < 1e-6, s"v $v vs $vb")
+  }
 }

@@ -108,4 +108,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         s"$lang kept ${kept.getOrElse(lang, 0L)} vs expected $expect (sd $sd)")
     }
   }
+
+  test("dataset card: counts/median/dup rate equal the brute per-slice computation") {
+    val docs = graft.io.Sources.documents(spark, sfDir)
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val got = Pipeline.datasetCardQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val slices = docs.groupBy(d => (d._1, d._2))
+    assert(got.keySet == slices.keySet)
+    slices.foreach { case (k, rows) =>
+      val n = rows.length.toLong
+      val chars = rows.map(_._3).sum
+      val sorted = rows.map(_._3).sorted
+      val med = sorted((math.ceil(n * 0.5) - 1).toInt) // rank ⌈n/2⌉, 1-based
+      val uniq = rows.map(_._4).distinct.length
+      val (gn, gc, gm, gd) = got(k)
+      assert(gn == n && gc == chars, s"$k counts")
+      assert(gm == med, s"$k median $gm vs $med")
+      assert(math.abs(gd - (n - uniq).toDouble / n) < 1e-6, s"$k dup_pct")
+    }
+  }
 }

@@ -28,6 +28,7 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_triangle_count",  // final 1-row (nodes × edges × triangles) profile join
     "q_token_pmi",       // count table × broadcast(1-row N and M totals)
     "q_chisq",           // contingency cells × broadcast(1-row totals)
+    "q_cramers_v",       // contingency cells × broadcast(1-row totals)
     "q_ks_test",         // cumulative counts × broadcast(1-row n1/n2 totals)
     "q_market_basket",   // pair counts × broadcast(1-row order total)
     "q_locf_gapfill",    // distinct users × broadcast(30-row generated date spine)

@@ -630,6 +630,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(g.exceptAll(s).isEmpty && s.exceptAll(g).isEmpty)
   }
 
+  test("asof nearest: equals the brute per-click nearest-signup scan (ties backward)") {
+    val e = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val signups = e.filter(_._1 == "signup").groupBy(_._2)
+      .map { case (u, rs) => u -> rs.map(_._4).sorted }
+    val got = graft.ops.Streaming.asofNearest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val want = e.filter(_._1 == "click").flatMap { case (_, u, id, t) =>
+      signups.get(u).map { ss =>
+        val back = ss.filter(_ <= t).lastOption
+        val fwd = ss.find(_ >= t)
+        val near = (back, fwd) match {
+          case (Some(b), Some(f)) => if (t - b <= f - t) b else f
+          case (Some(b), None) => b
+          case (None, Some(f)) => f
+          case _ => sys.error("unreachable")
+        }
+        id -> (near, near - t)
+      }
+    }.toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("asof tolerance: subset of plain asof, staleness bound respected") {
     val plain = graft.ops.Streaming.asofClickSignup(spark, sfDir).count()
     val tol = graft.ops.Streaming.asofTolerance(spark, sfDir)

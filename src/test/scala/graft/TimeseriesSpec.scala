@@ -239,6 +239,32 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bollinger: ma/sd equal the brute trailing-7 sweep; breach flag agrees with the float form") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = graft.ops.Timeseries.bollinger(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2)
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - 6), i + 1).map(_._3.toDouble)
+        val n = win.length
+        val ma = win.sum / n
+        val sd = math.sqrt(win.map(x => (x - ma) * (x - ma)).sum / n)
+        val (gm, gs, gb) = got((tpe, series(i)._2))
+        assert(math.abs(gm - ma) < 1e-6, s"$tpe@${series(i)._2}: ma $gm vs $ma")
+        assert(math.abs(gs - sd) < 1e-6, s"$tpe@${series(i)._2}: sd $gs vs $sd")
+        val breach = series(i)._3.toDouble > ma + 2 * sd
+        assert(gb == (if (breach) 1 else 0), s"$tpe@${series(i)._2}: breach $gb vs $breach")
+      }
+    }
+  }
+
   test("seasonal index: dow in 1..7; per-type weighted mean of idx is 1") {
     val rows = graft.ops.Timeseries.seasonalIndex(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
