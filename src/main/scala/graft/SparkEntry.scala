@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> Text.dedupKeepBestQuery,
     "q_pagerank" -> Graph.pageRankQuery,
     "q_degree_dist" -> Graph.degreeDistQuery,
+    "q_jaccard_neighbors" -> Graph.jaccardNeighborsQuery,
     "q_communities" -> Graph.communitiesQuery,
     "q_user_paths" -> Analytics.userPaths,
     "q_sql_macro" -> Functions.sqlMacroQuery,
@@ -134,6 +135,7 @@ object SparkEntry {
     "q_pq_adc" -> Pq.pqAdcQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_dataset_card" -> Pipeline.datasetCardQuery,
+    "q_train_test_split" -> Pipeline.trainTestSplitQuery,
     "q_quality_funnel" -> Pipeline.qualityFunnelQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
@@ -177,6 +179,7 @@ object SparkEntry {
     "q_spearman" -> Stats.spearman,
     "q_mannwhitney" -> Stats.mannWhitney,
     "q_cramers_v" -> Analytics.cramersV,
+    "q_runs_test" -> Stats.runsTest,
     "q_cumulative_uniques" -> Analytics.cumulativeUniques,
     "q_attribution" -> Analytics.attribution,
     "q_funnel" -> Analytics.funnel,
@@ -215,6 +218,7 @@ object SparkEntry {
     "q_drawdown" -> Timeseries.drawdown,
     "q_seasonal_index" -> Timeseries.seasonalIndex,
     "q_bollinger" -> Timeseries.bollinger,
+    "q_wma" -> Timeseries.wma,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
@@ -624,6 +628,27 @@ object SparkEntry {
         |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(n) AS BIGINT) AS sum_id
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_jaccard_neighbors" ->
+      // same edge CTE as q_degree_dist; wedge self-join on the symmetric
+      // adjacency (a<b counts each wedge once), LEFT join keeps
+      // zero-overlap edges; one IEEE division round-6
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM ls a JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |adj AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |com AS (SELECT x.n AS u, y.n AS v, COUNT(*) AS com
+        |        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+        |        JOIN e ON e.u = x.n AND e.v = y.n
+        |        GROUP BY 1, 2)
+        |SELECT e.u, e.v, CAST(COALESCE(c.com, 0) AS BIGINT) AS common,
+        |  round(CAST(COALESCE(c.com, 0) AS DOUBLE) /
+        |        CAST(du.deg + dv.deg - COALESCE(c.com, 0) AS DOUBLE), 6) AS jacc
+        |FROM e LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+        |JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+        |ORDER BY e.u, e.v""".stripMargin,
+
     "q_communities" ->
       // 3 sync LPA rounds unrolled as chained CTEs (most-frequent
       // neighbour label, ties to the smallest — all integer, no FP)
@@ -939,6 +964,24 @@ object SparkEntry {
     "q_quality_score" -> qualityOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
+
+    "q_train_test_split" -> {
+      // the q_mixture_sample dyadic hash against INTEGER thresholds
+      // (58982 = ⌊0.9·2¹⁶⌋, 62259 = ⌊0.95·2¹⁶⌋) — no float comparison
+      def nib(p: Int) =
+        s"(ascii(substr(h, $p, 1)) - CASE WHEN ascii(substr(h, $p, 1)) <= 57 THEN 48 ELSE 87 END)"
+      val hex4 = s"${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}"
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |u AS (SELECT lang, text,
+         |        CASE WHEN $hex4 < 58982 THEN 'train'
+         |             WHEN $hex4 < 62259 THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM d)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q_dataset_card" ->
       // exact median via the value-histogram pick (rank ⌈n/2⌉ over
@@ -2102,6 +2145,43 @@ object SparkEntry {
         |        (sqrt(CAST(SUM(cx * cx) AS DOUBLE)) * sqrt(CAST(SUM(cy * cy) AS DOUBLE))), 6) AS rho
         |FROM ctr GROUP BY n""".stripMargin,
 
+    "q_runs_test" ->
+      // signs of nonzero daily diffs; R = 1 + sign changes (exact ints);
+      // z = (R − (1 + 2n1n2/n)) / sqrt(2n1n2(2n1n2−n)/(n²(n−1))) — the
+      // identical IEEE tree as the engine, round-6
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, epoch_day,
+        |    cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY epoch_day) AS diff
+        |  FROM daily),
+        |mv AS (
+        |  SELECT event_type, epoch_day,
+        |    CASE WHEN diff > 0 THEN 1 ELSE -1 END AS mv
+        |  FROM d WHERE diff IS NOT NULL AND diff <> 0),
+        |chg AS (
+        |  SELECT event_type, mv,
+        |    lag(mv) OVER (PARTITION BY event_type ORDER BY epoch_day) AS pmv
+        |  FROM mv),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(CASE WHEN mv = 1 THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(COUNT(CASE WHEN mv = -1 THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(COUNT(CASE WHEN pmv IS NOT NULL AND pmv <> mv THEN 1 END) + 1 AS BIGINT) AS runs
+        |  FROM chg GROUP BY 1)
+        |SELECT event_type, n1, n2, runs,
+        |  round((CAST(runs AS DOUBLE) -
+        |         (1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) /
+        |        sqrt(2.0 * CAST(n1 * n2 AS DOUBLE) *
+        |             (2.0 * CAST(n1 * n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)) /
+        |             (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+        |              (CAST(n1 + n2 AS DOUBLE) - 1))), 6) AS z
+        |FROM agg WHERE n1 > 0 AND n2 > 0
+        |ORDER BY event_type""".stripMargin,
+
     "q_mannwhitney" ->
       // pooled tie-averaged ranks doubled → 2R1, 2U1 exact BIGINTs;
       // tie-corrected z as one shared IEEE tree, round-6; u is an exact
@@ -2586,6 +2666,27 @@ object SparkEntry {
         |         AND (n7 * cnt - s7) * (n7 * cnt - s7) > 4 * (n7 * q7 - s7 * s7)
         |       THEN 1 ELSE 0 END AS INT) AS breach_hi
         |FROM w ORDER BY event_type, epoch_day""".stripMargin,
+
+    "q_wma" ->
+      // weighted sum exact in BIGINT (weights 7..1, newest heaviest);
+      // full-window rows only; ONE IEEE division by 28, round-6
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |    lag(cnt, 1) OVER w AS x1, lag(cnt, 2) OVER w AS x2,
+        |    lag(cnt, 3) OVER w AS x3, lag(cnt, 4) OVER w AS x4,
+        |    lag(cnt, 5) OVER w AS x5, lag(cnt, 6) OVER w AS x6
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day))
+        |SELECT event_type, epoch_day, cnt,
+        |  round(CAST(7 * cnt + 6 * x1 + 5 * x2 + 4 * x3 + 3 * x4 + 2 * x5 + 1 * x6
+        |             AS DOUBLE) / 28.0, 6) AS wma7
+        |FROM l WHERE x6 IS NOT NULL
+        |ORDER BY event_type, epoch_day""".stripMargin,
 
     "q_seasonal_index" ->
       // ISO dow from the epoch day (1970-01-01 = Thursday = ISO 4) — an

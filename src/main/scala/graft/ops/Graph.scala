@@ -315,6 +315,46 @@ object Graph {
       .orderBy(col("deg"))
   }
 
+  /** q_jaccard_neighbors: neighborhood Jaccard per co-order edge —
+    * |N(u)∩N(v)| / |N(u)∪N(v)|, the link-prediction / graph-sparsification
+    * score ("how embedded is this tie"): edges whose endpoints share most
+    * of their neighborhoods are community-internal; near-zero scores are
+    * bridges (the local-sparsification keep rule, Satuluri et al. 2011 —
+    * public method). Common neighbors come from the wedge self-join on
+    * the symmetric adjacency (each wedge counted once via a<b), then a
+    * LEFT join back to the edge list keeps zero-overlap edges; union =
+    * du + dv − common (open neighborhoods, no self-loops by
+    * construction). Integer counts end in ONE IEEE division, round-6.
+    * Scale: the wedge join is Σ deg(w)² — the q_triangle_count cost
+    * shape; the minCount weight filter is the hub bound, and at 100 TB
+    * the standard extra knob is a per-node neighbor cap before the
+    * self-join (top-k by id), which only LOWERS scores of mega-hubs.
+    */
+  def jaccardNeighborsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val e = coOrderEdges(spark, dir)
+      .localCheckpoint() // referenced by adjacency, degrees, and the edge join
+    val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // wedges semi-joined onto the edge list BEFORE aggregating (the
+    // q_triangle_count shape): never counts the full 2-hop pair set
+    val common = adj.select(col("nbr").as("w"), col("n").as("u")).as("x")
+      .join(adj.select(col("nbr").as("w"), col("n").as("v")).as("y"),
+            col("x.w") === col("y.w") && col("x.u") < col("y.v"))
+      .select(col("u"), col("v"))
+      .join(e, Seq("u", "v"), "left_semi")
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    e.join(common, Seq("u", "v"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"),
+        r6(col("common").cast("double") /
+           (col("du") + col("dv") - col("common")).cast("double")).as("jacc"))
+      .orderBy(col("u"), col("v"))
+  }
+
   /** Synchronous label propagation (LPA, Raghavan et al. 2007 — public
     * method): `rounds` sync updates where every node adopts the most
     * frequent label among its neighbours, ties to the SMALLEST label.

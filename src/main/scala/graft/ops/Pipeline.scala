@@ -224,6 +224,30 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q_train_test_split: deterministic stratified 90/5/5 split — the
+    * assignment every training run needs, done so the SAME doc lands in
+    * the SAME split in every engine, every run, at every scale: the
+    * q_mixture_sample dyadic hash (first 4 md5 nibbles of doc_id → an
+    * integer in 0..65535) against INTEGER thresholds (58982 = ⌊0.9·2¹⁶⌋,
+    * 62259 = ⌊0.95·2¹⁶⌋ — the split fractions are exactly 58982/65536
+    * and 3277/65536, documented dyadic rationals, never a float
+    * comparison). Adding documents never reshuffles existing assignments
+    * (hash-stable), unlike any rand()-split. Declared at the per-(lang,
+    * split) census grain: doc and whitespace-token counts — the split
+    * manifest. Pure map-side assignment + one hash aggregate.
+    */
+  def trainTestSplitQuery(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    Sources.documents(spark, dir)
+      .withColumn("split",
+        when(u < 58982L, "train").when(u < 62259L, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** q_dataset_card: the per-(source, lang) DATA CARD rollup — the
     * summary table every corpus release ships (and the first thing a
     * data buyer asks for): document count, total characters, exact

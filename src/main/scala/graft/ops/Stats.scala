@@ -469,6 +469,46 @@ object Stats {
           .as("rho"))
   }
 
+  /** q_runs_test: Wald–Wolfowitz runs test on each event_type's daily
+    * up/down volume moves — "is the day-to-day direction random, or is
+    * there momentum/mean-reversion": the nonparametric trend-structure
+    * check that complements q_autocorr's linear form. Moves are the
+    * SIGNS of consecutive daily-count diffs (zeros discarded, the
+    * standard treatment); n₁/n₂/R (runs = 1 + sign changes) are exact
+    * integers off two chained lag()s under ONE (event_type) partitioning
+    * of the calendar-bounded daily census. z = (R − μ)/σ with
+    * μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) — one shared IEEE
+    * tree, round-6; types with single-signed move sequences are excluded
+    * (σ = 0 ⇒ NaN in any engine — refusing is the honest contract).
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+    val moves = daily
+      .withColumn("diff", col("cnt") - lag(col("cnt"), 1).over(w))
+      .filter(col("diff").isNotNull && col("diff") =!= 0L)
+      .withColumn("mv", when(col("diff") > 0L, 1).otherwise(-1))
+    val agg = moves
+      .withColumn("chg", when(lag(col("mv"), 1).over(w).isNotNull &&
+                              lag(col("mv"), 1).over(w) =!= col("mv"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("mv") === 1, 1L).otherwise(0L)).as("n1"),
+           sum(when(col("mv") === -1, 1L).otherwise(0L)).as("n2"),
+           (sum(col("chg")) + 1L).as("runs"))
+      .filter(col("n1") > 0L && col("n2") > 0L)
+    val nn = (col("n1") + col("n2")).cast("double")
+    val p2 = lit(2.0) * (col("n1") * col("n2")).cast("double")
+    agg.select(col("event_type"), col("n1"), col("n2"), col("runs"),
+        r6((col("runs").cast("double") - (lit(1.0) + p2 / nn)) /
+           sqrt(p2 * (p2 - nn) / (nn * nn * (nn - 1)))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_mannwhitney: Mann–Whitney U (Wilcoxon rank-sum) between the
     * BUILDING and MACHINERY segments' account balances — the
     * NONPARAMETRIC sibling of q_ttest over the same drift-monitoring

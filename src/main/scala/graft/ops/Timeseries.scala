@@ -320,6 +320,36 @@ object Timeseries {
       .orderBy(col("event_type"))
   }
 
+  /** q_wma: 7-observation linearly-weighted moving average of each
+    * event_type's daily volume — the trend smoother that reacts faster
+    * than the flat mean (newest day weight 7 … oldest weight 1, the
+    * trading convention; observation-indexed like q_rolling_median, not
+    * calendar-indexed — q_interp_gapfill is the calendar repair step if
+    * gaps matter). Emitted only where the full 7-observation history
+    * exists (partial-window WMAs silently re-weight — refusing them is
+    * the honest contract). The weighted sum is an exact BIGINT
+    * (Σ wᵢ·cntᵢ, weights 1..7), finalized by ONE IEEE division by 28,
+    * round-6. Seven lag()s share a single (event_type) shuffle over the
+    * calendar-bounded daily census.
+    */
+  def wma(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+    val lags = (0 to 6).map(i => lag(col("cnt"), i).over(w).as(s"x$i"))
+    val num = (0 to 6).map(i => lit(7L - i) * col(s"x$i")).reduce(_ + _)
+    daily
+      .select(col("event_type") +: col("epoch_day") +: col("cnt") +: lags: _*)
+      .filter(col("x6").isNotNull)
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+              r6(num.cast("double") / 28.0).as("wma7"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
   /** q_bollinger: 7-day trailing mean ± 2σ volatility bands over each
     * event_type's daily volume, with an EXACT-INTEGER breach test — the
     * alerting primitive q_outlier_zscore's global form can't give ("is

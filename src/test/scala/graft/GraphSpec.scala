@@ -156,4 +156,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val r = Graph.triangleCountQuery(spark, sfDir).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((10L, 45L, 120L)))
   }
+
+  test("jaccard neighbors: equals the brute per-edge set computation") {
+    val edges = Graph.coOrderEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    val got = Graph.jaccardNeighborsQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == edges.toSet)
+    edges.foreach { case (u, v) =>
+      val common = (nbrs(u) intersect nbrs(v)).size.toLong
+      val union = (nbrs(u) union nbrs(v)).size.toLong // includes u and v themselves
+      val (gc, gj) = got((u, v))
+      assert(gc == common, s"($u,$v): common $gc vs $common")
+      assert(math.abs(gj - common.toDouble / union) < 1e-6, s"($u,$v): jacc")
+    }
+  }
 }

@@ -109,6 +109,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("train/test split: partitions conserve docs and tokens; fractions near 90/5/5") {
+    val rows = Pipeline.trainTestSplitQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).distinct.sorted.sameElements(Array("test", "train", "val")))
+    val docs = graft.io.Sources.documents(spark, sfDir)
+    assert(rows.map(_._3).sum == docs.count(), "split must conserve documents")
+    // per-lang doc totals conserved (stratification = reporting grain)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == perLang(lang), s"$lang docs conserved")
+    }
+    // global fractions within binomial noise of the dyadic targets
+    val n = rows.map(_._3).sum.toDouble
+    val frac = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum / n }
+    assert(math.abs(frac("train") - 58982.0 / 65536) < 4 * math.sqrt(0.9 * 0.1 / n) + 0.01)
+    assert(math.abs(frac("val") - 3277.0 / 65536) < 4 * math.sqrt(0.05 * 0.95 / n) + 0.01)
+    // deterministic: identical on re-run
+    val again = Pipeline.trainTestSplitQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sameElements(again))
+  }
+
   test("dataset card: counts/median/dup rate equal the brute per-slice computation") {
     val docs = graft.io.Sources.documents(spark, sfDir)
       .select("source", "lang", "n_chars", "text").collect()

@@ -284,6 +284,33 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rho - num / den) < 1e-6, s"engine rho=$rho brute=${num / den}")
   }
 
+  test("runs test: n1/n2/R equal the brute sweep; z sign matches run structure") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = Stats.runsTest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val moves = series.sliding(2).collect {
+        case Array(a, b) if b != a => if (b > a) 1 else -1
+      }.toSeq
+      val n1 = moves.count(_ == 1).toLong
+      val n2 = moves.count(_ == -1).toLong
+      if (n1 > 0 && n2 > 0) {
+        val runs = 1L + moves.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+        val (gn1, gn2, gr, gz) = got(tpe)
+        assert((gn1, gn2, gr) == ((n1, n2, runs)), s"$tpe: ($gn1,$gn2,$gr) vs ($n1,$n2,$runs)")
+        val n = (n1 + n2).toDouble
+        val mu = 1 + 2.0 * n1 * n2 / n
+        assert(math.signum(gz) == math.signum(runs - mu) || gz == 0.0, s"$tpe z sign")
+      } else assert(!got.contains(tpe), s"$tpe single-signed must be excluded")
+    }
+  }
+
   test("mannwhitney: U equals the brute pair count; U1 + U2 = n1*n2") {
     val r = Stats.mannWhitney(spark, sfDir).collect()(0)
     val (n1, n2, u) = (r.getLong(0), r.getLong(1), r.getDouble(2))

@@ -265,6 +265,30 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("wma: equals the brute weighted sweep; only full 7-observation rows emitted") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = graft.ops.Timeseries.wma(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2)
+      series.indices.foreach { i =>
+        val key = (tpe, series(i)._2)
+        if (i < 6) assert(!got.contains(key), s"$key partial window must be absent")
+        else {
+          // weights 7 (newest) .. 1 (oldest) over the trailing 7 observations
+          val win = series.slice(i - 6, i + 1).map(_._3)
+          val wma = win.zipWithIndex.map { case (x, j) => (j + 1).toLong * x }.sum / 28.0
+          assert(math.abs(got(key) - wma) < 1e-6, s"$key: ${got(key)} vs $wma")
+        }
+      }
+    }
+  }
+
   test("seasonal index: dow in 1..7; per-type weighted mean of idx is 1") {
     val rows = graft.ops.Timeseries.seasonalIndex(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
