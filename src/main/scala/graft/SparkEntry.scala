@@ -69,6 +69,7 @@ object SparkEntry {
     "q_partition_prune" -> Etl.partitionPrune,
     "q_partition_catalog" -> Etl.partitionCatalog,
     "q_orc_roundtrip" -> Etl.orcRoundtrip,
+    "q_schema_merge" -> Etl.schemaMerge,
     "q_xml_roundtrip" -> Etl.xmlRoundtrip,
     "q_partition_dpp" -> Etl.partitionDpp,
     // §2 E mutation verbs as dataflow
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_session_native" -> Streaming.sessionNative,
     "q_stream_session_exec" -> Streaming.streamSessionExec,
     "q_stream_join_exec" -> Streaming.streamJoinExec,
+    "q_stream_dedup_exec" -> Streaming.streamDedupExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_fwd" -> Streaming.asofForward,
     "q_join_asof_near" -> Streaming.asofNearest,
@@ -219,6 +221,7 @@ object SparkEntry {
     "q_seasonal_index" -> Timeseries.seasonalIndex,
     "q_bollinger" -> Timeseries.bollinger,
     "q_wma" -> Timeseries.wma,
+    "q_theil_sen" -> Timeseries.theilSen,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
@@ -1504,6 +1507,16 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_schema_merge" ->
+      // the evolved read must be indistinguishable from never having
+      // evolved: recompute with the same even/odd writer rule; v1 rows
+      // have no price (NULL) — count(price)/sum skip them
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_price,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_json_roundtrip" ->
       // the oracle reads PARQUET directly: the roundtrip must be lossless
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1817,6 +1830,12 @@ object SparkEntry {
 
     // the real streaming session run emits exactly the sessions CLOSED by
     // the final watermark (session end = last event + 30-min gap)
+    "q_stream_dedup_exec" ->
+      // the deduped double-read must equal the plain batch census —
+      // any double-emit or lost row in the dedup state breaks the hash
+      """SELECT event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_stream_session_exec" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -2666,6 +2685,30 @@ object SparkEntry {
         |         AND (n7 * cnt - s7) * (n7 * cnt - s7) > 4 * (n7 * q7 - s7 * s7)
         |       THEN 1 ELSE 0 END AS INT) AS breach_hi
         |FROM w ORDER BY event_type, epoch_day""".stripMargin,
+
+    "q_theil_sen" ->
+      // pairwise slopes on the bounded daily census; IEEE divisions of
+      // exact integers sort identically in both engines; discrete lower
+      // median (rank ⌈m/2⌉, day-pair tiebreak) selected BEFORE round-6
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.epoch_day - a.epoch_day AS DOUBLE) AS slope,
+        |    a.epoch_day AS da, b.epoch_day AS db
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.epoch_day < b.epoch_day),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope, da, db) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs, round(slope, 6) AS slope
+        |FROM r WHERE rn = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     "q_wma" ->
       // weighted sum exact in BIGINT (weights 7..1, newest heaviest);

@@ -81,6 +81,38 @@ object Etl {
     * aggregate straight off parquet, proving the cross-format roundtrip
     * lossless (timestamps included, under the UTC session contract).
     */
+  /** q_schema_merge: SCHEMA EVOLUTION under the gate — two parquet
+    * generations of the same table (v1: three columns; v2: a money
+    * column appeared) read back as ONE frame via mergeSchema, the
+    * lakehouse reality every long-lived ingest pipeline hits: old files
+    * never get rewritten, the reader reconciles. v1 rows surface the new
+    * column as NULL; the declared aggregate proves both the union'd
+    * schema and the NULL semantics (count(price) counts only v2 rows,
+    * sum skips NULLs). The oracle recomputes from the base table with
+    * the same even/odd writer rule — the evolved read must be
+    * indistinguishable from never having evolved. Scale note:
+    * mergeSchema costs one footer-read per FILE at planning time — on
+    * 100 TB, pin the merged schema in the catalog (GraftCatalog stores
+    * it) and pass it explicitly instead of re-sniffing.
+    */
+  def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft_schema_merge")
+    val o = Sources.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+              money(col("o_totalprice")).as("price"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           count(col("price")).as("n_with_price"),
+           asOut(sum(col("price"))).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = scratchDir("graft_orc_roundtrip")
     Sources.orders(spark, dir).filter(col("o_orderkey") % 7 === 0)

@@ -210,6 +210,33 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** q_stream_dedup_exec: streaming DEDUPLICATION state under the hash
+    * gate — the fourth real-exec pillar after fixed-window, session and
+    * stream-stream join state: the same events file read as TWO streams
+    * and unioned (every event_id arrives exactly twice), then
+    * dropDuplicates("event_id") — the at-least-once-ingest repair every
+    * production stream needs. The sink must hold each event exactly
+    * once, so the per-type count equals the plain batch census; any
+    * double-emit or lost row breaks the hash. EXACT dedup keeps
+    * unbounded key state BY DESIGN (documented; the bounded variant,
+    * dropDuplicatesWithinWatermark, is equivalence-tested in ScalaTest
+    * where batch timing is controlled — under AvailableNow the second
+    * copy may land after the watermark already passed its event time,
+    * which is exactly the eviction the bounded form is ALLOWED to make).
+    * RocksDB state via the shared harness: the 1000-executor deployment
+    * shape where key state exceeds heap.
+    */
+  def streamDedupExec(spark: SparkSession, dir: String): DataFrame = {
+    val rows = runStreamOnceRaw(spark, dir, "graft_stream_dedup", "streamDedupExec", () => {
+      def side = eventsStream(spark, dir)
+        .select(col("event_id"), col("event_type"))
+      side.unionByName(side).dropDuplicates("event_id")
+    })
+    rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_stream_session_exec: the SESSION pipeline as a true Structured
     * Streaming job under the hash gate — the stateful sibling of
     * q_stream_exec: where the tumbling run exercises fixed-window state,

@@ -320,6 +320,40 @@ object Timeseries {
       .orderBy(col("event_type"))
   }
 
+  /** q_theil_sen: Theil–Sen robust trend slope of each event_type's
+    * daily volume — the median of all pairwise day-slopes: up to ~29% of
+    * days can be corrupted (outages, backfill spikes) without moving the
+    * estimate, where q_regression's least-squares line chases every
+    * outlier. The pair set lives on the CALENDAR-BOUNDED daily census
+    * (≤ C(days,2) ≈ 435 rows/type at a 30-day window — bounded at ANY
+    * data scale; the self-join never touches raw events), slopes are
+    * single IEEE divisions of exact integers (bit-identical across
+    * engines, so their sort order is too), and the median is the
+    * DISCRETE lower median (rank ⌈m/2⌉, ties broken by the day pair) —
+    * selected first, rounded-6 after.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type"), col("epoch_day").as("da"), col("cnt").as("ca"))
+    val b = daily.select(col("event_type"), col("epoch_day").as("db"), col("cnt").as("cb"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .withColumn("slope",
+        (col("cb") - col("ca")).cast("double") / (col("db") - col("da")).cast("double"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"), col("da"), col("db"))
+    val wAll = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("rn") === (col("m") + 1) / 2)
+      .select(col("event_type"), col("m").as("n_pairs"), r6(col("slope")).as("slope"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_wma: 7-observation linearly-weighted moving average of each
     * event_type's daily volume — the trend smoother that reacts faster
     * than the flat mean (newest day weight 7 … oldest weight 1, the

@@ -221,4 +221,22 @@ class EtlSpec extends AnyFunSuite with SparkFixture {
     assert(viaVariant.nonEmpty)
   }
 
+  test("schema merge: evolved read equals the never-evolved direct aggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.Det.{asOut, money}
+    val merged = Etl.schemaMerge(spark, sfDir).collect()
+    val direct = graft.io.Sources.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("o_orderkey") % 2 === 1, 1)).as("n_with_price"),
+           asOut(sum(when(col("o_orderkey") % 2 === 1, money(col("o_totalprice")))))
+             .as("sum_price"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(merged.toSeq === direct.toSeq)
+    assert(merged.nonEmpty)
+    // v1 rows really do lack the column: price is NULL for even keys
+    assert(merged.forall(r => r.getLong(1) > r.getLong(2)),
+      "some rows must come from the pre-evolution generation")
+  }
+
 }

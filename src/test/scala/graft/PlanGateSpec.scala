@@ -258,6 +258,7 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_window_rank" -> "§2F ranking-construct demo; doc-commented scale note",
     "q_mode" -> "window input = (status × priority) census, ≤ 15 rows",
     "q_changepoint" -> "window input = daily census per event_type, ≤ days × types rows",
+    "q_theil_sen" -> "window input = census pair set, ≤ C(days,2) × types rows",
     // Rank.topK keys: the FINAL per-group rank window runs over the local
     // pre-rank's survivors — ≤ k × input-partitions rows per group by
     // construction (the two-phase top-k; phase 1 is chunk-partitioned)

@@ -630,6 +630,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(g.exceptAll(s).isEmpty && s.exceptAll(g).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon duplicate dropped, post-eviction duplicate re-emitted") {
+    // the bounded sibling of q_stream_dedup_exec's exact form: state for a
+    // key is evictable once the watermark passes its event time — a dup
+    // arriving BEFORE that is dropped, one arriving AFTER legitimately
+    // re-emits (the documented allowance)
+    val events = MemoryStream[Ev]
+    def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    qn += 1
+    val name = s"stream_result_$qn"
+    val q = events.toDF
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    events.addData(Ev(1, t(0), 1, "click", 0), Ev(1, t(0), 1, "click", 0))
+    q.processAllAvailable() // same-batch duplicate: dropped
+    events.addData(Ev(1, t(5), 1, "click", 0), Ev(2, t(5), 1, "view", 0))
+    q.processAllAvailable() // watermark still <= t(0)+10s: id 1 dropped again
+    events.addData(Ev(3, t(1000), 1, "view", 0))
+    q.processAllAvailable() // watermark jumps past t(0)+10s: id 1 state evicted
+    events.addData(Ev(1, t(1001), 1, "click", 0))
+    q.processAllAvailable() // post-eviction duplicate re-emits
+    q.stop()
+    val ids = spark.table(name).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 1L, 2L, 3L),
+      s"expected one in-horizon dedup of id 1 and one post-eviction re-emit, got $ids")
+  }
+
   test("asof nearest: equals the brute per-click nearest-signup scan (ties backward)") {
     val e = graft.io.Sources.events(spark, sfDir)
       .select(col("event_type"), col("user_id"), col("event_id"),

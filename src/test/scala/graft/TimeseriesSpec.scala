@@ -265,6 +265,28 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("theil sen: equals the brute pairwise-slope lower median per type") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = graft.ops.Timeseries.theilSen(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val s = rows.sortBy(_._2)
+      val slopes = for {
+        i <- s.indices; j <- (i + 1) until s.length
+      } yield ((s(j)._3 - s(i)._3).toDouble / (s(j)._2 - s(i)._2), s(i)._2, s(j)._2)
+      val sorted = slopes.sortBy(x => (x._1, x._2, x._3))
+      val med = sorted(((sorted.length + 1) / 2) - 1)._1
+      val (gm, gs) = got(tpe)
+      assert(gm == slopes.length.toLong, s"$tpe pair count")
+      assert(math.abs(gs - med) < 1e-6, s"$tpe: $gs vs $med")
+    }
+  }
+
   test("wma: equals the brute weighted sweep; only full 7-observation rows emitted") {
     import org.apache.spark.sql.functions._
     val daily = graft.io.Sources.events(spark, sfDir)
