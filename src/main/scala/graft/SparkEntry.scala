@@ -163,6 +163,7 @@ object SparkEntry {
     "q_stream_session_exec" -> Streaming.streamSessionExec,
     "q_stream_join_exec" -> Streaming.streamJoinExec,
     "q_stream_dedup_exec" -> Streaming.streamDedupExec,
+    "q_stream_sliding_exec" -> Streaming.streamSlidingExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_fwd" -> Streaming.asofForward,
     "q_join_asof_near" -> Streaming.asofNearest,
@@ -171,6 +172,8 @@ object SparkEntry {
     "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
+    "q_growth_accounting" -> Analytics.growthAccounting,
+    "q_l28_histogram" -> Analytics.l28Histogram,
     "q_rfm" -> Analytics.rfm,
     "q_percent_total" -> Relational.percentTotal,
     "q_regex_extract_all" -> Functions.regexExtractAllQuery,
@@ -1828,6 +1831,19 @@ object SparkEntry {
 
     "q_stream_session" -> sessionOracle,
 
+    "q_stream_sliding_exec" ->
+      // the q_stream_sliding aggregate under the same append-mode
+      // closure contract as q_stream_exec (window END ≤ final watermark)
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        |wins AS (
+        |  SELECT event_type,
+        |    unnest([epoch_us(ts) - epoch_us(ts) % 1800000000,
+        |            epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000]) AS win_us
+        |  FROM events)
+        |SELECT win_us, event_type, COUNT(*) AS n
+        |FROM wins, m WHERE win_us + 3600000000 <= max_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the real streaming session run emits exactly the sessions CLOSED by
     // the final watermark (session end = last event + 30-min gap)
     "q_stream_dedup_exec" ->
@@ -1916,6 +1932,52 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_growth_accounting" ->
+      // weeks = epoch_day // 7 (integer, no locale); churn at w+1 only
+      // through the last observed week; all exact integer counts
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER w AS prev, lead(week) OVER w AS nxt
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |states AS (
+        |  SELECT week,
+        |    CAST(COUNT(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
+        |    CAST(COUNT(CASE WHEN prev = week - 1 THEN 1 END) AS BIGINT) AS n_retained,
+        |    CAST(COUNT(CASE WHEN prev IS NOT NULL AND prev < week - 1 THEN 1 END) AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |mw AS (SELECT max(week) AS max_week FROM uw),
+        |churn AS (
+        |  SELECT week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM f, mw
+        |  WHERE (nxt IS NULL OR nxt > week + 1) AND week + 1 <= max_week
+        |  GROUP BY 1)
+        |SELECT COALESCE(s.week, c.week) AS week,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM states s FULL OUTER JOIN churn c ON s.week = c.week
+        |ORDER BY 1""".stripMargin,
+
+    "q_l28_histogram" ->
+      // day 0 = the dataset's own min epoch day; distinct (user, day)
+      // census -> per-user count -> histogram; sum_uid pins membership
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+        |  FROM events),
+        |m AS (SELECT min(epoch_day) AS d0 FROM days),
+        |per AS (
+        |  SELECT user_id, COUNT(*) AS days_active
+        |  FROM days, m WHERE epoch_day < d0 + 28
+        |  GROUP BY 1)
+        |SELECT days_active, COUNT(*) AS n_users, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_winsorize" ->
       // exact interpolated percentiles: Spark percentile() and DuckDB

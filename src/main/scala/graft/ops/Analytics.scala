@@ -241,6 +241,75 @@ object Analytics {
               ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("chi2"))
   }
 
+  /** q_growth_accounting: the weekly GROWTH-ACCOUNTING decomposition —
+    * every product review's first table: active users split into NEW
+    * (first-ever week), RETAINED (also active the week before) and
+    * RESURRECTED (returning after a gap), plus CHURNED (active last week,
+    * absent this week) — with the identity active(w) = new + retained +
+    * resurrected and churned(w) = active(w−1) − retained(w) holding
+    * exactly. Weeks are epoch_day DIV 7 (pure integer arithmetic, no
+    * locale). One (user, week) census, one lag and one lead under the
+    * SAME user partitioning (one shuffle), two tiny per-week aggregates
+    * full-outer joined — churn at week w+1 is only reported through the
+    * last observed week (beyond it nothing is observable). All counts
+    * exact integers.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Sources.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .select(col("user_id"), expr("CAST(d DIV 7 AS BIGINT)").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .withColumn("nxt", lead(col("week"), 1).over(w))
+    val states = flagged.groupBy(col("week")).agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === col("week") - 1L, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev").isNotNull && col("prev") < col("week") - 1L, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val maxW = uw.agg(max(col("week")).as("max_week"))
+    val churn = flagged
+      .filter(col("nxt").isNull || col("nxt") > col("week") + 1L)
+      .select((col("week") + 1L).as("week"))
+      .crossJoin(broadcast(maxW))
+      .filter(col("week") <= col("max_week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  /** q_l28_histogram: the L28 ENGAGEMENT CURVE — how many users were
+    * active on exactly k of the first 28 days: the healthy-product
+    * signature is a smile (casual spike at 1, power-user spike at 28);
+    * the curve's shift over releases is the canonical engagement metric.
+    * Day 0 anchors at the dataset's own min epoch day (a 1-row broadcast,
+    * the q_rfm anchor-date pattern). One (user, day) distinct census →
+    * per-user day count → histogram; sum_uid pins membership, not just
+    * counts. All integers, fully partition-parallel.
+    */
+  def l28Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val days = Sources.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"))
+      .distinct()
+    val d0 = days.agg(min(col("epoch_day")).as("d0"))
+    days.crossJoin(broadcast(d0))
+      .filter(col("epoch_day") < col("d0") + 28L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("days_active"))
+      .groupBy(col("days_active"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("sum_uid"))
+      .orderBy(col("days_active"))
+  }
+
   /** q_cramers_v: Cramér's V EFFECT SIZE for the order-priority ×
     * order-status contingency table — the companion q_chisq lacks: χ²
     * says "dependence is statistically detectable" (and grows with N

@@ -210,6 +210,21 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** q_stream_sliding_exec: the SLIDING-window pipeline as a true
+    * Structured Streaming job under the gate — completes the window-state
+    * coverage (fixed/tumbling, session, join, dedup, now overlapping
+    * windows): each event updates TWO window states (1-hour windows
+    * sliding every 30 min), so state multiplicity and per-window
+    * eviction both execute for real. Same harness and append-mode
+    * closure contract as q_stream_exec: the sink holds exactly the
+    * windows whose END the final watermark passed (win_us + 1h ≤
+    * max ts); the oracle applies the identical predicate to the
+    * q_stream_sliding SQL.
+    */
+  def streamSlidingExec(spark: SparkSession, dir: String): DataFrame =
+    runStreamOnce(spark, dir, "graft_stream_sliding", "streamSlidingExec",
+      src => slidingOn(src), Seq(col("win_us"), col("event_type")))
+
   /** q_stream_dedup_exec: streaming DEDUPLICATION state under the hash
     * gate — the fourth real-exec pillar after fixed-window, session and
     * stream-stream join state: the same events file read as TWO streams

@@ -177,6 +177,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("growth accounting: identities hold against the brute per-user week sets") {
+    import org.apache.spark.sql.functions._
+    val uw = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT)").as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = uw.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._1).toSet }
+    val byUser = uw.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
+    val got = Analytics.growthAccounting(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val maxW = byWeek.keys.max
+    byWeek.toSeq.sortBy(_._1).foreach { case (w, users) =>
+      val (nNew, nRet, nRes, _) = got(w)
+      val expNew = users.count(u => byUser(u).min == w)
+      val expRet = users.count(u => byUser(u).contains(w - 1))
+      assert(nNew == expNew && nRet == expRet, s"week $w new/retained")
+      assert(nNew + nRet + nRes == users.size, s"week $w: active identity")
+    }
+    // churned(w) = active(w-1) - retained(w), weeks within observation
+    (byWeek.keys.min + 1 to maxW).foreach { w =>
+      val churn = got.get(w).map(_._4).getOrElse(0L)
+      val prevActive = byWeek.getOrElse(w - 1, Set.empty).size
+      val ret = got.get(w).map(_._2).getOrElse(0L)
+      assert(churn == prevActive - ret, s"week $w: churn identity ($churn vs $prevActive-$ret)")
+    }
+  }
+
+  test("l28 histogram: equals the brute days-active census; users conserved") {
+    import org.apache.spark.sql.functions._
+    val days = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = days.map(_._2).min
+    val per = days.filter(_._2 < d0 + 28).groupBy(_._1).map { case (u, rs) => u -> rs.length }
+    val got = Analytics.l28Histogram(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = per.groupBy(_._2).map { case (k, us) =>
+      k.toLong -> (us.size.toLong, us.keys.sum)
+    }
+    assert(got == want)
+    assert(got.values.map(_._1).sum == per.size, "users conserved")
+  }
+
   test("cramers v: equals the brute contingency computation; V in [0,1]") {
     val r = Analytics.cramersV(spark, sfDir).collect()(0)
     val (n, chi2, v) = (r.getLong(0), r.getDouble(2), r.getDouble(3))

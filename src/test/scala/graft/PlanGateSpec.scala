@@ -41,7 +41,9 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_error_spikes",    // 30 day rows × broadcast(1-row totals)
     "q_vocab_growth",    // token first-doc table × broadcast(1-row max + 10-row deciles)
     "q_spearman",        // ranked frame × broadcast(1-row n total)
-    "q_mannwhitney"      // 1-row moments × broadcast(1-row tie correction)
+    "q_mannwhitney",     // 1-row moments × broadcast(1-row tie correction)
+    "q_growth_accounting", // churn-week frame × broadcast(1-row max week)
+    "q_l28_histogram"    // (user, day) census × broadcast(1-row min day)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns

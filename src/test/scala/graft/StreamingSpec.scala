@@ -630,6 +630,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(g.exceptAll(s).isEmpty && s.exceptAll(g).isEmpty)
   }
 
+  test("stream sliding exec: sink equals the batch sliding aggregate under the closure predicate") {
+    val sink = Streaming.streamSlidingExec(spark, sfDir)
+    val maxUs = graft.io.Sources.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).collect()(0).getLong(0)
+    val batch = Streaming.sliding(spark, sfDir)
+      .filter(col("win_us") + 3600000000L <= maxUs)
+    assert(sink.exceptAll(batch).isEmpty && batch.exceptAll(sink).isEmpty)
+    assert(sink.count() > 0)
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicate dropped, post-eviction duplicate re-emitted") {
     // the bounded sibling of q_stream_dedup_exec's exact form: state for a
     // key is evictable once the watermark passes its event time — a dup
