@@ -168,12 +168,14 @@ object SparkEntry {
     "q_join_asof_fwd" -> Streaming.asofForward,
     "q_join_asof_near" -> Streaming.asofNearest,
     "q_join_pit" -> Merge.joinPit,
+    "q_incremental_view" -> Merge.incrementalViewQuery,
     "q_join_asof_bucketed" -> Streaming.asofBucketedCatalog,
     "q_join_asof_tol" -> Streaming.asofTolerance,
     "q_join_interval" -> Streaming.intervalJoin,
     "q_retention_cohort" -> Analytics.retentionCohort,
     "q_growth_accounting" -> Analytics.growthAccounting,
     "q_l28_histogram" -> Analytics.l28Histogram,
+    "q_dau_mau" -> Analytics.dauMau,
     "q_rfm" -> Analytics.rfm,
     "q_percent_total" -> Relational.percentTotal,
     "q_regex_extract_all" -> Functions.regexExtractAllQuery,
@@ -1978,6 +1980,38 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT days_active, COUNT(*) AS n_users, CAST(SUM(user_id) AS BIGINT) AS sum_uid
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dau_mau" ->
+      // trailing-28 MAU via census coverage expansion (each active day
+      // covers 28 output days), distinct after; ratio = one BIGINT pair,
+      // single IEEE division, round-6
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, COUNT(*) AS dau FROM days GROUP BY 1),
+        |cov AS (
+        |  SELECT DISTINCT user_id, d + x AS day
+        |  FROM days CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS x) t),
+        |mau AS (SELECT day, COUNT(*) AS mau FROM cov GROUP BY 1)
+        |SELECT day, dau, mau,
+        |  round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q_incremental_view" ->
+      // the chained change-feed refreshes must land on exactly the
+      // never-incremental answer over the post-DML row set; SUM is NULL
+      // when the group's non-null count is zero (the __nn contract)
+      """WITH rows AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END AS cents
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1) AND o_orderkey % 5 <> 0)
+        |SELECT pri AS o_orderpriority, COUNT(*) AS n, COUNT(cents) AS n_price,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM rows GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_winsorize" ->
       // exact interpolated percentiles: Spark percentile() and DuckDB

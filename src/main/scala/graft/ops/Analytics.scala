@@ -286,6 +286,36 @@ object Analytics {
       .orderBy(col("week"))
   }
 
+  /** q_dau_mau: the DAU/MAU STICKINESS ratio per day — "of everyone who
+    * showed up this month, how many showed up today": the
+    * engagement-quality headline (≥0.5 is daily-habit territory).
+    * Trailing-28-day distinct counts WITHOUT a sliding distinct window:
+    * each (user, active-day) census row COVERS the 28 output days it
+    * contributes to (explode of a 28-element sequence — a bounded 28×
+    * expansion of the census, never of raw events), distinct (user, day)
+    * after coverage, then two plain counts joined on the day. Early days
+    * carry truncated trailing windows by construction (the ramp — the
+    * honest reading); the ratio is one exact BIGINT pair, single IEEE
+    * division, round-6.
+    */
+  def dauMau(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val days = Sources.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val dau = days.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val mau = days
+      .select(col("user_id"), explode(sequence(col("d"), col("d") + 27L)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        r6(col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** q_l28_histogram: the L28 ENGAGEMENT CURVE — how many users were
     * active on exactly k of the first 28 days: the healthy-product
     * signature is a smile (casual spike at 1, power-user spike at 28);

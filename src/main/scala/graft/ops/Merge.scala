@@ -212,4 +212,66 @@ object Merge {
               col("pit").as("pit_orderkey"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
+
+  /** q_incremental_view: INCREMENTAL MATERIALIZED-VIEW maintenance under
+    * the gate — the summary a serving layer keeps warm, maintained from
+    * the catalog's CHANGE FEED alone (never re-reading the base table):
+    * seed commit (orderkey%3=0) → INSERT commit (%3=1) → DELETE commit
+    * (%5=0), then EVERY call rebuilds the view the production way: a
+    * time-travel build at v1 + two chained `IncrementalView.refresh`es
+    * through the feed windows (v1→v2→v3). The measure is made nullable
+    * (%7=0 → NULL) so the NULL-sum bookkeeping (__nn non-null counters —
+    * a SUM is NULL exactly when its group's non-null count is zero) is
+    * exercised, not just counts. The oracle recomputes the final state
+    * directly — the chained deltas must land on exactly the
+    * never-incremental answer. Scale: refresh reads only the commits'
+    * manifest-diffed files; the merge joins on the view's (small)
+    * dimension key, never the table's.
+    */
+  def incrementalViewQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.IncrementalView
+    val confKey = "graft.ivm.query.src"
+    val T = "graft_ivmq.default.orders_ivm"
+    spark.conf.set("spark.sql.catalog.graft_ivmq", "graft.catalog.GraftCatalog")
+    val dims = Seq("pri"); val sums = Seq("cents")
+    if (!spark.conf.getOption(confKey).contains(dir)) {
+      spark.sql(s"DROP TABLE IF EXISTS $T")
+      spark.sql(s"CREATE TABLE $T (o_orderkey BIGINT, pri STRING, cents BIGINT)")
+      val src = "graft_ivm_src"
+      Sources.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(cents(col("o_totalprice"))).as("cents"))
+        .createOrReplaceTempView(src)
+      spark.sql(s"INSERT INTO $T SELECT * FROM $src WHERE o_orderkey % 3 = 0")
+      spark.conf.set("graft.ivm.query.v1", tableVersion(spark, "graft_ivmq", "orders_ivm").toString)
+      spark.sql(s"INSERT INTO $T SELECT * FROM $src WHERE o_orderkey % 3 = 1")
+      spark.conf.set("graft.ivm.query.v2", tableVersion(spark, "graft_ivmq", "orders_ivm").toString)
+      spark.sql(s"DELETE FROM $T WHERE o_orderkey % 5 = 0")
+      spark.conf.set("graft.ivm.query.v3", tableVersion(spark, "graft_ivmq", "orders_ivm").toString)
+      spark.catalog.dropTempView(src)
+      spark.conf.set(confKey, dir)
+    }
+    val v1 = spark.conf.get("graft.ivm.query.v1").toLong
+    val v2 = spark.conf.get("graft.ivm.query.v2").toLong
+    val v3 = spark.conf.get("graft.ivm.query.v3").toLong
+    spark.sql(s"SELECT * FROM $T VERSION AS OF $v1").createOrReplaceTempView("graft_ivm_v1")
+    val seeded = IncrementalView.build(spark, "graft_ivm_v1", dims, sums)
+    val s2 = IncrementalView.refresh(spark, T, dims, sums, seeded, v1, v2)
+    val s3 = IncrementalView.refresh(spark, T, dims, sums, s2, v2, v3)
+    s3.select(col("pri").as("o_orderpriority"), col("__n").as("n"),
+              col("__nn_cents").as("n_price"), col("__sum_cents").as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Current max committed version of a GraftCatalog table (manifest scan
+    * only — the IncrementalViewSpec `v()` pattern, file-layout-agnostic).
+    */
+  private def tableVersion(spark: SparkSession, cat: String, name: String): Long = {
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val loc = c.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), name)).asInstanceOf[graft.catalog.GraftTable].location
+    graft.catalog.GroupFiles.versions(java.nio.file.Paths.get(loc)).max
+  }
 }

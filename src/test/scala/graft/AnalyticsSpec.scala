@@ -204,6 +204,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dau/mau: equals the brute trailing-28 distinct sweep; dau <= mau") {
+    import org.apache.spark.sql.functions._
+    val days = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Analytics.dauMau(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val byDay = days.groupBy(_._2)
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (d, rs) =>
+      val dau = rs.map(_._1).toSet.size.toLong
+      val mau = days.filter(x => x._2 <= d && x._2 >= d - 27).map(_._1).toSet.size.toLong
+      val (gd, gm, gs) = got(d)
+      assert(gd == dau && gm == mau, s"day $d: ($gd,$gm) vs ($dau,$mau)")
+      assert(gd <= gm && math.abs(gs - dau.toDouble / mau) < 1e-6)
+    }
+  }
+
   test("l28 histogram: equals the brute days-active census; users conserved") {
     import org.apache.spark.sql.functions._
     val days = graft.io.Sources.events(spark, sfDir)

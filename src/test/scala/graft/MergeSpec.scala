@@ -110,4 +110,19 @@ class MergeSpec extends AnyFunSuite with SparkFixture {
     // row count conserves lineitems
     assert(res.length.toLong === graft.io.Sources.lineitem(spark, sfDir).count())
   }
+
+  test("q_incremental_view: chained change-feed refreshes equal a full build at the final version") {
+    import org.apache.spark.sql.functions.col
+    val declared = graft.ops.Merge.incrementalViewQuery(spark, sfDir)
+    val full = graft.catalog.IncrementalView
+      .build(spark, "graft_ivmq.default.orders_ivm", Seq("pri"), Seq("cents"))
+      .select(col("pri").as("o_orderpriority"), col("__n").as("n"),
+              col("__nn_cents").as("n_price"), col("__sum_cents").as("sum_cents"))
+    assert(declared.exceptAll(full).isEmpty && full.exceptAll(declared).isEmpty)
+    val rows = declared.collect()
+    assert(rows.nonEmpty)
+    // the nullable measure really is exercised: some rows lack the price
+    assert(rows.exists(r => r.getLong(1) > r.getLong(2)),
+      "expected NULL-measure rows so the __nn bookkeeping is load-bearing")
+  }
 }
