@@ -325,25 +325,37 @@ object Graph {
     * LEFT join back to the edge list keeps zero-overlap edges; union =
     * du + dv − common (open neighborhoods, no self-loops by
     * construction). Integer counts end in ONE IEEE division, round-6.
-    * Scale: the wedge join is Σ deg(w)² — the q_triangle_count cost
-    * shape; the minCount weight filter is the hub bound, and at 100 TB
-    * the standard extra knob is a per-node neighbor cap before the
-    * self-join (top-k by id), which only LOWERS scores of mega-hubs.
+    * Scale: a common neighbor of an EDGE is exactly a triangle through
+    * it, so the counts come from the DEGREE-ORIENTED triangle
+    * enumeration (each wedge generated at its lowest-degree apex — the
+    * q_triangle_count arboricity-style bound, Σ out-deg², NOT the
+    * unoriented Σ deg² a naive adjacency self-join pays on hub-skewed
+    * graphs), each surviving triangle exploded into its three edges.
     */
   def jaccardNeighborsQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
     val e = coOrderEdges(spark, dir)
-      .localCheckpoint() // referenced by adjacency, degrees, and the edge join
-    val adj = e.select(col("u").as("n"), col("v").as("nbr"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("nbr")))
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // wedges semi-joined onto the edge list BEFORE aggregating (the
-    // q_triangle_count shape): never counts the full 2-hop pair set
-    val common = adj.select(col("nbr").as("w"), col("n").as("u")).as("x")
-      .join(adj.select(col("nbr").as("w"), col("n").as("v")).as("y"),
-            col("x.w") === col("y.w") && col("x.u") < col("y.v"))
-      .select(col("u"), col("v"))
-      .join(e, Seq("u", "v"), "left_semi")
+      .localCheckpoint() // referenced by degrees, orientation, and the edge joins
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val lowerFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(lowerFirst, col("u")).otherwise(col("v")).as("src"),
+      when(lowerFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint() // joined with itself for wedges
+    val wedges = oriented.as("w1")
+      .join(oriented.as("w2"), col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .select(col("w1.src").as("w"),
+              col("w1.dst").as("u"), col("w2.dst").as("v"))
+    val tri = wedges.join(e, Seq("u", "v"), "left_semi") // (u, v, w) real triangles
+    val common = tri.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(least(col("w"), col("u")).as("a"), greatest(col("w"), col("u")).as("b")),
+        struct(least(col("w"), col("v")).as("a"), greatest(col("w"), col("v")).as("b")))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
     e.join(common, Seq("u", "v"), "left")
       .withColumn("common", coalesce(col("common"), lit(0L)))
