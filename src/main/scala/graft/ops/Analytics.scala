@@ -498,10 +498,10 @@ object Analytics {
     * SCALE (VERDICT r9 #1): c_mktsegment has 5 values, so a per-segment
     * ntile window runs on 5 tasks at any scale. Each quartile is instead
     * computed by Rank.ntileExact — two-phase exact rank over a
-    * deterministic value grid (r_days: 16-day cells over the ≤ ~2.5k-day
-    * TPC-H order window; f: 4-order cells, F is O(10) per customer at
-    * every SF; m_cents: $20k cells over the SF-invariant [~$850, ~$600k]
-    * totalprice domain) — identical buckets, grid-grain parallelism.
+    * deterministic value grid PROBED from the checkpointed per-customer
+    * frame (Rank.gridFor: 1-row approx-percentile → ≈256-cell equi-depth
+    * grid), not hard-coded — identical buckets, grid-grain parallelism,
+    * and the grid re-sizes itself under any generator/domain shift.
     */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.cents
@@ -518,12 +518,16 @@ object Analytics {
               .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
             Seq("o_custkey"))
       .localCheckpoint() // consumed by 3 censuses + 3 rank joins (q_kmeans pattern)
-    val bucketed = Seq[(String, org.apache.spark.sql.Column, Long, Boolean)](
-      ("r_bucket", col("r_days"), 16L, false),  // recent = bucket 1 (asc)
-      ("f_bucket", col("f"), 4L, true),         // frequent = bucket 1 (desc)
-      ("m_bucket", col("m_cents"), 2000000L, true) // big spender = bucket 1 (desc)
-    ).foldLeft(perCust) { case (d, (out, metric, step, desc)) =>
-      Rank.ntileExact(d, "seg", metric, col("o_custkey"), 4, step, desc, out)
+    val bucketed = Seq[(String, org.apache.spark.sql.Column, Boolean)](
+      ("r_bucket", col("r_days"), false),  // recent = bucket 1 (asc)
+      ("f_bucket", col("f"), true),        // frequent = bucket 1 (desc)
+      ("m_bucket", col("m_cents"), true)   // big spender = bucket 1 (desc)
+    ).foldLeft(perCust) { case (d, (out, metric, desc)) =>
+      // equi-depth grid probed from the checkpointed frame (Rank.gridFor),
+      // not hard-coded: a domain or mass-shape shift re-sizes the grid
+      // instead of collapsing it (VERDICT r10 #3)
+      Rank.ntileExact(d, "seg", metric, col("o_custkey"), 4,
+        Rank.gridFor(perCust, metric), desc, out)
     }
     bucketed
       .groupBy(col("seg"), col("r_bucket"), col("f_bucket"), col("m_bucket"))

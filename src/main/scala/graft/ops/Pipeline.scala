@@ -96,13 +96,16 @@ object Pipeline {
     * ONE pass over the scored frame — one shuffle for the dedup window
     * (content-hash partitioned, high cardinality), one for the lang
     * rollup. The quality threshold tests the ROUND-6 score, so the
-    * boundary cannot flip between engines (house rule §2.1).
+    * boundary cannot flip between engines (house rule §2.1). Token count
+    * is the raw single-space split on BOTH engines (the same convention
+    * as q_train_test_split/q_pack_tokens) — the CJK-aware Text.tokens
+    * would silently diverge from the oracle's string_split.
     */
   def qualityFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = Text.qualityScore(Sources.documents(spark, dir), "text")
       .withColumn("nchars", length(col("text")).cast("long"))
-      .withColumn("ntoks", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("ntoks", size(split(col("text"), " ")).cast("long"))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val flagged = scored.withColumn("keep", row_number().over(w) === 1)
     val s1 = col("nchars") >= 100

@@ -492,9 +492,11 @@ object Relational {
     *
     * SCALE (VERDICT r9 #2): o_orderpriority has 5 values — a per-priority
     * ntile window is 5 tasks at any scale. Rank.ntileExact computes the
-    * identical bands over a $20k price grid (o_totalprice's domain is
-    * SF-invariant, ~[850, 600k] → ≤ ~30 chunks/priority), so parallelism
-    * is grid-grain and each sort touches only one chunk's rows.
+    * identical bands over an equi-depth price grid PROBED from the data
+    * (Rank.gridFor: approx-percentile → ≈256 chunks/priority), so
+    * parallelism is grid-grain, each sort touches only one chunk's rows,
+    * and the grid re-sizes itself under any domain or mass-shape shift
+    * (VERDICT r10 #3).
     */
   def quantileBands(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.cents
@@ -502,7 +504,8 @@ object Relational {
       .select(col("o_orderpriority"), col("o_orderkey"),
               cents(col("o_totalprice")).as("p_cents"))
     Rank.ntileExact(base, "o_orderpriority", col("p_cents"),
-        col("o_orderkey"), 10, 2000000L, desc = false, "band0")
+        col("o_orderkey"), 10, Rank.gridFor(base, col("p_cents")),
+        desc = false, "band0")
       .withColumn("band", col("band0").cast("long")).drop("band0")
       .groupBy(col("o_orderpriority"), col("band"))
       .agg(count(lit(1)).as("n"),

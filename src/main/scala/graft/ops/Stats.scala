@@ -282,8 +282,8 @@ object Stats {
     * cents, ranks are integers, so numerator and denominator are exact
     * BIGINTs and the one division is shared, round-6. One customer-grain
     * aggregate, then the rank comes from Rank.rankExact (two-phase over a
-    * $200k spend grid — per-customer spend is SF-invariant, ≤ ~$7.5M, so
-    * ≤ ~38 chunks/segment at any scale; a per-SEGMENT row_number window
+    * spend grid PROBED from the checkpointed frame — Rank.gridFor, ≈256
+    * chunks/segment at any domain; a per-SEGMENT row_number window
     * would be 5 tasks at 100 TB — the q_rfm r9 anti-pattern).
     */
   def gini(spark: SparkSession, dir: String): DataFrame = {
@@ -295,7 +295,7 @@ object Stats {
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
       .localCheckpoint() // consumed by census + rank join (q_kmeans pattern)
     Rank.rankExact(spend, "c_mktsegment", col("cents"), col("c_custkey"),
-        20000000L, desc = false, "i")
+        Rank.gridFor(spend, col("cents")), desc = false, "i")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
            sum(col("cents")).as("total_cents"),
@@ -315,8 +315,8 @@ object Stats {
     * must reach). Exact integer cents; the cumulative share test is
     * 5·cum >= 4·total in BIGINTs, so the 80% boundary cannot flip.
     * Rank + cumulative spend come from Rank.rankCumsum (two-phase over
-    * the same $200k spend grid as q_gini — a per-SEGMENT rank/cumsum
-    * window would be 5 tasks at 100 TB, the q_rfm r9 anti-pattern).
+    * the same probed spend grid as q_gini, Rank.gridFor — a per-SEGMENT
+    * rank/cumsum window would be 5 tasks at 100 TB, the r9 anti-pattern).
     */
   def paretoTopN(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
@@ -327,7 +327,7 @@ object Stats {
       .agg((sum(graft.Det.money(col("o_totalprice"))) * 100).cast("long").as("cents"))
       .localCheckpoint() // consumed by census + rank join (q_kmeans pattern)
     Rank.rankCumsum(spend, "c_mktsegment", col("cents"), col("c_custkey"),
-        col("cents"), 20000000L, desc = true,
+        col("cents"), Rank.gridFor(spend, col("cents")), desc = true,
         "rk", "cum", "n_customers", "total")
       // first rank whose cumulative share reaches 80% — integer test
       .filter(col("cum") * 5 >= col("total") * 4)
@@ -439,12 +439,14 @@ object Stats {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("x"), sum(cents(col("o_totalprice"))).as("y"))
       .withColumn("__all", lit(0))
-    // steps sized for grid ≈ tens-to-hundreds at any SF (per-customer
-    // order count and spend are SF-invariant in TPC-H-style generators)
+      .localCheckpoint() // consumed by 2 probes + 2 censuses + 2 rank joins
+    // equi-depth grids PROBED from the checkpointed frame (Rank.gridFor), not
+    // hard-coded domain constants: the grid re-sizes itself under any
+    // generator/domain shift (VERDICT r10 #3)
     val rx = Rank.rankExact(per, "__all", col("x"), col("o_custkey"),
-      step = 1L, desc = false, out = "rx")
+      grid = Rank.gridFor(per, col("x")), desc = false, out = "rx")
     val rxy = Rank.rankExact(rx, "__all", col("y"), col("o_custkey"),
-      step = 20000000L, desc = false, out = "ry")
+      grid = Rank.gridFor(per, col("y")), desc = false, out = "ry")
     // tie-group averages as CENSUS aggregates, not windows: partitionBy(x)
     // would run |x-domain| (~tens) tasks over ALL customers — the r9
     // q_rfm shape. The x census is tiny (order-count domain) → broadcast;
@@ -529,7 +531,7 @@ object Stats {
               cents(col("c_acctbal")).as("v"))
       .withColumn("__all", lit(0))
     val rk = Rank.rankExact(two, "__all", col("v"), col("c_custkey"),
-      step = 10000L, desc = false, out = "rk")
+      grid = Rank.gridFor(two, col("v")), desc = false, out = "rk")
     // tie census + shuffle join on v (cents nearly unique → ~n tiny
     // groups): same rewrite as q_spearman's — no small-domain window
     val tieV = rk.groupBy(col("v"))

@@ -349,7 +349,7 @@ object Timeseries {
     pairs
       .withColumn("rn", row_number().over(w))
       .withColumn("m", count(lit(1)).over(wAll))
-      .filter(col("rn") === (col("m") + 1) / 2)
+      .filter(expr("rn = (m + 1) div 2"))
       .select(col("event_type"), col("m").as("n_pairs"), r6(col("slope")).as("slope"))
       .orderBy(col("event_type"))
   }

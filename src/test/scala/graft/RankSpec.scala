@@ -31,7 +31,7 @@ class RankSpec extends AnyFunSuite with SparkFixture {
   test("ntileExact equals ntile() over (partition by seg order by metric, id) — asc and desc") {
     val df = rows(400).toDF("seg", "m", "id")
     for (k <- Seq(1, 3, 4, 10); step <- Seq(1L, 17L, 1000000L); desc <- Seq(false, true)) {
-      val got = Rank.ntileExact(df, "seg", col("m"), col("id"), k, step, desc, "b")
+      val got = Rank.ntileExact(df, "seg", col("m"), col("id"), k, Rank.StepGrid(step), desc, "b")
       val w =
         if (desc) Window.partitionBy(col("seg")).orderBy(col("m").desc, col("id"))
         else Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))
@@ -44,7 +44,7 @@ class RankSpec extends AnyFunSuite with SparkFixture {
 
   test("ntileExact: n < k fills one row per bucket (rank order)") {
     val tiny = Seq(("a", 5L, 1L), ("a", 3L, 2L), ("b", 9L, 3L)).toDF("seg", "m", "id")
-    val got = Rank.ntileExact(tiny, "seg", col("m"), col("id"), 10, 4L, desc = false, "b")
+    val got = Rank.ntileExact(tiny, "seg", col("m"), col("id"), 10, Rank.StepGrid(4L), desc = false, "b")
       .select("seg", "id", "b").as[(String, Long, Int)].collect().toSet
     assert(got === Set(("a", 2L, 1), ("a", 1L, 2), ("b", 3L, 1)))
   }
@@ -52,7 +52,7 @@ class RankSpec extends AnyFunSuite with SparkFixture {
   test("rankExact equals row_number(); negative metrics rank correctly across chunk 0") {
     // negative metric: floor division must keep chunk order monotone
     val df = rows(300).map { case (s, m, id) => (s, m - 500, id) }.toDF("seg", "m", "id")
-    val got = Rank.rankExact(df, "seg", col("m"), col("id"), 13L, desc = false, "r")
+    val got = Rank.rankExact(df, "seg", col("m"), col("id"), Rank.StepGrid(13L), desc = false, "r")
     val w = Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))
     val want = df.withColumn("r", row_number().over(w).cast("long"))
     assert(got.select("seg", "m", "id", "r").exceptAll(want.select("seg", "m", "id", "r")).isEmpty &&
@@ -62,7 +62,7 @@ class RankSpec extends AnyFunSuite with SparkFixture {
   test("rankCumsum equals rank + running sum + per-seg totals (desc)") {
     val df = rows(250).toDF("seg", "m", "id").withColumn("v", col("m") * 3 + 1)
     val got = Rank.rankCumsum(df, "seg", col("m"), col("id"), col("v"),
-      50L, desc = true, "r", "cum", "n", "tot")
+      Rank.StepGrid(50L), desc = true, "r", "cum", "n", "tot")
     val w = Window.partitionBy(col("seg")).orderBy(col("m").desc, col("id"))
     val want = df
       .withColumn("r", row_number().over(w).cast("long"))
@@ -73,6 +73,41 @@ class RankSpec extends AnyFunSuite with SparkFixture {
     val cols = Seq("seg", "m", "id", "v", "r", "cum", "n", "tot").map(col)
     assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).isEmpty &&
            want.select(cols: _*).exceptAll(got.select(cols: _*)).isEmpty)
+  }
+
+  test("gridFor: shifted AND mass-clustered domains re-derive a usable grid (VERDICT r10 #3)") {
+    // the two shapes a hard-coded (or even min/max-derived) step misses:
+    // values in the BILLIONS (domain shift) clustered into two narrow
+    // humps (mass skew) — an equi-depth grid must still spread the rows
+    val wide = (0 until 4000).map { i =>
+      val m = if (i % 3 == 0) 5_000_000_000L + i else 9_000_000_000L - i * 7L
+      ("s" + (i % 5), m, i.toLong)
+    }.toDF("seg", "m", "id")
+    val grid = Rank.gridFor(wide, col("m"), targetChunks = 64)
+    val occupancy = wide.select(grid.chunkOf(col("m")).as("c"))
+      .groupBy("c").count().agg(max("count"), countDistinct("c")).head()
+    val (maxPerChunk, nChunks) = (occupancy.getLong(0), occupancy.getLong(1))
+    assert(nChunks > 10, s"grid collapsed: $nChunks chunks")
+    assert(maxPerChunk <= 4000 / 10, s"equi-depth violated: $maxPerChunk rows in one chunk")
+    val got = Rank.rankExact(wide, "seg", col("m"), col("id"), grid, desc = false, "r")
+    val w = Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))
+    val want = wide.withColumn("r", row_number().over(w).cast("long"))
+    assert(got.select("seg", "m", "id", "r").exceptAll(want.select("seg", "m", "id", "r")).isEmpty &&
+           want.select("seg", "m", "id", "r").exceptAll(got.select("seg", "m", "id", "r")).isEmpty)
+
+    // tiny-NDV domain: boundaries dedupe to the value set (the finest
+    // exact grid possible — ties must share a chunk) and ranks stay exact
+    val narrow = (0 until 100).map(i => ("s" + (i % 3), (i % 4).toLong, i.toLong))
+      .toDF("seg", "m", "id")
+    val ng = Rank.gridFor(narrow, col("m"))
+    val gotN = Rank.rankExact(narrow, "seg", col("m"), col("id"), ng, desc = false, "r")
+    val wantN = narrow.withColumn("r",
+      row_number().over(Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))).cast("long"))
+    assert(gotN.select("seg", "m", "id", "r").exceptAll(wantN.select("seg", "m", "id", "r")).isEmpty &&
+           wantN.select("seg", "m", "id", "r").exceptAll(gotN.select("seg", "m", "id", "r")).isEmpty)
+
+    // empty input: degenerate but legal grid (everything in chunk 0)
+    assert(Rank.gridFor(narrow.filter(col("m") < 0), col("m")) === Rank.BoundsGrid(Nil))
   }
 
   test("topK equals window top-k for any repartitioning of the input") {
