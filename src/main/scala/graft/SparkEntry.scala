@@ -164,6 +164,7 @@ object SparkEntry {
     "q_stream_join_exec" -> Streaming.streamJoinExec,
     "q_stream_dedup_exec" -> Streaming.streamDedupExec,
     "q_stream_sliding_exec" -> Streaming.streamSlidingExec,
+    "q_stream_asof_exec" -> Streaming.streamAsofExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_fwd" -> Streaming.asofForward,
     "q_join_asof_near" -> Streaming.asofNearest,
@@ -1879,6 +1880,16 @@ object SparkEntry {
     // session_window against the portable lag/cumsum ground truth, so the
     // two session forms are hash-proven equivalent through the gate
     "q_session_native" -> sessionOracle,
+
+    // custom-state streaming exec: flatMapGroupsWithState emits
+    // immediately (no closure holdback) and the single-file source is one
+    // AvailableNow batch, so the sink equals the batch as-of verbatim
+    "q_stream_asof_exec" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),
+        |     s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us FROM events WHERE event_type = 'signup')
+        |SELECT c.event_id, c.user_id, c.click_us, s.signup_us
+        |FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_join_asof" ->
       """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'),

@@ -275,6 +275,37 @@ object Streaming {
                 col("sess_end_us"), col("n_events")),
       Seq(col("user_id"), col("sess_start_us")))
 
+  /** q_stream_asof_exec: ARBITRARY-STATEFUL streaming under the hash
+    * gate — the sixth and last real-exec pillar (VERDICT r10 #1): where
+    * the other five gate ENGINE-OWNED state (window/session/join/dedup),
+    * this one executes USER-OWNED state — the `asofStream`
+    * flatMapGroupsWithState enrichment (one GroupState[Long] per user
+    * holding the last signup μs, EventTimeTimeout timers registered per
+    * batch) on RocksDB through the shared harness, sink re-read and
+    * declared. This is the custom-state path a production enrichment
+    * job writes first; until now the oracle only ever saw its batch
+    * twin.
+    *
+    * Oracle: the q_join_asof ASOF-JOIN SQL VERBATIM. Why no closure
+    * predicate: flatMapGroupsWithState emits rows the moment its batch
+    * processes them (no watermark-closure holdback like windowed aggs),
+    * and the file source delivers the single events file as ONE
+    * micro-batch under AvailableNow, where asofStream's in-batch
+    * event-time sort gives exactly the batch as-of matching — so the
+    * full sink equals the batch twin row-for-row. Cross-batch state
+    * carry (click in batch N matching a signup stored in batch N−1) is
+    * the same code path and is equivalence-proven in StreamingSpec where
+    * batch boundaries are controlled; a multi-batch split of ONE
+    * unsorted file would instead make results depend on which rows the
+    * source happened to deliver first — not a determinism the gate
+    * could hash.
+    */
+  def streamAsofExec(spark: SparkSession, dir: String): DataFrame =
+    runStreamOnceRaw(spark, dir, "graft_stream_asof", "streamAsofExec", () =>
+      asofStream(eventsStream(spark, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))))
+      .orderBy(col("event_id"))
+
   /** Streaming twin of `session` — native session_window (same gap
     * semantics as the batch sessionization above).
     */
