@@ -134,6 +134,7 @@ object SparkEntry {
     "q_ivf_search" -> Ivf.ivfSearchQuery,
     "q_ivf_probe" -> Ivf.ivfProbeQuery,
     "q_pq_adc" -> Pq.pqAdcQuery,
+    "q_tdigest_exact" -> Quantile.tdigestExactQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_dataset_card" -> Pipeline.datasetCardQuery,
     "q_train_test_split" -> Pipeline.trainTestSplitQuery,
@@ -3468,6 +3469,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
         |  FROM cand) z
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    // t-digest exact regime: δ past the all-singleton threshold makes the
+    // digest's q=0/0.5/1 equal min/percentile_cont(0.5)/max exactly
+    "q_tdigest_exact" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(min(length(text)) AS DOUBLE) AS len_min,
+        |  median(length(text)) AS len_med,
+        |  CAST(max(length(text)) AS DOUBLE) AS len_max
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pq_adc" ->
       // lossless-regime ADC == exact squared L2 (inner-product expansion);

@@ -19,13 +19,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * ∝ q(1−q), so tails stay near-exact (weight-1 centroids) while the
   * middle compresses. Size is O(δ) regardless of input count.
   *
-  * Accuracy contract (tolerance-tested in QuantileSpec, not
-  * oracle-declared — approximate operators cannot hash-match): rank
-  * error ≤ ~1%·n at δ=100 on every tested distribution, exact at the
-  * extremes (q=0/1 return true min/max, tracked explicitly).
+  * Accuracy contract (tolerance-tested in QuantileSpec — approximate
+  * regimes cannot hash-match): rank error ≤ ~1%·n at δ=100 on every
+  * tested distribution, exact at the extremes (q=0/1 return true
+  * min/max, tracked explicitly).
   *
-  * NOT declared under the DuckDB gate by the §2.1 determinism rules —
-  * the same rule that keeps approx_count_distinct API-only.
+  * The APPROXIMATE regime stays outside the DuckDB gate by the §2.1
+  * determinism rules (the approx_count_distinct ruling); the EXACT
+  * regime (δ past the all-singleton threshold — see tdigestExactQuery)
+  * IS gated as `q_tdigest_exact`, the same deterministic-regime pattern
+  * that gates PQ via q_pq_adc and IVF via q_ivf_probe.
   */
 object Quantile {
 
@@ -169,4 +172,50 @@ object Quantile {
     */
   def tdigestColumn(valueCol: Column, delta: Int = 100): Column =
     org.apache.spark.sql.functions.udaf(new TDigest(delta)).apply(valueCol)
+
+  /** q_tdigest_exact: the t-digest's EXACT REGIME under the oracle gate
+    * (VERDICT r10 #4 — the q_pq_adc/q_ivf_probe "deterministic regime"
+    * pattern, completing §J): per-language min/median/max document
+    * length computed BY THE DIGEST — the same Aggregator, reduce/merge
+    * tree, and interpolation code the approximate regime runs — with δ
+    * probed past the all-singleton threshold, hash-compared to DuckDB's
+    * min/median/max.
+    *
+    * Why this is provably exact, not just empirically close: the k1
+    * merge rule absorbs a neighbor only while k(q_after) − k(q_start) ≤
+    * 1, and k's slope is ≥ 2·δ/2π everywhere, so two weight-1 points
+    * always gain > (2/n)·(δ/π) k-units — strictly > 1 whenever
+    * δ > πn/2. Past that threshold EVERY point stays its own centroid:
+    * means are raw values (no blending), the weight sum is an exact
+    * integer-valued double, midpoints are exact halves, and the q=0.5
+    * midpoint interpolation lands on the middle order statistic (odd n)
+    * or the exact average of the two middles (even n) — precisely
+    * percentile_cont(0.5)'s answer, in identical IEEE arithmetic. q=0/1
+    * return the tracked true min/max. The probs grid's other entries
+    * use a different rank convention than percentile_cont and are NOT
+    * declared (tolerance-tested in QuantileSpec like every approximate
+    * regime).
+    *
+    * δ comes from a 1-row probe of the largest group (the Rank.gridFor
+    * idiom — no hard-coded domain constant). The exact regime holds all
+    * points by design — the bounded-ground-truth convention of the
+    * q_dedup_* twins; production keeps δ≈100 where the digest is O(δ)
+    * and ~1%-rank-accurate.
+    */
+  def tdigestExactQuery(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Sources.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("double").as("len"))
+    val nMax = docs.groupBy(col("lang")).count().agg(max("count")).head().getLong(0)
+    val delta = (math.Pi / 2.0 * nMax.toDouble).toInt + 2
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           tdigestColumn(col("len"), delta).as("qs"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("qs"), 1).as("len_min"),
+        element_at(col("qs"), 4).as("len_med"),
+        element_at(col("qs"), 7).as("len_max"))
+      .orderBy(col("lang"))
+  }
 }

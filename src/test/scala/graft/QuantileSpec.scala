@@ -121,4 +121,26 @@ class QuantileSpec extends AnyFunSuite with SparkFixture {
     }
     assert(qs.head === 1.0 && qs.last === 10400.0)
   }
+
+  test("exact regime (delta > pi*n/2): all singletons; median == percentile_cont exactly") {
+    // adversarial mass: heavy duplicates + clustered values — the shapes
+    // that blend centroids in the approximate regime
+    for (n <- Seq(7, 8, 101, 200)) {
+      val xs = (0 until n).map(i => if (i % 3 == 0) 42.0 else (i * 37 % 23) * 1000.0 + i)
+      val delta = (math.Pi / 2.0 * n).toInt + 2
+      val agg = Quantile.tdigest(delta)
+      var b = agg.zero
+      xs.foreach(x => b = agg.reduce(b, x))
+      // force the final compress the aggregation path runs via finish
+      val med = agg.finish(b)(3) // probs index of q=0.5
+      val sorted = xs.sorted
+      val want =
+        if (n % 2 == 1) sorted(n / 2)
+        else sorted(n / 2 - 1) + 0.5 * (sorted(n / 2) - sorted(n / 2 - 1))
+      assert(med === want, s"n=$n")
+      // the regime really is all-singleton: compress kept every point
+      val compressed = agg.merge(b, agg.zero) // merge() compresses
+      assert(compressed.means.length === n, s"n=$n centroids=${compressed.means.length}")
+    }
+  }
 }
