@@ -29,9 +29,13 @@ object Bench {
     // publishing only the steady-state number would misread as "a
     // streaming job costs 0.2 s" (VERDICT r10 "wrong" #2). first_run_s
     // below carries the honest one-off cost for exactly those keys.
+    val failed = scala.collection.mutable.SortedSet[String]()
     val firstRun: Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED (first run): ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // keys whose first call executes the real job (session-conf marker
@@ -39,12 +43,11 @@ object Bench {
     val runOnce = Set(
       "q_stream_exec", "q_stream_session_exec", "q_stream_join_exec",
       "q_stream_dedup_exec", "q_stream_sliding_exec", "q_stream_asof_exec",
-      "q_incremental_view")
+      "q_stream_cdc_exec", "q_incremental_view")
     // two timed passes, min per query: local-machine contention adds
     // ±15-20% noise to any single pass; the min is the steady-state cost.
     // A failing query must NOT pass off its elapsed-to-failure time as a
     // benchmark result — failures are tracked and published in the JSON.
-    val failed = scala.collection.mutable.SortedSet[String]()
     def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case e: Throwable =>
@@ -53,8 +56,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // SPARK_GRAFT_PROBE=1: publish the first (cold) pass as the result and
+    // skip the two steady-state passes — for SCALE PROBES (sf10 dedup
+    // ratios) where the work per pass is tens of minutes and the quantity
+    // of interest is the cold ratio, not the warm floor. Never set by the
+    // driver; probe artifacts are labeled by their sf dir.
+    val probe = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+    val results =
+      if (probe) firstRun
+      else {
+        val (p1, p2) = (timedPass(), timedPass())
+        p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+      }
     // 3-decimal (ms) precision: sub-ms digits are pure noise on a shared
     // box, and the shorter line survives the driver's bounded tail capture
     // (round 4 lost 20 of 86 per-query entries to truncation)
@@ -81,7 +94,7 @@ object Bench {
     // Paths.getFileName handles trailing slashes ("/x/sf1/" -> "sf1");
     // the raw-regex form wrote an empty tag (BENCH_FULL_.json) in that case
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
-    if (only.isEmpty) // full-suite runs only; subset runs must not masquerade
+    if (only.isEmpty && !probe) // full-suite steady-state runs only; subset/probe runs must not masquerade
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"BENCH_FULL_$sfTag.json"),
         (line + "\n").getBytes("UTF-8"))

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_pagerank" -> Graph.pageRankQuery,
     "q_degree_dist" -> Graph.degreeDistQuery,
     "q_jaccard_neighbors" -> Graph.jaccardNeighborsQuery,
+    "q_graph_assortativity" -> Graph.assortativityQuery,
     "q_communities" -> Graph.communitiesQuery,
     "q_user_paths" -> Analytics.userPaths,
     "q_sql_macro" -> Functions.sqlMacroQuery,
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_kmeans" -> Similarity.kmeansQuery,
     "q_ivf_search" -> Ivf.ivfSearchQuery,
     "q_ivf_probe" -> Ivf.ivfProbeQuery,
+    "q_ann_recall" -> Ivf.annRecallQuery,
     "q_pq_adc" -> Pq.pqAdcQuery,
     "q_tdigest_exact" -> Quantile.tdigestExactQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
@@ -166,6 +168,7 @@ object SparkEntry {
     "q_stream_dedup_exec" -> Streaming.streamDedupExec,
     "q_stream_sliding_exec" -> Streaming.streamSlidingExec,
     "q_stream_asof_exec" -> Streaming.streamAsofExec,
+    "q_stream_cdc_exec" -> Streaming.streamCdcExec,
     "q_join_asof" -> Streaming.asofClickSignup,
     "q_join_asof_fwd" -> Streaming.asofForward,
     "q_join_asof_near" -> Streaming.asofNearest,
@@ -216,6 +219,7 @@ object SparkEntry {
     // §2 I statistical tests / association mining (round 8)
     "q_ks_test" -> Stats.ksTest,
     "q_ttest" -> Stats.ttest,
+    "q_anova" -> Stats.anova,
     "q_market_basket" -> Stats.marketBasket,
     "q_zipf_slope" -> Stats.zipfSlope,
     "q_url_canonicalize" -> Text.urlCanonicalizeQuery,
@@ -228,6 +232,7 @@ object SparkEntry {
     "q_seasonal_index" -> Timeseries.seasonalIndex,
     "q_bollinger" -> Timeseries.bollinger,
     "q_wma" -> Timeseries.wma,
+    "q_rsi" -> Timeseries.rsi,
     "q_theil_sen" -> Timeseries.theilSen,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
@@ -637,6 +642,33 @@ object SparkEntry {
         |        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY 1)
         |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(n) AS BIGINT) AS sum_id
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same edge CTE as q_degree_dist; exact integer moments over edges,
+    // zero-variance guard as an exact integer test, ONE IEEE tree round-6
+    "q_graph_assortativity" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM ls a JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY 1),
+        |j AS (SELECT du.d AS du, dv.d AS dv
+        |      FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |m AS (SELECT COUNT(*) AS n_edges,
+        |             CAST(SUM(du * dv) AS BIGINT) AS s_jk,
+        |             CAST(SUM(du + dv) AS BIGINT) AS s_sum,
+        |             CAST(SUM(du * du + dv * dv) AS BIGINT) AS s_sq
+        |      FROM j)
+        |SELECT n_edges, s_jk, s_sum, s_sq,
+        |  CASE WHEN s_sq * n_edges * 2 <> s_sum * s_sum THEN
+        |    round((CAST(s_jk AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        |            - (CAST(s_sum AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 2.0))
+        |              * (CAST(s_sum AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 2.0)))
+        |          / (CAST(s_sq AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 2.0)
+        |            - (CAST(s_sum AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 2.0))
+        |              * (CAST(s_sum AS DOUBLE) / (CAST(n_edges AS DOUBLE) * 2.0))), 6)
+        |  END AS r
+        |FROM m WHERE n_edges > 0""".stripMargin,
 
     "q_jaccard_neighbors" ->
       // same edge CTE as q_degree_dist; wedge self-join on the symmetric
@@ -1882,6 +1914,21 @@ object SparkEntry {
     // two session forms are hash-proven equivalent through the gate
     "q_session_native" -> sessionOracle,
 
+    // CDC apply exec: three ordered change batches (seq 1..3) upserted by
+    // the foreachBatch loop == argmax-by-seq over the unioned change sets
+    "q_stream_cdc_exec" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (
+        |  SELECT k, pri, cents, CAST(1 AS BIGINT) AS seq FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT k, pri, cents + 100, 2 FROM o WHERE k % 2 = 0
+        |  UNION ALL SELECT k, pri, cents * 2, 3 FROM o WHERE k % 5 = 0)
+        |SELECT k, pri, cents, seq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM c) z
+        |WHERE rn = 1 ORDER BY k""".stripMargin,
+
     // custom-state streaming exec: flatMapGroupsWithState emits
     // immediately (no closure holdback) and the single-file source is one
     // AvailableNow batch, so the sink equals the batch as-of verbatim
@@ -2594,6 +2641,32 @@ object SparkEntry {
         |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d
         |FROM cum, tot GROUP BY n1, n2""".stripMargin,
 
+    // one-way ANOVA: exact per-segment integer-cents moments -> SSB/SSW
+    // in one shared double tree; cross-group double sums round-6-absorbed
+    "q_anova" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer),
+        |g AS (
+        |  SELECT seg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |         CAST(SUM(v * v) AS BIGINT) AS q
+        |  FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |         CAST(SUM(s) AS BIGINT) AS ss,
+        |         CAST(SUM(q) AS DOUBLE) AS qq,
+        |         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS tt
+        |  FROM g)
+        |SELECT k, n_total,
+        |  round(((tt - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |          / CAST(k - 1 AS DOUBLE))
+        |        / ((qq - tt) / CAST(n_total - k AS DOUBLE)), 6) AS f,
+        |  round((tt - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |        / ((tt - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |           + (qq - tt)), 6) AS eta_sq
+        |FROM m WHERE k > 1 AND n_total > k""".stripMargin,
+
     "q_ttest" ->
       // Welch's t: exact conditional moments (decimal sums) -> ONE
       // shared double tree for t and the Welch-Satterthwaite df
@@ -2817,6 +2890,31 @@ object SparkEntry {
         |SELECT event_type, CAST(m AS BIGINT) AS n_pairs, round(slope, 6) AS slope
         |FROM r WHERE rn = (m + 1) // 2
         |ORDER BY event_type""".stripMargin,
+
+    // Cutler's RSI: integer day-over-day deltas, exact 14-window BIGINT
+    // gain/loss sums, ONE IEEE division; full-window + nonflat rows only
+    "q_rsi" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |    cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY epoch_day) AS delta
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |    COUNT(delta) OVER w14 AS n14,
+        |    CAST(SUM(greatest(delta, 0)) OVER w14 AS BIGINT) AS sg,
+        |    CAST(SUM(greatest(-delta, 0)) OVER w14 AS BIGINT) AS sl
+        |  FROM d
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY epoch_day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, epoch_day, cnt, sg AS sum_gain, sl AS sum_loss,
+        |  round(CAST(sg AS DOUBLE) * 100.0 / CAST(sg + sl AS DOUBLE), 6) AS rsi14
+        |FROM r WHERE n14 = 14 AND sg + sl > 0
+        |ORDER BY event_type, epoch_day""".stripMargin,
 
     "q_wma" ->
       // weighted sum exact in BIGINT (weights 7..1, newest heaviest);
@@ -3469,6 +3567,47 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
         |  FROM cand) z
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    // recall@5 of the pruned IVF regime vs brute force: both sets are
+    // deterministic (q_ivf_probe config + round-6 exact top-5), so the
+    // per-probe intersection size is a hashable number, not a tolerance
+    "q_ann_recall" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cent
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+        |      FROM embeddings WHERE vec_id >= 8 AND vec_id < 18),
+        |corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id >= 18),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |          SELECT co.vec_id, co.v, c.cell,
+        |            row_number() OVER (PARTITION BY co.vec_id
+        |              ORDER BY round(list_cosine_similarity(co.v, c.cent), 6) DESC,
+        |                       c.cell) AS rn
+        |          FROM corpus co CROSS JOIN c) z WHERE rn = 1),
+        |pc AS (SELECT probe_id, pvec, cell FROM (
+        |          SELECT p.probe_id, p.pvec, c.cell,
+        |            row_number() OVER (PARTITION BY p.probe_id
+        |              ORDER BY round(list_cosine_similarity(p.pvec, c.cent), 6) DESC,
+        |                       c.cell) AS rn
+        |          FROM p CROSS JOIN c) z WHERE rn <= 2),
+        |pruned AS (SELECT probe_id, vec_id FROM (
+        |          SELECT pc.probe_id, a.vec_id,
+        |            row_number() OVER (PARTITION BY pc.probe_id
+        |              ORDER BY round(list_cosine_similarity(a.v, pc.pvec), 6) DESC,
+        |                       a.vec_id) AS rn
+        |          FROM pc JOIN asg a USING (cell)) z WHERE rn <= 5),
+        |ex AS (SELECT probe_id, vec_id FROM (
+        |          SELECT p.probe_id, co.vec_id,
+        |            row_number() OVER (PARTITION BY p.probe_id
+        |              ORDER BY round(list_cosine_similarity(co.v, p.pvec), 6) DESC,
+        |                       co.vec_id) AS rn
+        |          FROM p CROSS JOIN corpus co) z WHERE rn <= 5),
+        |h AS (SELECT ex.probe_id, COUNT(*) AS n_hits
+        |      FROM ex JOIN pruned USING (probe_id, vec_id) GROUP BY 1)
+        |SELECT p.probe_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM p LEFT JOIN h ON p.probe_id = h.probe_id
+        |ORDER BY p.probe_id""".stripMargin,
 
     // t-digest exact regime: δ past the all-singleton threshold makes the
     // digest's q=0/0.5/1 equal min/percentile_cont(0.5)/max exactly

@@ -315,6 +315,47 @@ object Graph {
       .orderBy(col("deg"))
   }
 
+  /** q_graph_assortativity: Newman's degree-assortativity coefficient of
+    * the co-order supplier graph — "do hubs link to hubs" (r > 0,
+    * social-network shape) or "hubs to leaves" (r < 0, infrastructure
+    * shape): the one-number mixing summary next to q_degree_dist's full
+    * spectrum. r is the Pearson correlation of endpoint degrees over
+    * edges; every moment (M, Σ jk, Σ(j+k), Σ(j²+k²)) is an EXACT BIGINT
+    * — one edge-grain aggregate after two degree-lookup joins — so the
+    * declared sums pin membership and the single IEEE tree (round-6)
+    * finalizes r identically in both engines. Zero variance (all degrees
+    * equal — the ENTIRE sf0.001 graph is 9-regular, so this is a live
+    * case, not a corner) yields r = NULL via the exact integer test
+    * 2M·Σ(j²+k²) = (Σ(j+k))² — the moments row itself is always emitted,
+    * so the gate proves membership at every SF and there is no float
+    * boundary to flip. Scale: degrees are node-grain (tiny
+    * next to edges), the two lookups are hash joins AQE can broadcast;
+    * nothing downstream of the edge aggregate is data-sized. Moment
+    * magnitudes: Σ(j²+k²)·2M and (Σ(j+k))² need |E|·deg²·2|E| < 2⁶³ —
+    * holds through every declared SF with >10³ headroom; beyond that the
+    * guard moves to DECIMAL(38,0), r itself is unchanged.
+    */
+  def assortativityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir)
+      .localCheckpoint() // consumed by the degree census + the edge join
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val j = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val m = j.agg(count(lit(1)).as("n_edges"),
+      sum(col("du") * col("dv")).as("s_jk"),
+      sum(col("du") + col("dv")).as("s_sum"),
+      sum(col("du") * col("du") + col("dv") * col("dv")).as("s_sq"))
+    val mD = col("n_edges").cast("double")
+    val mu = col("s_sum").cast("double") / (mD * 2.0)
+    m.filter(col("n_edges") > 0)
+      .select(col("n_edges"), col("s_jk"), col("s_sum"), col("s_sq"),
+        when(col("s_sq") * col("n_edges") * 2 =!= col("s_sum") * col("s_sum"),
+          r6((col("s_jk").cast("double") / mD - mu * mu) /
+             (col("s_sq").cast("double") / (mD * 2.0) - mu * mu))).as("r"))
+  }
+
   /** q_jaccard_neighbors: neighborhood Jaccard per co-order edge —
     * |N(u)∩N(v)| / |N(u)∪N(v)|, the link-prediction / graph-sparsification
     * score ("how embedded is this tie"): edges whose endpoints share most

@@ -180,6 +180,47 @@ object Ivf {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** q_ann_recall: recall@5 of the PRUNED IVF search against exact
+    * brute-force — the eval every ANN deployment runs before trusting an
+    * index ("how much does nprobe=2 actually lose?"), here itself under
+    * the hash gate: both the pruned set (q_ivf_probe's exact
+    * configuration — fixed cells, round-6 ranking) and the exact top-5
+    * (brute-force round-6 cosine, vec_id tiebreak) are deterministic
+    * sets, so their per-probe intersection size — and therefore the
+    * recall fraction n_hits/5 — is a deterministic number both engines
+    * must agree on, not a tolerance band. Probes whose true neighbours
+    * all survive pruning score 1.0; cells that swallowed a true
+    * neighbour show up as the exact deficit.
+    *
+    * Scale: brute force is the corpus × 10-probe broadcast map (the
+    * q_sim_cosine_topk shape — the ground-truth side is always bounded
+    * to a small probe panel, never all-pairs); the pruned side reuses
+    * the ivfProbeQuery plan; the final semi-join keys on
+    * (probe_id, vec_id) over two ≤ 5·|probes|-row frames.
+    */
+  def annRecallQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.io.Sources.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val corpus = e.filter(col("vec_id") >= 18)
+    val wT = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+              r6(Similarity.cosineNative(col("embedding"), col("probe_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    val pruned = ivfProbeQuery(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(pruned, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    probes.select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall_at_5"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Materialize the index PARTITIONED BY CELL — the on-disk form the
     * 100 TB path requires: each cell is a directory, so a search with
     * nprobe cells opens exactly those directories and no others

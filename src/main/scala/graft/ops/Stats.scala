@@ -85,6 +85,42 @@ object Stats {
            (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1))).as("df"))
   }
 
+  /** q_anova: one-way ANOVA F-test of account balance across ALL market
+    * segments — the >2-arm generalization of q_ttest ("did ANY arm
+    * move"), the omnibus test an experimentation platform runs before
+    * pairwise drill-down. Per-segment moments (n, Σx, Σx²) are EXACT
+    * BIGINTs over integer cents in one aggregate; the 5-row segment
+    * census then collapses to SSB/SSW. Each per-group term S_i²/n_i is
+    * one deterministic IEEE expression of exactly-representable integers
+    * (S_i < 2⁵³); the cross-group sums of those doubles can drift by
+    * ulps with summation order — absorbed by round-6, the q_entropy
+    * argument. Output: k, N, F, and eta² (variance explained).
+    * Scale: one segment-grain aggregate (map-side partial), then a
+    * k-row frame — nothing downstream of the scan is data-sized.
+    */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val g = Sources.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("v"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+           sum(col("v") * col("v")).as("q"))
+    val t = col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
+    val m = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s")).as("ss"), sum(col("q")).cast("double").as("qq"),
+      sum(t).as("tt"))
+    val ssb = col("tt") -
+      col("ss").cast("double") * col("ss").cast("double") / col("nn").cast("double")
+    val ssw = col("qq") - col("tt")
+    val sst = ssb + ssw
+    m.filter(col("k") > 1 && col("nn") > col("k"))
+      .select(col("k"), col("nn").as("n_total"),
+        r6((ssb / (col("k") - 1).cast("double")) /
+           (ssw / (col("nn") - col("k")).cast("double"))).as("f"),
+        r6(ssb / sst).as("eta_sq"))
+  }
+
   /** q_market_basket: association mining over order baskets — for every
     * pair of parts co-ordered at least twice, support count and LIFT
     * (how much more often they co-occur than independence predicts): the

@@ -306,6 +306,69 @@ object Streaming {
         .withColumn("ts", col("ts").cast("timestamp"))))
       .orderBy(col("event_id"))
 
+  /** q_stream_cdc_exec: CONTINUOUS CDC APPLY under the hash gate — the
+    * seventh real-exec pillar, and the one that moves `applyCdcStream`
+    * (foreachBatch upsert → atomic table swap) from API-only into the
+    * oracle's sight: a three-file change stream (initial load, price
+    * corrections, repricing — built deterministically from orders) is
+    * consumed with maxFilesPerTrigger=1, so the foreachBatch callback
+    * runs three real micro-batch MERGE-and-swap cycles against the
+    * growing table; the FINAL table state is declared and hash-compared.
+    *
+    * Determinism has two belts: file mtimes are pinned (the file source
+    * orders batches by modification time, and the cross-batch upsert
+    * chain is order-sensitive for overlapping keys), AND the seq column
+    * increases across files, so even if the source coalesced files into
+    * one batch, within-batch last-writer-wins by seq desc picks the
+    * identical winner. Oracle: argmax-by-seq over the same three change
+    * sets in SQL. Scale: each micro-batch merge is the Merge.upsert
+    * dataflow (hash join on the key, never a full re-sort); the
+    * atomic-swap sink is the directory form — applyCdcStreamCatalog is
+    * the transactional-table form of the same loop.
+    */
+  def streamCdcExec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.cents
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = sys.props("java.io.tmpdir") + s"/graft_stream_cdc_$tag"
+    val marker = s"graft.streamCdcExec.done.$tag"
+    val table = s"$base/table"
+    if (!spark.conf.getOption(marker).contains("true")) {
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val o = Sources.orders(spark, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).as("cents"))
+      val changes = Seq(
+        1L -> o.filter(col("k") % 3 === 0),
+        2L -> o.filter(col("k") % 2 === 0).withColumn("cents", col("cents") + 100L),
+        3L -> o.filter(col("k") % 5 === 0).withColumn("cents", col("cents") * 2L)
+      ).map { case (s, df) => s -> df.withColumn("seq", lit(s)) }
+      val stageDir = new org.apache.hadoop.fs.Path(s"$base/stage")
+      fs.mkdirs(stageDir)
+      changes.foreach { case (s, df) =>
+        val tmp = s"$base/tmp$s"
+        df.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
+        val dst = new org.apache.hadoop.fs.Path(stageDir, f"c$s%02d.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, s * 60000L, -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val stage = spark.readStream.schema(changes.head._2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir.toString)
+      val q = applyCdcStream(stage, table, Seq("k"), "seq", s"$base/ckpt")
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.conf.set(marker, "true")
+    }
+    spark.read.parquet(table)
+      .select(col("k"), col("pri"), col("cents"), col("seq"))
+      .orderBy(col("k"))
+  }
+
   /** Streaming twin of `session` — native session_window (same gap
     * semantics as the batch sessionization above).
     */

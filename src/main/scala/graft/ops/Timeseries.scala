@@ -384,6 +384,43 @@ object Timeseries {
       .orderBy(col("event_type"), col("epoch_day"))
   }
 
+  /** q_rsi: 14-observation Relative Strength Index (Cutler's SMA form)
+    * of each event_type's daily volume — the over-extension oscillator
+    * ("is this series overbought/oversold after a run"): RSI > 70 flags
+    * unsustainable growth spurts, < 30 collapse, on any metric series.
+    * Cutler's form is chosen over Wilder's DELIBERATELY: Wilder smooths
+    * recursively (every value depends on the seed — a cross-engine
+    * portability trap), while Cutler's simple moving averages make RSI
+    * window-local and EXACT: gains/losses are integer day-over-day
+    * deltas, the 14-observation sums ΣG, ΣL are exact BIGINTs, and
+    * RSI = 100·ΣG/(ΣG+ΣL) is ONE IEEE division of exact integers,
+    * round-6 (ΣG+ΣL = 0 rows — a 14-day flat line — are refused, the
+    * boundary an exact integer test). Emitted only where the full
+    * 14-delta history exists (the q_wma honest-contract rule). One
+    * (event_type) shuffle over the calendar-bounded daily census.
+    */
+  def rsi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+    val w14 = w.rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(w))
+      .withColumn("full14", count(col("delta")).over(w14) === 14)
+      .withColumn("sg", sum(greatest(col("delta"), lit(0L))).over(w14))
+      .withColumn("sl", sum(greatest(-col("delta"), lit(0L))).over(w14))
+      .filter(col("full14") && col("sg") + col("sl") > 0)
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+              col("sg").as("sum_gain"), col("sl").as("sum_loss"),
+              r6(col("sg").cast("double") * 100.0 /
+                 (col("sg") + col("sl")).cast("double")).as("rsi14"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
   /** q_bollinger: 7-day trailing mean ± 2σ volatility bands over each
     * event_type's daily volume, with an EXACT-INTEGER breach test — the
     * alerting primitive q_outlier_zscore's global form can't give ("is

@@ -24,6 +24,7 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_fuzzy_match",     // master table × broadcast(8-row probe list)
     "q_cluster_assign",  // corpus × broadcast(k-row centroid frame)
     "q_ivf_probe",       // corpus/probes × broadcast(8-row fixed centroid frame)
+    "q_ann_recall",      // q_ivf_probe's crosses + corpus × broadcast(10-row probes)
     "q_kmeans",          // corpus × broadcast(k-row centroids), both rounds
     "q_triangle_count",  // final 1-row (nodes × edges × triangles) profile join
     "q_token_pmi",       // count table × broadcast(1-row N and M totals)

@@ -842,4 +842,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"late-beyond-watermark rows must not produce matches: $got")
   }
 
+  test("streamCdcExec: one micro-batch per change file; final state is the argmax-by-seq") {
+    import graft.Det.cents
+    val got = Streaming.streamCdcExec(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin of the oracle: union the three change sets, keep max seq
+    val o = graft.io.Sources.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+      cents(col("o_totalprice")).as("cents"))
+    val c = o.filter(col("k") % 3 === 0).withColumn("seq", lit(1L))
+      .unionByName(o.filter(col("k") % 2 === 0)
+        .withColumn("cents", col("cents") + 100L).withColumn("seq", lit(2L)))
+      .unionByName(o.filter(col("k") % 5 === 0)
+        .withColumn("cents", col("cents") * 2L).withColumn("seq", lit(3L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").desc)
+    val want = c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("k"), col("pri"), col("cents"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.exists(_._4 == 3L) && got.exists(_._4 == 1L))
+    // the checkpoint proves the multi-batch path ran: >= 3 offset commits
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val off = new java.io.File(
+      sys.props("java.io.tmpdir") + s"/graft_stream_cdc_$tag/ckpt/offsets")
+    assert(off.isDirectory &&
+      off.list().count(f => !f.startsWith(".")) >= 3,
+      s"expected >= 3 micro-batch offsets in $off")
+  }
+
 }
