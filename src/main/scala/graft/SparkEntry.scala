@@ -93,6 +93,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> Text.tfidfTopTerms,
     "q_bpe_pairs" -> Text.bpePairsQuery,
     "q_vocab_growth" -> Text.vocabGrowthQuery,
+    "q_keywords_rake" -> Text.keywordsRakeQuery,
     "q_bm25" -> Text.bm25Query,
     "q_sim_cosine_topk" -> Similarity.cosineTopK,
     "q_knn_majority" -> Similarity.knnMajority,
@@ -114,6 +115,8 @@ object SparkEntry {
     "q_graph_assortativity" -> Graph.assortativityQuery,
     "q_communities" -> Graph.communitiesQuery,
     "q_user_paths" -> Analytics.userPaths,
+    "q_event_regex" -> Analytics.eventRegex,
+    "q_time_to_convert" -> Analytics.timeToConvert,
     "q_sql_macro" -> Functions.sqlMacroQuery,
     "q_triangle_count" -> Graph.triangleCountQuery,
     "q_bfs_hops" -> Graph.bfsHopsQuery,
@@ -141,6 +144,7 @@ object SparkEntry {
     "q_dataset_card" -> Pipeline.datasetCardQuery,
     "q_train_test_split" -> Pipeline.trainTestSplitQuery,
     "q_quality_funnel" -> Pipeline.qualityFunnelQuery,
+    "q_score_deciles" -> Pipeline.scoreDecilesQuery,
     "q_pack_tokens" -> Pipeline.packTokensQuery,
     "q_decontaminate" -> Pipeline.decontaminateQuery,
     "q_mixture_weights" -> Pipeline.mixtureWeightsQuery,
@@ -220,6 +224,8 @@ object SparkEntry {
     "q_ks_test" -> Stats.ksTest,
     "q_ttest" -> Stats.ttest,
     "q_anova" -> Stats.anova,
+    "q_kruskal_wallis" -> Stats.kruskalWallis,
+    "q_hhi" -> Stats.hhi,
     "q_market_basket" -> Stats.marketBasket,
     "q_zipf_slope" -> Stats.zipfSlope,
     "q_url_canonicalize" -> Text.urlCanonicalizeQuery,
@@ -234,6 +240,11 @@ object SparkEntry {
     "q_wma" -> Timeseries.wma,
     "q_rsi" -> Timeseries.rsi,
     "q_theil_sen" -> Timeseries.theilSen,
+    "q_mann_kendall" -> Timeseries.mannKendall,
+    "q_rolling_corr" -> Timeseries.rollingCorr,
+    "q_peak_concurrency" -> Timeseries.peakConcurrency,
+    "q_decompose_daily" -> Timeseries.decomposeDaily,
+    "q_rate_shift" -> Stats.rateShift,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
@@ -267,6 +278,8 @@ object SparkEntry {
     "q_union_distinct" -> Windows.unionDistinct,
     "q_intersect" -> Windows.intersectKeys,
     "q_except" -> Windows.exceptKeys,
+    "q_except_all" -> Windows.exceptAllKeys,
+    "q_intersect_all" -> Windows.intersectAllKeys,
   )
 
   /** Render a Scala word list as a DuckDB list literal — keeps the oracle
@@ -333,6 +346,48 @@ object SparkEntry {
   private def qualityOracle: String =
     s"""WITH $qualityCtes
        |SELECT doc_id, quality FROM qscore ORDER BY doc_id""".stripMargin
+
+  /** The RAKE stopword alternation — the SAME Scala value feeds the Spark
+    * regex and this oracle, so the two can never drift. */
+  private def rakeStops: String = graft.ops.Text.stopwords("en").mkString("|")
+
+  /** q_score_deciles oracle: NTILE(10) over the shared quality CTE —
+    * DuckDB's ntile fill rule equals Rank.ntileExact's (the Spark rule). */
+  private def scoreDecilesOracle: String =
+    s"""WITH $qualityCtes,
+       |d AS (SELECT doc_id, quality,
+       |        CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+       |      FROM qscore)
+       |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       |  MIN(quality) AS q_min, MAX(quality) AS q_max,
+       |  round(SUM(quality) / CAST(COUNT(*) AS DOUBLE), 6) AS q_mean
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_keywords_rake oracle: identical string algebra (lower → collapse →
+    * double spaces → mark stopwords → split '|'), exact deg/freq, one
+    * IEEE division round-6, row_number top-25. */
+  private def keywordsRakeOracle: String =
+    s"""WITH ph AS (
+       |  SELECT unnest(string_split(
+       |    regexp_replace(
+       |      regexp_replace(' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')
+       |                     || ' ', ' ', '  ', 'g'),
+       |      ' ($rakeStops) ', ' | ', 'g'),
+       |    '|')) AS phrase
+       |  FROM documents),
+       |w AS (SELECT list_filter(string_split_regex(phrase, ' +'),
+       |                         x -> len(x) > 0) AS lw
+       |      FROM ph),
+       |occ AS (SELECT unnest(lw) AS w, CAST(len(lw) AS BIGINT) AS plen
+       |        FROM w WHERE len(lw) > 0),
+       |sc AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg,
+       |         round(CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS score
+       |       FROM occ GROUP BY 1)
+       |SELECT rk, w, freq, deg, score FROM (
+       |  SELECT row_number() OVER (ORDER BY score DESC, w) AS rk,
+       |         w, freq, deg, score
+       |  FROM sc) z
+       |WHERE rk <= 25 ORDER BY rk""".stripMargin
 
   /** Shared session oracle (q_stream_session AND q_session_native): the
     * portable lag/cumsum sessionization with the >= gap-start boundary —
@@ -716,6 +771,48 @@ object SparkEntry {
         |  MIN(id) AS min_id, CAST(SUM(id) AS BIGINT) AS sum_id
         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // funnel latency: exact integer-second deltas; percentile_disc picks
+    // at integer ranks ((n+1)//2, (9n+9)//10) over the (sec, user) order
+    "q_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |tv AS (SELECT user_id, MIN(us) AS tv FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |tp AS (SELECT ev.user_id, tv, MIN(us) AS tp
+        |       FROM ev JOIN tv USING (user_id)
+        |       WHERE event_type = 'purchase' AND us >= tv
+        |       GROUP BY 1, 2),
+        |d AS (SELECT user_id, (tp - tv) // 1000000 AS sec FROM tp),
+        |r AS (SELECT user_id, sec,
+        |        row_number() OVER (ORDER BY sec, user_id) AS rk FROM d),
+        |s AS (SELECT COUNT(*) AS n, MIN(sec) AS mn, MAX(sec) AS mx FROM d)
+        |SELECT n AS n_converters, mn AS min_s,
+        |  MAX(CASE WHEN rk = (n + 1) // 2 THEN sec END) AS p50_s,
+        |  MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN sec END) AS p90_s,
+        |  mx AS max_s
+        |FROM r, s GROUP BY n, mn, mx""".stripMargin,
+
+    // CEP-lite: identical comma-joined per-user sequences (string_agg
+    // ORDER BY ts, event_id == array_sort struct order), same RE2∩Java
+    // regexes; HAVING drops empty patterns exactly as the filtered
+    // aggregate does
+    "q_event_regex" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT 'converted' AS pattern, user_id FROM p WHERE regexp_matches(path, 'view.*purchase')
+        |  UNION ALL
+        |  SELECT 'error_spiral', user_id FROM p WHERE regexp_matches(path, 'error(,error){2,}')
+        |  UNION ALL
+        |  SELECT 'error_recovery', user_id FROM p WHERE regexp_matches(path, 'error.*purchase')
+        |  UNION ALL
+        |  SELECT 'signup_first', user_id FROM p WHERE regexp_matches(path, '^signup')
+        |  UNION ALL
+        |  SELECT 'pure_browse', user_id FROM p WHERE regexp_matches(path, '^view(,view)*$'))
+        |SELECT pattern, COUNT(*) AS n_users, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM m GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY pattern""".stripMargin,
+
     "q_user_paths" ->
       // first-3-event journey per user by the (ts, event_id) total order
       """WITH r AS (
@@ -1004,6 +1101,8 @@ object SparkEntry {
     "q_lang_id" -> langIdOracle,
 
     "q_quality_score" -> qualityOracle,
+    "q_score_deciles" -> scoreDecilesOracle,
+    "q_keywords_rake" -> keywordsRakeOracle,
 
     "q_pipeline_corpus" -> pipelineOracle,
 
@@ -2667,6 +2766,58 @@ object SparkEntry {
         |           + (qq - tt)), 6) AS eta_sq
         |FROM m WHERE k > 1 AND n_total > k""".stripMargin,
 
+    // Kruskal–Wallis: pooled doubled-average-ranks (2·rank()+tie−1 per
+    // row — matches Rank.rankExact min+max of the tie run), exact BIGINT
+    // rank sums and tie correction, one IEEE tree round-6
+    "q_kruskal_wallis" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer),
+        |r AS (
+        |  SELECT seg, v, rank() OVER (ORDER BY v) AS rk,
+        |         COUNT(*) OVER (PARTITION BY v) AS c
+        |  FROM v),
+        |g AS (
+        |  SELECT seg, COUNT(*) AS n,
+        |         CAST(SUM(2 * rk + c - 1) AS BIGINT) AS r2
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+        |      FROM (SELECT COUNT(*) AS t FROM v GROUP BY v)),
+        |m AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+        |         SUM(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / 4.0
+        |             / CAST(n AS DOUBLE)) AS rr
+        |  FROM g)
+        |SELECT k, nn AS n_total,
+        |  round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) * rr
+        |         - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |        / (1.0 - CAST(tsum AS DOUBLE)
+        |                 / CAST(nn * nn * nn - nn AS DOUBLE)), 6) AS h
+        |FROM m, t WHERE k > 1 AND nn > k AND tsum < nn * nn * nn - nn""".stripMargin,
+
+    // HHI: supplier-grain exact cents revenue, per-nation concentration;
+    // s_i^2 summed in DOUBLE (BIGINT would overflow near sf10), round-6
+    "q_hhi" ->
+      """WITH bys AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              AS BIGINT) AS s
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT s_suppkey, n_name
+        |      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |g AS (
+        |  SELECT n_name, COUNT(*) AS n_suppliers,
+        |         CAST(SUM(s) AS BIGINT) AS total_cents,
+        |         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS sq,
+        |         CAST(MAX(s) AS BIGINT) AS smax
+        |  FROM bys JOIN d ON bys.l_suppkey = d.s_suppkey
+        |  GROUP BY 1)
+        |SELECT n_name, n_suppliers, total_cents,
+        |  round(sq / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6) AS hhi,
+        |  round(CAST(smax AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS top_share
+        |FROM g ORDER BY n_name""".stripMargin,
+
     "q_ttest" ->
       // Welch's t: exact conditional moments (decimal sums) -> ONE
       // shared double tree for t and the Welch-Satterthwaite df
@@ -2867,6 +3018,69 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS INT) AS breach_hi
         |FROM w ORDER BY event_type, epoch_day""".stripMargin,
 
+    // Mann–Kendall: same bounded pair join as q_theil_sen; S, n and both
+    // tie corrections exact BIGINTs; tau_b and continuity-corrected z
+    // are one IEEE tree each, round-6; all-tied types refused exactly
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+        |                  WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.epoch_day < b.epoch_day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tx,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tv
+        |  FROM (SELECT event_type, cnt, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT p.event_type, s, n,
+        |  round(CAST(s AS DOUBLE)
+        |        / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+        |               * CAST(n * (n - 1) // 2 AS DOUBLE)), 6) AS tau_b,
+        |  round((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+        |        / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tv AS DOUBLE) / 18.0), 6) AS z
+        |FROM p JOIN n USING (event_type) JOIN t USING (event_type)
+        |WHERE n * (n - 1) // 2 > tx AND n * (n - 1) * (2 * n + 5) - tv > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // rolling Pearson: exact BIGINT 14-window moments on the daily census
+    // joined to the global daily total; casts precede the cross products
+    // (no 2^63 risk), flat windows refused by exact integer tests
+    "q_rolling_corr" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+        |  FROM events),
+        |daily AS (SELECT event_type, epoch_day, COUNT(*) AS x
+        |          FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT epoch_day, COUNT(*) AS y FROM ev GROUP BY 1),
+        |mo AS (
+        |  SELECT event_type, epoch_day, x, y,
+        |    COUNT(*) OVER w14 AS n14,
+        |    CAST(SUM(x) OVER w14 AS BIGINT) AS sx,
+        |    CAST(SUM(y) OVER w14 AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) OVER w14 AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) OVER w14 AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) OVER w14 AS BIGINT) AS syy
+        |  FROM daily JOIN tot USING (epoch_day)
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY epoch_day
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, epoch_day, x, y,
+        |  round(CAST(14 * sxy - sx * sy AS DOUBLE)
+        |        / (sqrt(CAST(14 * sxx - sx * sx AS DOUBLE))
+        |           * sqrt(CAST(14 * syy - sy * sy AS DOUBLE))), 6) AS corr14
+        |FROM mo
+        |WHERE n14 = 14 AND 14 * sxx - sx * sx > 0 AND 14 * syy - sy * sy > 0
+        |ORDER BY event_type, epoch_day""".stripMargin,
+
     "q_theil_sen" ->
       // pairwise slopes on the bounded daily census; IEEE divisions of
       // exact integers sort identically in both engines; discrete lower
@@ -2889,6 +3103,91 @@ object SparkEntry {
         |  FROM p)
         |SELECT event_type, CAST(m AS BIGINT) AS n_pairs, round(slope, 6) AS slope
         |FROM r WHERE rn = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    // interval stacking: +1/−1 boundary deltas at exact epoch-µs, two-phase
+    // prefix sums (within-hour window + hour-grain offsets); peak argmax by
+    // earliest microsecond — all integers, no float anywhere
+    "q_peak_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT event_type, us, 1 AS delta FROM ev
+        |      UNION ALL SELECT event_type, us + 1800000000, -1 FROM ev),
+        |c AS (SELECT event_type, us, CAST(SUM(delta) AS BIGINT) AS delta,
+        |             us // 3600000000 AS hr
+        |      FROM b GROUP BY 1, 2),
+        |r AS (SELECT event_type, us, hr,
+        |        CAST(SUM(delta) OVER (PARTITION BY event_type, hr ORDER BY us
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |      FROM c),
+        |h AS (SELECT event_type, hr, CAST(SUM(delta) AS BIGINT) AS dsum
+        |      FROM c GROUP BY 1, 2),
+        |o AS (SELECT event_type, hr,
+        |        COALESCE(CAST(SUM(dsum) OVER (PARTITION BY event_type ORDER BY hr
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |                 0) AS off
+        |      FROM h),
+        |conc AS (SELECT r.event_type, r.us, o.off + r.run AS conc
+        |         FROM r JOIN o ON r.event_type = o.event_type AND r.hr = o.hr),
+        |p AS (SELECT event_type, MAX(conc) AS peak FROM conc GROUP BY 1),
+        |n AS (SELECT event_type, COUNT(*) AS n_events FROM ev GROUP BY 1)
+        |SELECT conc.event_type, n_events, peak, MIN(us) AS peak_us
+        |FROM conc JOIN p USING (event_type) JOIN n USING (event_type)
+        |WHERE conc = peak
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    // additive decomposition: BIGINT 7-day sums -> deterministic
+    // trend/det IEEE expressions; seasonal mean round-6 absorbed; the
+    // remainder subtracts the ROUNDED seasonal from deterministic det
+    "q_decompose_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |    COUNT(*) OVER w7 AS n7,
+        |    CAST(SUM(cnt) OVER w7 AS BIGINT) AS s7
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY epoch_day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (
+        |  SELECT event_type, epoch_day, cnt,
+        |    CAST(s7 AS DOUBLE) / 7.0 AS trend,
+        |    CAST(cnt AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS det,
+        |    (epoch_day + 3) % 7 + 1 AS dow
+        |  FROM t WHERE n7 = 7),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    round(SUM(det) / CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
+        |  FROM f GROUP BY 1, 2)
+        |SELECT f.event_type, epoch_day, cnt, round(trend, 6) AS trend,
+        |  seasonal, round(det - seasonal, 6) AS remainder
+        |FROM f JOIN seas ON f.event_type = seas.event_type AND f.dow = seas.dow
+        |ORDER BY f.event_type, epoch_day""".stripMargin,
+
+    // Poisson rate shift: data-derived midpoint split, exact conditional
+    // counts and day spans, one shared IEEE tree round-6
+    "q_rate_shift" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx,
+        |             (min(day) + max(day) + 1) // 2 AS mid FROM d),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(mid - mn AS BIGINT) AS t1,
+        |    CAST(mx - mid + 1 AS BIGINT) AS t2
+        |  FROM d, b GROUP BY 1, mid, mn, mx)
+        |SELECT event_type, n1, n2, t1, t2,
+        |  round((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |         - CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+        |        / sqrt(CAST(n1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+        |               + CAST(n2 AS DOUBLE) / (CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))), 6) AS z
+        |FROM g WHERE n1 + n2 > 0 AND t1 > 0 AND t2 > 0
         |ORDER BY event_type""".stripMargin,
 
     // Cutler's RSI: integer day-over-day deltas, exact 14-window BIGINT
@@ -3779,5 +4078,19 @@ object SparkEntry {
     "q_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    // bag semantics: the post-op aggregate declares the multiplicities
+    // max(ca−cb, 0) / min(ca, cb) the distinct forms erase
+    "q_except_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 1),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0),
+        |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT l_suppkey, COUNT(*) AS n FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 1),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0),
+        |e AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT l_suppkey, COUNT(*) AS n FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -644,6 +644,83 @@ object Analytics {
       .limit(20)
   }
 
+  /** q_event_regex: CEP-lite pattern matching over each user's FULL
+    * chronological event-type sequence — the MATCH_RECOGNIZE-shaped
+    * question ("which users converted after a view? spiraled through 3+
+    * consecutive errors? only ever browsed?") that q_funnel's fixed
+    * step-order counters and q_user_paths' first-3 census can't express:
+    * the sequence becomes a comma-joined string and the pattern is a
+    * REGEX over it. Patterns use the RE2 ∩ Java dialect (alternation,
+    * classes, anchors, bounded repeats — no lookarounds/backrefs), so
+    * both engines run the same automaton semantics. The path string is
+    * built from an array_sort over (ts, event_id) structs — a total
+    * order, and the oracle's string_agg(… ORDER BY ts, event_id) is the
+    * identical sequence. All five patterns evaluate in ONE pass via an
+    * explode over a literal (pattern, matched) array — the paths
+    * aggregate is never recomputed per pattern. Counts + Σuser_id exact.
+    * Scale: one user-grain shuffle (the sessionize/funnel shuffle);
+    * per-user sequences are user-activity-bounded; the match is
+    * map-side codegen'd rlike.
+    */
+  def eventRegex(spark: SparkSession, dir: String): DataFrame = {
+    val pats = Seq(
+      "converted"      -> "view.*purchase",
+      "error_spiral"   -> "error(,error){2,}",
+      "error_recovery" -> "error.*purchase",
+      "signup_first"   -> "^signup",
+      "pure_browse"    -> "^view(,view)*$")
+    val paths = Sources.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ",").as("path"))
+    val arr = array(pats.map { case (n, p) =>
+      struct(lit(n).as("pattern"), col("path").rlike(p).as("m")) }: _*)
+    paths.select(col("user_id"), explode(arr).as("e"))
+      .filter(col("e.m"))
+      .groupBy(col("e.pattern").as("pattern"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("sum_uid"))
+      .orderBy(col("pattern"))
+  }
+
+  /** q_time_to_convert: view→purchase latency distribution — n
+    * converters and the exact min/p50/p90/max seconds between a user's
+    * FIRST view and the FIRST purchase at-or-after it: the funnel-LATENCY
+    * question ("how long does conversion take") that q_funnel's
+    * step-coverage counters and q_funnel_window's fixed horizon don't
+    * answer, and the number that sets any attribution/retargeting
+    * window. Deltas are exact integer seconds (epoch-µs subtraction,
+    * div 10⁶); the percentiles are PERCENTILE_DISC picks — value at rank
+    * ⌈n/2⌉ / ⌈9n/10⌉ of the (sec, user_id) total order — via the
+    * two-phase Rank.rankExact (no single-partition sort at any scale),
+    * with the 1-row count/min/max frame broadcast for the rank targets
+    * (integer `div` arithmetic, no float rank boundary). Scale: two
+    * user-grain hash joins + the grid-chunked rank; output is one row.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts").cast("timestamp")).as("us"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tv, Seq("user_id"))
+      .filter(col("us") >= col("tv"))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("us")).as("tp"))
+    val d = tp.select(col("user_id"), expr("(tp - tv) div 1000000").as("sec"))
+    val rk = Rank.rankExact(d.withColumn("__all", lit(0)), "__all",
+      col("sec"), col("user_id"), grid = Rank.gridFor(d, col("sec")),
+      desc = false, out = "rk")
+    val stats = d.agg(count(lit(1)).as("n"),
+      min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    rk.crossJoin(broadcast(stats))
+      .agg(first(col("n")).as("n_converters"),
+           first(col("mn")).as("min_s"),
+           max(when(col("rk") === expr("(n + 1) div 2"), col("sec"))).as("p50_s"),
+           max(when(col("rk") === expr("(9 * n + 9) div 10"), col("sec"))).as("p90_s"),
+           first(col("mx")).as("max_s"))
+  }
+
   /** q_cohort_ltv: cumulative purchase value per signup cohort by week
     * offset — the LTV curve (q_retention_cohort counts heads; this one
     * follows the money). Cohort = each user's first ISO week; purchase

@@ -288,4 +288,31 @@ object Pipeline {
                  col("n_docs").cast("double")).as("dup_pct"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** q_score_deciles: exact quality-score deciles of the corpus — the
+    * "what does each decile of my data look like" audit behind every
+    * quality-threshold decision (q_mixture_weights picks proportions;
+    * this shows what a cutoff would actually keep/drop): per decile, doc
+    * count, membership pin (Σ doc_id), and the score min/max/mean. The
+    * decile assignment is the two-phase Rank.ntileExact over the
+    * (quality, doc_id) total order — the SAME fill rule as SQL NTILE,
+    * proven on the q_rfm family, no single-partition window at any
+    * width. quality is the declared q_quality_score round-6 double, so
+    * the order is engine-identical; min/max are exact picks of those
+    * doubles; the mean's cross-row double sum is round-6-absorbed (the
+    * q_entropy argument — terms ≤ 1, one decile ≤ n/10 rows).
+    */
+  def scoreDecilesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val q = Text.qualityScore(Sources.documents(spark, dir), "text")
+      .select(col("doc_id"), col("quality"))
+      .withColumn("__all", lit(0))
+    val d = Rank.ntileExact(q, "__all", col("quality"), col("doc_id"),
+      k = 10, grid = Rank.gridFor(q, col("quality")), desc = false, out = "decile")
+    d.groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"),
+           min(col("quality")).as("q_min"), max(col("quality")).as("q_max"),
+           r6(sum(col("quality")) / count(lit(1)).cast("double")).as("q_mean"))
+      .orderBy(col("decile"))
+  }
 }

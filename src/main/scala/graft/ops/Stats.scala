@@ -590,4 +590,125 @@ object Stats {
               col("tsum").cast("double") /
                 (nn.cast("double") * (nn - 1L).cast("double")))))).as("z"))
   }
+
+  /** q_kruskal_wallis: Kruskal–Wallis H across ALL market segments'
+    * account balances — the nonparametric omnibus that completes the
+    * test matrix: q_anova is the >2-arm parametric omnibus, q_mannwhitney
+    * the 2-arm rank test; this is the >2-arm rank test ("does ANY arm
+    * stochastically dominate", robust where ANOVA's normality assumption
+    * fails). Pooled global ranks come from the same two-phase
+    * Rank.rankExact as q_mannwhitney (no single-partition window); tie
+    * groups collapse to average ranks via the doubled-rank trick
+    * (ar2 = min+max of the tie run — exact BIGINT), so each segment's
+    * doubled rank sum ΣR_i·2 and the tie correction Σ(t³−t) are EXACT
+    * integers pinning membership. H = 12/(N(N+1))·Σ R_i²/n_i − 3(N+1),
+    * tie-corrected by C = 1 − Σ(t³−t)/(N³−N): each R_i²/n_i is one IEEE
+    * expression of exactly-representable integers; the k-term cross-
+    * segment sum is round-6-absorbed (the q_anova/q_entropy argument).
+    * All-values-equal degenerates (C = 0) are refused by an exact
+    * integer test. Scale: rank assignment is the grid-chunked two-phase
+    * sort; everything after is segment-grain (5 rows).
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val v = Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+              cents(col("c_acctbal")).as("v"))
+      .withColumn("__all", lit(0))
+    val rk = Rank.rankExact(v, "__all", col("v"), col("c_custkey"),
+      grid = Rank.gridFor(v, col("v")), desc = false, out = "rk")
+    // doubled average rank per tie group: min+max of the run (exact, no
+    // fractional halves until the final tree) — the q_mannwhitney rewrite
+    val tieV = rk.groupBy(col("v"))
+      .agg((min(col("rk")) + max(col("rk"))).as("ar2"))
+    val g = rk.join(tieV, Seq("v"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("ar2")).as("r2"))
+    val tie = v.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val m = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("r2").cast("double") * col("r2").cast("double") / 4.0 /
+          col("n").cast("double")).as("rr"))
+    val nD = col("nn").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("rr") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("tsum").cast("double") /
+      (col("nn") * col("nn") * col("nn") - col("nn")).cast("double")
+    m.crossJoin(broadcast(tie))
+      .filter(col("k") > 1 && col("nn") > col("k") &&
+              col("tsum") < col("nn") * col("nn") * col("nn") - col("nn"))
+      .select(col("k"), col("nn").as("n_total"), r6(h / corr).as("h"))
+  }
+
+  /** q_rate_shift: two-sample Poisson rate z-test per event_type across
+    * the data-derived midpoint of the observation window — "did this
+    * stream's arrival RATE change between the first and second half":
+    * the volume-drift alarm that complements q_ks_test (value drift) and
+    * q_error_spikes (daily outliers) with a single per-type verdict.
+    * The split day mid = (min+max+1) div 2 comes from a 1-row global
+    * bounds probe (broadcast — the q_rfm anchor-date shape); n₁/n₂ are
+    * exact conditional counts, t₁/t₂ exact day spans, and
+    * z = (n₁/t₁ − n₂/t₂)/√(n₁/t₁² + n₂/t₂²) is ONE shared IEEE tree of
+    * exact integers, round-6. Empty types (n₁+n₂ = 0) cannot occur by
+    * construction (a type exists because it has events); σ = 0 requires
+    * n₁ = n₂ = 0, so no degenerate guard beyond the count is needed.
+    * Scale: one map-side conditional aggregate at type grain.
+    */
+  def rateShift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val d = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+    val b = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("mn"), col("mx"), expr("(mn + mx + 1) div 2").as("mid"))
+    val g = d.crossJoin(broadcast(b))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("n1"),
+           sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("n2"),
+           (first(col("mid")) - first(col("mn"))).as("t1"),
+           (first(col("mx")) - first(col("mid")) + 1L).as("t2"))
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    val (t1, t2) = (col("t1").cast("double"), col("t2").cast("double"))
+    g.filter(col("n1") + col("n2") > 0L && col("t1") > 0L && col("t2") > 0L)
+      .select(col("event_type"), col("n1"), col("n2"), col("t1"), col("t2"),
+        r6((n1 / t1 - n2 / t2) / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_hhi: Herfindahl–Hirschman concentration of supplier gross revenue
+    * within each nation — the market-structure summary ("is this
+    * nation's supply base competitive or captured") regulators and
+    * marketplace teams compute per region/category; 1/HHI is the
+    * effective number of suppliers. Gross revenue (Σ extendedprice) is
+    * aggregated to supplier grain BEFORE any join — the
+    * aggregate-then-join rule — so the nation lookup joins ~|suppliers|
+    * rows, not lineitems, and the supplier dimension broadcasts. The
+    * nation total S and per-supplier s_i are EXACT BIGINT cents; HHI =
+    * Σs_i²/S² is computed with each s_i² as one IEEE product (s_i < 2⁵³
+    * exact) summed in double — cross-supplier order absorbed by round-6
+    * (BIGINT Σs_i² would overflow 2⁶³ near sf10; the double form never
+    * does) — and top_share = max(s_i)/S is one IEEE division of exact
+    * integers. Scale: one lineitem shuffle at supplier grain, then
+    * nation-grain frames.
+    */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.{cents, r6}
+    val bySupp = Sources.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("c"))
+      .groupBy(col("l_suppkey")).agg(sum(col("c")).as("s"))
+    val dim = Sources.supplier(spark, dir)
+      .join(Sources.nation(spark, dir),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name"))
+    bySupp.join(broadcast(dim), Seq("l_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum(col("s")).as("total_cents"),
+           sum(col("s").cast("double") * col("s").cast("double")).as("sq"),
+           max(col("s")).as("smax"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        r6(col("sq") /
+           (col("total_cents").cast("double") * col("total_cents").cast("double"))).as("hhi"),
+        r6(col("smax").cast("double") / col("total_cents").cast("double")).as("top_share"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -965,4 +965,42 @@ object Text {
       .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
       .orderBy(col("decile"))
   }
+
+  /** q_keywords_rake: RAKE keyword extraction over the corpus — score a
+    * content word by degree/frequency, where degree sums the lengths of
+    * the stopword-delimited PHRASES it appears in: words that live in
+    * long multi-word phrases ("neural machine translation") outrank
+    * equally-frequent words that appear alone — the classic unsupervised
+    * keyword/phrase-vocabulary pass a corpus pipeline runs before topic
+    * labeling. Phrase segmentation is pure string algebra identical in
+    * Java and RE2 regex dialects (NO lookarounds — RE2 has none): lower
+    * → collapse non-alphanumerics to single spaces → DOUBLE every space
+    * → replace " stopword " with " | " (doubling means adjacent
+    * stopwords keep a private space each, so one global pass marks every
+    * boundary) → split on '|'. Degree/freq are exact integers; score is
+    * ONE IEEE division round-6; top-25 resolves via the two-phase
+    * Rank.topK (score desc, word asc — total order), never a global
+    * sort. Scale: phrase explode is map-side; the only shuffle is the
+    * word-grain aggregate (vocab-sized, Heaps-sublinear).
+    */
+  def keywordsRakeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stop = stopwords("en").mkString("|")
+    val norm = concat(lit(" "),
+      regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), lit(" "))
+    val marked = regexp_replace(
+      regexp_replace(norm, " ", "  "), s" ($stop) ", " | ")
+    val occ = Sources.documents(spark, dir)
+      .select(explode(split(marked, "\\|")).as("phrase"))
+      .select(filter(split(col("phrase"), " +"), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(col("ws")).as("w"), size(col("ws")).cast("long").as("plen"))
+    val scored = occ.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"), col("freq"), col("deg"),
+        r6(col("deg").cast("double") / col("freq").cast("double")).as("score"))
+      .withColumn("__g", lit(0))
+    Rank.topK(scored, Seq("__g"), Seq(col("score").desc, col("w")), 25, "rk")
+      .select(col("rk"), col("w"), col("freq"), col("deg"), col("score"))
+      .orderBy(col("rk"))
+  }
 }

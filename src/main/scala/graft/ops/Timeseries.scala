@@ -354,6 +354,96 @@ object Timeseries {
       .orderBy(col("event_type"))
   }
 
+  /** q_mann_kendall: Mann–Kendall trend test per event_type's daily
+    * volume — the SIGNIFICANCE half of the standard nonparametric trend
+    * couple whose SLOPE half is q_theil_sen ("is there a monotone trend,
+    * and how sure are we", robust to outliers and any monotone
+    * transform). S = Σ_{i<j} sign(cnt_j − cnt_i) over the same bounded
+    * C(days,2) pair join as theil_sen; the tie census over equal counts
+    * feeds both tau-b's denominator and the variance correction
+    * Σ t(t−1)(2t+5). S, n, and both corrections are EXACT BIGINTs, so
+    * membership is pinned by integers; tau_b = S/√((n₀−T_x)·n₀) and the
+    * continuity-corrected z = (S∓1)/√Var(S) are each ONE shared IEEE
+    * tree, round-6. Types where all days tie (n₀ = T_x ⇒ σ = 0) are
+    * refused by an exact integer test. Scale: pairs are
+    * calendar-bounded (C(31,2) per type) — the same justification as
+    * theil_sen's documented pair join; everything else is type-grain.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type"), col("epoch_day").as("da"), col("cnt").as("ca"))
+    val b = daily.select(col("event_type"), col("epoch_day").as("db"), col("cnt").as("cb"))
+    val s = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s"))
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // `div`, not `/`: Column./ on integers is double division (the
+    // q_theil_sen ADVICE-r10 trap); t(t−1) is even so div 2 is exact
+    val tie = daily.groupBy(col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("tx"),
+           sum(expr("t * (t - 1) * (2 * t + 5)")).as("tv"))
+    val j = s.join(n, Seq("event_type")).join(tie, Seq("event_type"))
+    val n0 = expr("n * (n - 1) div 2")
+    val varNum = col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tv")
+    j.filter(n0 > col("tx") && varNum > 0L)
+      .select(col("event_type"), col("s"), col("n"),
+        r6(col("s").cast("double") /
+           sqrt((n0 - col("tx")).cast("double") * n0.cast("double"))).as("tau_b"),
+        r6((col("s") - signum(col("s").cast("double"))).cast("double") /
+           sqrt(varNum.cast("double") / 18.0)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_rolling_corr: 14-observation rolling Pearson correlation between
+    * each event_type's daily volume and the GLOBAL daily volume — the
+    * regime monitor ("is this stream still moving with overall traffic,
+    * or has it decoupled"): a beta/correlation breakdown is how
+    * ops/finance pipelines detect that one component's dynamics changed
+    * even while its level looks normal. The global series includes the
+    * type itself (component-vs-aggregate, the index convention —
+    * documented). All five window moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * EXACT BIGINTs over the 14-row frame; the two variance terms
+    * 14Σx²−(Σx)² and 14Σy²−(Σy)² are exact BIGINTs whose zero test
+    * (flat window) is integer-exact, and corr is ONE shared IEEE tree —
+    * the BIGINT→double casts happen BEFORE the cross-term product so no
+    * intermediate exceeds 2⁶³ — round-6. Full 14-observation windows
+    * only (the q_wma honest-contract rule). Scale: one (type) window +
+    * one day-grain equi-join over the calendar-bounded daily census.
+    */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val ev = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+    val daily = ev.groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("x"))
+    val total = ev.groupBy(col("epoch_day")).agg(count(lit(1)).as("y"))
+    val w14 = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(-13, Window.currentRow)
+    val mo = daily.join(total, Seq("epoch_day"))
+      .withColumn("n14", count(lit(1)).over(w14))
+      .withColumn("sx", sum(col("x")).over(w14))
+      .withColumn("sy", sum(col("y")).over(w14))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w14))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w14))
+      .withColumn("syy", sum(col("y") * col("y")).over(w14))
+    val dx = lit(14L) * col("sxx") - col("sx") * col("sx")
+    val dy = lit(14L) * col("syy") - col("sy") * col("sy")
+    mo.filter(col("n14") === 14L && dx > 0L && dy > 0L)
+      .select(col("event_type"), col("epoch_day"), col("x"), col("y"),
+        r6((lit(14L) * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("corr14"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
   /** q_wma: 7-observation linearly-weighted moving average of each
     * event_type's daily volume — the trend smoother that reacts faster
     * than the flat mean (newest day weight 7 … oldest weight 1, the
@@ -483,5 +573,95 @@ object Timeseries {
         r6((col("s_dow") * col("n_days")).cast("double") /
            (col("n_dow") * col("s_tot")).cast("double")).as("idx"))
       .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** q_decompose_daily: classical additive decomposition of each
+    * event_type's daily volume — cnt = trend + seasonal + remainder, the
+    * capacity/anomaly workhorse that SPLITS a series instead of just
+    * indexing it (q_seasonal_index) or smoothing it (q_wma): trend is
+    * the centered 7-day mean (full windows only — the honest-contract
+    * rule), seasonal is the mean DETRENDED value per ISO weekday, and
+    * the remainder is what an alert should actually fire on.
+    * Determinism layers: the 7-day sum is an exact BIGINT, so
+    * trend = s7/7 and det = cnt − trend are single IEEE expressions both
+    * engines reproduce bit-identically; the per-(type, dow) seasonal
+    * mean crosses rows (double sum, order-dependent) and is round-6
+    * absorbed (the q_entropy argument — ≤ ⌈days/7⌉ terms); the
+    * remainder subtracts the ROUNDED seasonal from the deterministic
+    * det, then rounds — so no unbounded float chain ever spans engines.
+    * Scale: one (type) census window + a (type, dow) aggregate.
+    */
+  def decomposeDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val daily = Sources.events(spark, dir)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("cnt")).over(w7))
+      .filter(col("n7") === 7L)
+      .withColumn("trend", col("s7").cast("double") / 7.0)
+      .withColumn("det", col("cnt").cast("double") - col("trend"))
+      .withColumn("dow", (pmod(col("epoch_day") + 3L, lit(7L)) + 1L).cast("int"))
+    val seas = t.groupBy(col("event_type"), col("dow"))
+      .agg(r6(sum(col("det")) / count(lit(1)).cast("double")).as("seasonal"))
+    t.join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"), col("epoch_day"), col("cnt"),
+              r6(col("trend")).as("trend"), col("seasonal"),
+              r6(col("det") - col("seasonal")).as("remainder"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
+  /** q_peak_concurrency: maximum concurrent 30-minute activity intervals
+    * per event_type, and the earliest microsecond the peak is reached —
+    * the interval-stacking / capacity-planning primitive ("how many
+    * sessions were live at the worst moment") that q_interval_coverage's
+    * union-length cannot answer. Classic sweep: each event opens
+    * [ts, ts+30 min) → +1/−1 boundary deltas at microsecond precision
+    * (unix_micros — the q_window_lag_lead integer-epoch convention, no
+    * truncation ambiguity), and concurrency is the running sum of deltas
+    * in boundary order. The running sum is TWO-PHASE like Rank: boundary
+    * census rows carry an hour bucket (us div 3600·10⁶); within-hour
+    * prefix sums run under a (type, hour) window whose partitions are
+    * bounded by boundaries-per-hour, and hour-grain offsets come from a
+    * (type) window over the calendar-bounded hour census (≤ 24·days
+    * rows) — no type-partitioned window ever sees the unbounded event
+    * stream. All integers end-to-end; peak argmax resolves by earliest
+    * microsecond (exact), n_events pins membership.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val b = ev.select(col("event_type"), col("us"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_type"), (col("us") + 1800000000L).as("us"),
+                          lit(-1L).as("delta")))
+    val census = b.groupBy(col("event_type"), col("us"))
+      .agg(sum(col("delta")).as("delta"))
+      .withColumn("hr", expr("us div 3600000000"))
+    val wHr = Window.partitionBy(col("event_type"), col("hr")).orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = census.withColumn("run", sum(col("delta")).over(wHr))
+    val hrTot = census.groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("delta")).as("dsum"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hrTot
+      .withColumn("off", coalesce(sum(col("dsum")).over(wOff), lit(0L)))
+      .select(col("event_type"), col("hr"), col("off"))
+    val conc = run.join(off, Seq("event_type", "hr"))
+      .select(col("event_type"), col("us"), (col("off") + col("run")).as("conc"))
+    val peak = conc.groupBy(col("event_type")).agg(max(col("conc")).as("peak"))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    conc.join(peak, Seq("event_type"))
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("us")).as("peak_us"))
+      .join(n, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("peak"), col("peak_us"))
+      .orderBy(col("event_type"))
   }
 }

@@ -241,6 +241,35 @@ object Windows {
     a.except(b).orderBy(col("custkey"))
   }
 
+  /** q_except_all: EXCEPT ALL — MULTISET difference (per-row multiplicity
+    * max(count_a − count_b, 0)), the bag semantics q_except's distinct
+    * form erases: "how many of supplier X's odd-order line items are NOT
+    * accounted for by the mod-3 slice" keeps COUNTS, which is what
+    * reconciliation/diff workloads actually need. The post-op aggregate
+    * declares the multiplicities themselves, so the gate proves the bag
+    * algebra, not just membership. Spark plans EXCEPT ALL as a
+    * count-difference aggregate + generate (no sort) — the scale shape
+    * is one hash shuffle on the value, same as the aggregate it feeds.
+    */
+  def exceptAllKeys(spark: SparkSession, dir: String): DataFrame = {
+    val li = Sources.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val a = li.filter(col("l_orderkey") % 2 === 1).select(col("l_suppkey"))
+    val b = li.filter(col("l_orderkey") % 3 === 0).select(col("l_suppkey"))
+    a.exceptAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** q_intersect_all: INTERSECT ALL — multiset intersection
+    * (min(count_a, count_b) per value); same declaration pattern as
+    * q_except_all. */
+  def intersectAllKeys(spark: SparkSession, dir: String): DataFrame = {
+    val li = Sources.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val a = li.filter(col("l_orderkey") % 2 === 1).select(col("l_suppkey"))
+    val b = li.filter(col("l_orderkey") % 3 === 0).select(col("l_suppkey"))
+    a.intersectAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey"))
+  }
+
   /** q_window_exclude: the SQL-standard frame EXCLUDE clause (peer-group
     * / current-row exclusion — "how does each row compare to the REST of
     * its partition"), which Spark's window frames do not support. The

@@ -37,12 +37,15 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_benford",         // 9 digit rows × broadcast(1-row total)
     "q_freshness",       // 5 stream rows × broadcast(1-row global max)
     "q_rfm",             // per-customer aggregate × broadcast(1-row anchor date)
+    "q_rate_shift",      // events × broadcast(1-row window-bounds probe)
+    "q_time_to_convert", // ranked deltas × broadcast(1-row count/min/max)
     "q_pq_adc",          // 16 base vectors × broadcast(50-row replica range)
     "q_percent_total",   // 5 segment rows × broadcast(1-row grand total)
     "q_error_spikes",    // 30 day rows × broadcast(1-row totals)
     "q_vocab_growth",    // token first-doc table × broadcast(1-row max + 10-row deciles)
     "q_spearman",        // ranked frame × broadcast(1-row n total)
     "q_mannwhitney",     // 1-row moments × broadcast(1-row tie correction)
+    "q_kruskal_wallis",  // 1-row moments × broadcast(1-row tie correction)
     "q_growth_accounting", // churn-week frame × broadcast(1-row max week)
     "q_l28_histogram"    // (user, day) census × broadcast(1-row min day)
   )
@@ -200,7 +203,10 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     // census prefix-sum, whose input is the (seg, chunk) census —
     // ≤ |chunk grid| rows by construction (tens-to-hundreds at any SF)
     "q_spearman",   // census grids: order-count step=1 (~tens), spend step=2e7 (~hundreds)
-    "q_mannwhitney" // census grid: balance cents step=1e4 (~110 chunks)
+    "q_mannwhitney", // census grid: balance cents step=1e4 (~110 chunks)
+    "q_kruskal_wallis", // same pooled-rank census grid as q_mannwhitney (~256 chunks)
+    "q_score_deciles",  // ntileExact census grid over quality (equi-depth, ~256 chunks)
+    "q_time_to_convert" // rankExact census grid over converter seconds (~256 chunks)
   )
 
   test("no partition-less WindowExec over unbounded input in any declared plan") {
