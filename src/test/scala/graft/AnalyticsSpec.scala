@@ -259,4 +259,56 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(chi2 - chi2b) < 1e-4, s"chi2 $chi2 vs $chi2b")
     assert(math.abs(v - vb) < 1e-6, s"v $v vs $vb")
   }
+
+  test("event regex: counts equal a brute Scala regex sweep over reconstructed paths") {
+    import graft.ops.Analytics
+    import org.apache.spark.sql.functions._
+    val ev = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+              col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.sortBy(x => (x._2, x._3)).map(_._4).mkString(",")
+    }
+    val pats = Seq(
+      "converted" -> "view.*purchase",
+      "error_spiral" -> "error(,error){2,}",
+      "error_recovery" -> "error.*purchase",
+      "signup_first" -> "^signup",
+      "pure_browse" -> "^view(,view)*$")
+    val got = Analytics.eventRegex(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    pats.foreach { case (name, p) =>
+      val re = p.r
+      val hits = paths.filter { case (_, path) => re.findFirstIn(path).isDefined }
+      if (hits.isEmpty) assert(!got.contains(name), s"$name: empty pattern must be absent")
+      else {
+        val (n, s) = got(name)
+        assert(n == hits.size, s"$name: n_users $n vs ${hits.size}")
+        assert(s == hits.keys.sum, s"$name: sum_uid")
+      }
+    }
+    assert(got.keySet.subsetOf(pats.map(_._1).toSet))
+  }
+
+  test("time to convert: percentile picks match the brute sorted-delta sweep") {
+    import graft.ops.Analytics
+    import org.apache.spark.sql.functions._
+    val ev = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tv = ev.filter(_._2 == "view").groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val deltas = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) => tv.get(u).filter(us >= _).map(t => (u, us, t)) }
+      .groupBy(_._1).map { case (u, xs) =>
+        val t = tv(u); (u, Math.floorDiv(xs.map(_._2).min - t, 1000000L))
+      }.values.toSeq.sorted
+    val n = deltas.length
+    val r = Analytics.timeToConvert(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == deltas.min && r.getLong(4) == deltas.max)
+    assert(r.getLong(2) == deltas((n + 1) / 2 - 1), "p50 pick")
+    assert(r.getLong(3) == deltas((9 * n + 9) / 10 - 1), "p90 pick")
+  }
 }

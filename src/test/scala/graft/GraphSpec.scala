@@ -173,4 +173,27 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(gj - common.toDouble / union) < 1e-6, s"($u,$v): jacc")
     }
   }
+
+  test("assortativity: moments equal the brute edge sweep; r is NULL exactly on zero variance") {
+    import graft.ops.Graph
+    val edges = Graph.coOrderEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    val m = edges.length.toLong
+    val sJk = edges.map { case (u, v) => deg(u) * deg(v) }.sum
+    val sSum = edges.map { case (u, v) => deg(u) + deg(v) }.sum
+    val sSq = edges.map { case (u, v) => deg(u) * deg(u) + deg(v) * deg(v) }.sum
+    val row = Graph.assortativityQuery(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == m && row.getLong(1) == sJk &&
+           row.getLong(2) == sSum && row.getLong(3) == sSq)
+    val zeroVar = sSq * m * 2 == sSum * sSum
+    if (zeroVar) assert(row.isNullAt(4), "zero-variance graph must yield NULL r")
+    else {
+      val mu = sSum.toDouble / (2 * m)
+      val brute = (sJk.toDouble / m - mu * mu) / (sSq.toDouble / (2 * m) - mu * mu)
+      assert(math.abs(row.getDouble(4) - brute) < 1e-5)
+      assert(row.getDouble(4) >= -1.0 - 1e-9 && row.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
 }

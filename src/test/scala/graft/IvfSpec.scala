@@ -90,4 +90,17 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     assert(disk === mem, "materialized-index search must equal the in-memory path")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("ann recall: every probe reported once; recall = n_hits/5 and pruned ⊆ exact logic holds") {
+    val rows = Ivf.annRecallQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (8L until 18L).toSeq, "10 probes, each exactly once")
+    rows.foreach { case (p, hits, rec) =>
+      assert(hits >= 0L && hits <= 5L, s"probe $p hits $hits")
+      assert(math.abs(rec - hits / 5.0) < 1e-12, s"probe $p recall")
+    }
+    // pruning can only LOSE neighbours: nprobe=2 recall <= 1, and the
+    // average should be positive on this fixture (cells share structure)
+    assert(rows.map(_._3).sum > 0.0, "all-zero recall would mean a broken probe path")
+  }
 }

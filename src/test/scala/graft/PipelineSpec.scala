@@ -153,4 +153,19 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(gd - (n - uniq).toDouble / n) < 1e-6, s"$k dup_pct")
     }
   }
+
+  test("score deciles: NTILE-balanced sizes, conserved corpus, monotone bounds") {
+    val rows = graft.ops.Pipeline.scoreDecilesQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "exactly deciles 1..10")
+    val total = graft.io.Sources.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total, "deciles must conserve the corpus")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "NTILE balance")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3 + 1e-9, s"decile ${a._1} max must not exceed decile ${b._1} min")
+    }
+    rows.foreach { r =>
+      assert(r._3 <= r._5 + 1e-9 && r._5 <= r._4 + 1e-9, s"decile ${r._1}: min<=mean<=max")
+    }
+  }
 }

@@ -325,4 +325,88 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     val brute = a.map(x => b.count(x > _) + 0.5 * b.count(x == _)).sum
     assert(math.abs(u - brute) < 1e-9, s"engine U=$u brute=$brute")
   }
+
+  private def segCents(): Array[(String, Long)] =
+    graft.io.Sources.customer(spark, sfDir)
+      .select(col("c_mktsegment"), graft.Det.cents(col("c_acctbal")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("anova: F and eta_sq match the brute decomposition") {
+    val r = Stats.anova(spark, sfDir).collect()(0)
+    val (k, n, f, eta) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val c = segCents()
+    val groups = c.groupBy(_._1).map { case (_, xs) => xs.map(_._2.toDouble).toSeq }.toSeq
+    assert(k == groups.length && n == c.length)
+    val grand = c.map(_._2.toDouble).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val bruteF = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(f - bruteF) / bruteF < 1e-6, s"F $f vs $bruteF")
+    assert(math.abs(eta - ssb / (ssb + ssw)) < 1e-6)
+    assert(eta > 0.0 && eta < 1.0)
+  }
+
+  test("kruskal-wallis: H matches the brute average-rank computation") {
+    val r = Stats.kruskalWallis(spark, sfDir).collect()(0)
+    val (k, n, h) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val c = segCents()
+    assert(n == c.length)
+    // pooled average ranks with ties
+    val sorted = c.map(_._2).sorted
+    val avgRank = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1).sum.toDouble / xs.length)
+    }
+    val bySeg = c.groupBy(_._1)
+    assert(k == bySeg.size)
+    val rr = bySeg.values.map { xs =>
+      val rsum = xs.map(x => avgRank(x._2)).sum
+      rsum * rsum / xs.length
+    }.sum
+    val hRaw = 12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0)
+    val tsum = c.groupBy(_._2).values.map(g => math.pow(g.length.toDouble, 3) - g.length).sum
+    val bruteH = hRaw / (1.0 - tsum / (math.pow(n.toDouble, 3) - n))
+    assert(math.abs(h - bruteH) < 1e-4, s"H $h vs $bruteH")
+  }
+
+  test("hhi: concentration matches the brute share computation; bounds hold") {
+    val li = graft.io.Sources.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), graft.Det.cents(col("l_extendedprice")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nat = graft.io.Sources.supplier(spark, sfDir)
+      .join(graft.io.Sources.nation(spark, sfDir),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySupp = li.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val rows = Stats.hhi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (name, nSupp, tot, hhi, top) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val ss = bySupp.filter { case (s, _) => nat.get(s).contains(name) }.values.toSeq
+      assert(nSupp == ss.length && tot == ss.sum)
+      val shares = ss.map(_.toDouble / ss.sum)
+      assert(math.abs(hhi - shares.map(x => x * x).sum) < 1e-5, s"$name hhi")
+      assert(math.abs(top - shares.max) < 1e-6)
+      // HHI bounds: 1/n (perfectly even) .. 1 (monopoly)
+      assert(hhi >= 1.0 / nSupp - 1e-9 && hhi <= 1.0 + 1e-9)
+      assert(top >= hhi - 1e-9) // top share >= HHI always
+    }
+  }
+
+  test("rate shift: split counts conserve totals; z sign follows the rate difference") {
+    val rows = Stats.rateShift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totals = graft.io.Sources.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (tpe, n1, n2, t1, t2, z) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(n1 + n2 == totals(tpe), s"$tpe: split must conserve the census")
+      assert(t1 > 0 && t2 > 0)
+      val diff = n1.toDouble / t1 - n2.toDouble / t2
+      assert(diff == 0.0 || math.signum(z) == math.signum(diff), s"$tpe z sign")
+    }
+  }
 }

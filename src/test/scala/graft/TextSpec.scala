@@ -362,4 +362,35 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       assert(keep === members.filter(m => q(m) == maxQ).min)
     }
   }
+
+  test("rake keywords: top-25 equals the brute phrase-algebra sweep") {
+    import graft.ops.Text
+    val stops = Text.stopwords("en").toSet
+    val texts = graft.io.Sources.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val deg = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    texts.foreach { t =>
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty)
+      // phrases = maximal stopword-free runs
+      val phrases = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      toks.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) { phrases += cur.toSeq; cur = scala.collection.mutable.Buffer() } }
+        else cur += w
+      }
+      if (cur.nonEmpty) phrases += cur.toSeq
+      phrases.foreach { p =>
+        p.foreach { w => deg(w) += p.length.toLong; freq(w) += 1L }
+      }
+    }
+    val brute = deg.keys.toSeq
+      .map(w => (w, freq(w), deg(w),
+        BigDecimal(deg(w).toDouble / freq(w)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (w, _, _, s) => (-s, w) }
+      .take(25)
+    val got = graft.ops.Text.keywordsRakeQuery(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == brute, s"top-25 mismatch:\n got   $got\n brute $brute")
+  }
 }

@@ -322,4 +322,118 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(weighted - 1.0) < 1e-4, s"$tpe: weighted mean $weighted")
     }
   }
+
+  private def dailyCensus(): Array[(String, Int, Long)] =
+    graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+
+  test("rsi: 14-window gain/loss sums match the brute sweep; rsi in [0,100]") {
+    val got = Timeseries.rsi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    dailyCensus().groupBy(_._1).foreach { case (tpe, rows) =>
+      val s = rows.sortBy(_._2).toSeq
+      val deltas = s.sliding(2).collect {
+        case Seq(a, b) => (b._2, b._3 - a._3)
+      }.toSeq
+      deltas.sliding(14).filter(_.length == 14).foreach { w =>
+        val day = w.last._1
+        val sg = w.map(x => math.max(x._2, 0L)).sum
+        val sl = w.map(x => math.max(-x._2, 0L)).sum
+        if (sg + sl > 0) {
+          val (g, l, r14) = got((tpe, day))
+          assert(g == sg && l == sl, s"$tpe day $day: ($g,$l) vs ($sg,$sl)")
+          assert(math.abs(r14 - 100.0 * sg / (sg + sl)) < 1e-6)
+          assert(r14 >= 0.0 && r14 <= 100.0)
+        } else assert(!got.contains((tpe, day)), s"$tpe day $day: flat window must be refused")
+      }
+    }
+  }
+
+  test("mann kendall: S equals the brute pair sweep; tau in [-1,1] with matching sign") {
+    val got = Timeseries.mannKendall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    dailyCensus().groupBy(_._1).foreach { case (tpe, rows) =>
+      val s = rows.sortBy(_._2).map(_._3).toSeq
+      val bruteS = (for { i <- s.indices; j <- i + 1 until s.length }
+        yield java.lang.Long.signum(s(j) - s(i)).toLong).sum
+      got.get(tpe).foreach { case (gs, gn, tau) =>
+        assert(gs == bruteS, s"$tpe: S $gs vs $bruteS")
+        assert(gn == s.length)
+        assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+        assert(bruteS == 0L || math.signum(tau) == math.signum(bruteS.toDouble))
+      }
+    }
+  }
+
+  test("rolling corr: brute 14-window Pearson matches; corr in [-1,1]") {
+    val census = dailyCensus()
+    val tot = census.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val got = Timeseries.rollingCorr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(got.nonEmpty)
+    census.groupBy(_._1).foreach { case (tpe, rows) =>
+      val s = rows.sortBy(_._2).map(r => (r._2, r._3, tot(r._2))).toSeq
+      s.sliding(14).filter(_.length == 14).foreach { w =>
+        val day = w.last._1
+        val xs = w.map(_._2.toDouble); val ys = w.map(_._3.toDouble)
+        val mx = xs.sum / 14; val my = ys.sum / 14
+        val cxy = xs.indices.map(i => (xs(i) - mx) * (ys(i) - my)).sum
+        val cxx = xs.map(a => (a - mx) * (a - mx)).sum
+        val cyy = ys.map(a => (a - my) * (a - my)).sum
+        if (cxx > 0 && cyy > 0) {
+          val brute = cxy / math.sqrt(cxx * cyy)
+          val g = got((tpe, day))
+          assert(math.abs(g - brute) < 1e-5, s"$tpe day $day: $g vs $brute")
+          assert(g >= -1.0 - 1e-9 && g <= 1.0 + 1e-9)
+        } else assert(!got.contains((tpe, day)), s"$tpe day $day: flat window must be refused")
+      }
+    }
+  }
+
+  test("peak concurrency: brute interval sweep matches peak and earliest peak time") {
+    val ev = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Timeseries.peakConcurrency(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ev.groupBy(_._1).foreach { case (tpe, rows) =>
+      val deltas = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      rows.foreach { case (_, us) =>
+        deltas(us) += 1L; deltas(us + 1800000000L) -= 1L
+      }
+      var cur = 0L; var best = Long.MinValue; var bestUs = 0L
+      deltas.keys.toSeq.sorted.foreach { us =>
+        cur += deltas(us)
+        if (cur > best) { best = cur; bestUs = us }
+      }
+      val (gn, gp, gus) = got(tpe)
+      assert(gn == rows.length)
+      assert(gp == best, s"$tpe: peak $gp vs $best")
+      assert(gus == bestUs, s"$tpe: peak_us $gus vs $bestUs")
+    }
+  }
+
+  test("decompose: cnt == trend + seasonal + remainder within rounding; trend is the centered mean") {
+    val census = dailyCensus()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toSeq }
+    val rows = Timeseries.decomposeDaily(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tpe, day, cnt) = (r.getString(0), r.getInt(1), r.getLong(2))
+      val (tr, se, re) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(cnt.toDouble - (tr + se + re)) < 3e-6,
+        s"$tpe day $day: identity violated")
+      val s = census(tpe)
+      val i = s.indexWhere(_._2 == day)
+      val win = s.slice(i - 3, i + 4)
+      assert(win.length == 7, s"$tpe day $day must have a full window")
+      assert(math.abs(tr - win.map(_._3).sum / 7.0) < 1e-6)
+    }
+  }
 }

@@ -105,4 +105,23 @@ class WindowsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getDouble(4) >= r.getDouble(3)))
   }
 
+  test("except all / intersect all: multiplicities equal the bag arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.io.Sources.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ca = li.filter(_._1 % 2 == 1).groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    val cb = li.filter(_._1 % 3 == 0).groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    val keys = (ca.keySet ++ cb.keySet)
+    val wantEx = keys.map(k => k -> math.max(ca.getOrElse(k, 0) - cb.getOrElse(k, 0), 0))
+      .filter(_._2 > 0).toMap
+    val wantIn = keys.map(k => k -> math.min(ca.getOrElse(k, 0), cb.getOrElse(k, 0)))
+      .filter(_._2 > 0).toMap
+    val gotEx = graft.ops.Windows.exceptAllKeys(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val gotIn = graft.ops.Windows.intersectAllKeys(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(gotEx == wantEx, "EXCEPT ALL multiplicities")
+    assert(gotIn == wantIn, "INTERSECT ALL multiplicities")
+  }
 }
