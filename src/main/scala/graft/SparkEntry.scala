@@ -45,6 +45,7 @@ object SparkEntry {
     "q_window_time_range" -> Windows.windowTimeRange,
     "q_window_time_range_hours" -> Windows.windowTimeRangeHours,
     "q_bucket_join" -> Scale.bucketJoinQuery,
+    "q_runtime_filter" -> Scale.runtimeFilterQuery,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -1265,6 +1266,17 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle is the plain join: a runtime bloom filter may only ever
+    // pass-through rows to the exact join (false positives are filtered
+    // by the join itself), so forced-on injection must be invisible
+    "q_runtime_filter" ->
+      """WITH ord AS (SELECT o_orderkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT')
+        |SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN ord ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_levenshtein" ->

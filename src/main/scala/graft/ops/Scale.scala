@@ -202,4 +202,54 @@ object Scale {
       .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** q_runtime_filter: the RUNTIME BLOOM FILTER join — Spark's
+    * InjectRuntimeFilter builds a bloom filter from the SELECTIVE side of
+    * a shuffle join and pushes `might_contain` onto the big side's scan,
+    * so most non-matching fact rows die BEFORE the shuffle: at 100 TB
+    * this is the difference between shuffling the whole fact table and
+    * shuffling the ~1/5 that can possibly join. The key executes the
+    * URGENT-orders ⋈ lineitem rollup with the filter FORCED ON at test
+    * scale (application-side size threshold → 0; broadcast disabled so
+    * the shuffle-join path — the one that matters at scale — is the one
+    * exercised), materializes the result INSIDE the conf window
+    * (localCheckpoint is eager), then restores every conf — session
+    * plans for other keys never change. The oracle is the plain join:
+    * bloom false-positives only ever pass rows through to the exact
+    * join, so the hash gate proves the injected filter is
+    * semantics-preserving. RuntimeFilterSpec asserts the bloom actually
+    * injects (bloom_filter_agg / might_contain in the optimized plan) —
+    * the gate alone can't distinguish "filter ran" from "filter skipped".
+    */
+  def runtimeFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    val out = try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      runtimeFilterPlan(spark, dir).localCheckpoint() // eager: runs under the confs
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(s) => spark.conf.set(k, s); case None => spark.conf.unset(k) }
+    }
+    out.orderBy(col("l_suppkey"))
+  }
+
+  /** The un-materialized plan (shared with RuntimeFilterSpec's plan
+    * assertion): URGENT orders filter → shuffle join → supplier rollup.
+    */
+  def runtimeFilterPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.moneySum
+    val ord = graft.io.Sources.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = graft.io.Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+  }
 }

@@ -195,4 +195,30 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_fb.default.fb_scatter")
     spark.sql("DROP TABLE graft_fb.default.fb_zorder")
   }
+
+  test("runtime filter: bloom injects under forced confs and preserves the join result") {
+    import graft.ops.Scale
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      val plan = Scale.runtimeFilterPlan(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire; optimized plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(s) => spark.conf.set(k, s); case None => spark.conf.unset(k) }
+    }
+    // semantics: the forced-on key equals the default-conf plain join
+    val a = Scale.runtimeFilterQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Scale.runtimeFilterPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, "bloom-filtered join must equal the plain join")
+  }
 }
