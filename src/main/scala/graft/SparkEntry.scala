@@ -61,6 +61,7 @@ object SparkEntry {
     "q_join_range" -> Joins.joinRange,
     "q_mjoin_shipping" -> Joins.shippingPriority,
     "q_mjoin_region_volume" -> Joins.regionVolume,
+    "q_mjoin_topk_revenue" -> Joins.mjoinTopkRevenue,
     // §2 A scans / sources
     "q_scan_project_filter" -> Etl.scanProjectFilter,
     "q_csv_roundtrip" -> Etl.csvRoundtrip,
@@ -3988,6 +3989,30 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // TPC-H Q3 shape: all-decimal revenue (no double ever sums), total
+    // order (revenue desc, date, orderkey), top-10 by row_number
+    "q_mjoin_topk_revenue" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |         AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15'
+        |  GROUP BY 1, 2, 3)
+        |SELECT rk, l_orderkey, revenue,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_epoch_day,
+        |  o_orderpriority
+        |FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_orderdate, l_orderkey)
+        |              AS BIGINT) AS rk, *
+        |  FROM j) z
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

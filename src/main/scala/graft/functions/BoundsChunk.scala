@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expression: equi-depth chunk id of a long value
+  * against a SORTED DISTINCT boundary array — `#{b in bounds : b <= v}`,
+  * by binary search.
+  *
+  * This is the hot map-stage primitive of the two-phase Rank machinery
+  * (`Rank.BoundsGrid.chunkOf`): it runs once per input row before the
+  * census shuffle, so its cost is pure overhead on every ranking key.
+  * The previous spelling — `size(filter(lit(bounds), b -> v >= b))` —
+  * walks all ~255 boundaries per row through the interpreted
+  * higher-order-function path (per-element lambda dispatch + boxing);
+  * measured 9x slower end-to-end on q_quantile_bands at sf0.1
+  * (10.4 s vs 1.2 s) than this log₂(256)=8-probe primitive. Same
+  * monotone tie-safe mapping, bit-identical chunk ids — and chunk ids
+  * are grid-internal anyway (RankSpec proves results grid-independent).
+  *
+  * NULL in → NULL out (ranking inputs are non-null by construction).
+  */
+case class BoundsChunk(child: Expression, bounds: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bounds_chunk"
+
+  override def nullSafeEval(input: Any): Any =
+    BoundsChunk.compute(input.asInstanceOf[Long], bounds)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BoundsChunk.compute($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BoundsChunk =
+    copy(child = newChild)
+}
+
+object BoundsChunk {
+  /** #{bounds <= v} for a sorted-distinct bounds array. */
+  def compute(v: Long, bounds: Array[Long]): Long = {
+    val idx = java.util.Arrays.binarySearch(bounds, v)
+    if (idx >= 0) idx + 1L else -(idx + 1).toLong
+  }
+}

