@@ -46,6 +46,8 @@ object SparkEntry {
     "q_window_time_range_hours" -> Windows.windowTimeRangeHours,
     "q_bucket_join" -> Scale.bucketJoinQuery,
     "q_runtime_filter" -> Scale.runtimeFilterQuery,
+    "q_skew_diag" -> Scale.skewDiagQuery,
+    "q_geo_grid" -> Geo.geoGrid,
     // §2 B predicates / projections
     "q_predicates" -> Relational.predicates,
     "q_conditional" -> Relational.conditional,
@@ -3386,6 +3388,44 @@ object SparkEntry {
         |g AS (SELECT MAX(last_us) AS global_us FROM l)
         |SELECT event_type, n_events, last_us, global_us - last_us AS lag_us
         |FROM l, g ORDER BY event_type""".stripMargin,
+
+    // density grid over the shared synthetic points: integer cells,
+    // exact counts/id sums, round-6 centroids
+    "q_geo_grid" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 37) % 1000 AS DOUBLE) / 100e0 + 40e0 AS lat,
+        |    CAST((c_custkey * 73) % 2000 AS DOUBLE) / 100e0 AS lon
+        |  FROM customer)
+        |SELECT CAST(floor(lat) AS BIGINT) AS cell_lat,
+        |  CAST(floor(lon) AS BIGINT) AS cell_lon,
+        |  COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  round(SUM(lat) / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_lat,
+        |  round(SUM(lon) / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_lon
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // join-key skew census: per-key counts -> value histogram ->
+    // cumulative median pick; skew = max*n_keys/n_rows, one division
+    "q_skew_diag" ->
+      """WITH a AS (
+        |  SELECT 'lineitem_per_orderkey' AS side, l_orderkey AS k FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_per_custkey', o_custkey FROM orders),
+        |census AS (SELECT side, k, COUNT(*) AS c FROM a GROUP BY 1, 2),
+        |hist AS (SELECT side, c, COUNT(*) AS nk FROM census GROUP BY 1, 2),
+        |s AS (
+        |  SELECT side, c, nk,
+        |    CAST(SUM(nk) OVER (PARTITION BY side ORDER BY c
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(nk) OVER (PARTITION BY side) AS BIGINT) AS n_keys,
+        |    CAST(SUM(c * nk) OVER (PARTITION BY side) AS BIGINT) AS n_rows,
+        |    CAST(MAX(c) OVER (PARTITION BY side) AS BIGINT) AS max_c
+        |  FROM hist)
+        |SELECT side, n_keys, n_rows, max_c AS max_per_key, c AS p50_per_key,
+        |  round(CAST(max_c * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS skew_ratio
+        |FROM s
+        |WHERE cum >= (n_keys + 1) // 2 AND cum - nk < (n_keys + 1) // 2
+        |ORDER BY side""".stripMargin,
 
     "q_geo_distance" ->
       // identical synthetic coordinates; haversine as ONE shared tree

@@ -116,4 +116,28 @@ object Geo {
               col("b").as("nearest_id"), col("km").as("nearest_km"))
       .orderBy(col("a"))
   }
+
+  /** q_geo_grid: 1°×1° density grid — point count, Σid membership pin
+    * and the cell centroid per cell: the choropleth/heat-map prep every
+    * location product computes, and the aggregation grain spatial
+    * rollups partition by at 100 TB (cells are equi-join keys; the
+    * grid IS the shuffle key, so density work is one hash aggregate,
+    * never geometry). Cell ids are floor(lat)/floor(lon) of the exact
+    * synthetic rationals (k/100 + 40 — representable doubles whose
+    * floor cannot straddle engines, including the exact-integer
+    * boundary values); centroids are cross-row double means absorbed by
+    * round-6 (the q_entropy argument).
+    */
+  def geoGrid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    syntheticPoints(spark, dir)
+      .select(col("id"), col("lat"), col("lon"),
+        floor(col("lat")).cast("long").as("cell_lat"),
+        floor(col("lon")).cast("long").as("cell_lon"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(count(lit(1)).as("n_points"), sum(col("id")).as("sum_id"),
+           r6(sum(col("lat")) / count(lit(1)).cast("double")).as("centroid_lat"),
+           r6(sum(col("lon")) / count(lit(1)).cast("double")).as("centroid_lon"))
+      .orderBy(col("cell_lat"), col("cell_lon"))
+  }
 }

@@ -203,6 +203,46 @@ object Scale {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q_skew_diag: join-key skew diagnostics — the census you run BEFORE
+    * choosing between a plain join, a broadcast, salting (q_join_skew)
+    * or AQE skew splitting: per join side, the key count, row count,
+    * heaviest key's row count, the exact MEDIAN rows-per-key, and the
+    * skew ratio max/mean. Two-level aggregation keeps everything
+    * bounded: the per-key census shuffles once at key grain, then
+    * collapses to a VALUE HISTOGRAM of rows-per-key (|distinct count
+    * values| rows — tens at any SF, the q_agg_percentile_disc shape), so
+    * the median comes from a cumulative over the tiny histogram, never a
+    * sort of the key census. All integers; skew = max·n_keys/n_rows is
+    * ONE IEEE division of exact integers, round-6.
+    */
+  def skewDiagQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    def sideExact(name: String, df: DataFrame, key: String): DataFrame = {
+      val census = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val hist = census.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+      val wCum = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      hist
+        .withColumn("cum", sum(col("nk")).over(wCum))
+        .withColumn("n_keys", sum(col("nk")).over(wAll))
+        .withColumn("n_rows", sum(col("c") * col("nk")).over(wAll))
+        .withColumn("max_c", max(col("c")).over(wAll))
+        .filter(col("cum") >= expr("(n_keys + 1) div 2") &&
+                col("cum") - col("nk") < expr("(n_keys + 1) div 2"))
+        .select(lit(name).as("side"), col("n_keys"), col("n_rows"),
+          col("max_c").as("max_per_key"), col("c").as("p50_per_key"),
+          r6((col("max_c") * col("n_keys")).cast("double") /
+             col("n_rows").cast("double")).as("skew_ratio"))
+    }
+    sideExact("lineitem_per_orderkey",
+        graft.io.Sources.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey")
+      .unionByName(sideExact("orders_per_custkey",
+        graft.io.Sources.orders(spark, dir).select(col("o_custkey")), "o_custkey"))
+      .orderBy(col("side"))
+  }
+
   /** q_runtime_filter: the RUNTIME BLOOM FILTER join — Spark's
     * InjectRuntimeFilter builds a bloom filter from the SELECTIVE side of
     * a shuffle join and pushes `might_contain` onto the big side's scan,
