@@ -642,9 +642,14 @@ object Timeseries {
         struct(col("us"), lit(1L).as("delta")),
         struct((col("us") + 1800000000L).as("us"), lit(-1L).as("delta")))).as("x"))
       .select(col("event_type"), col("x.us").as("us"), col("x.delta").as("delta"))
+    // starts carried through the census so n_events needs NO second
+    // events scan; localCheckpoint so the run and offset branches share
+    // ONE scan+aggregate (was 5 parquet scans as a plain tree)
     val census = b.groupBy(col("event_type"), col("us"))
-      .agg(sum(col("delta")).as("delta"))
+      .agg(sum(col("delta")).as("delta"),
+           count(when(col("delta") === 1L, 1)).as("starts"))
       .withColumn("hr", expr("us div 3600000000"))
+      .localCheckpoint()
     val wHr = Window.partitionBy(col("event_type"), col("hr")).orderBy(col("us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = census.withColumn("run", sum(col("delta")).over(wHr))
@@ -655,16 +660,16 @@ object Timeseries {
     val off = hrTot
       .withColumn("off", coalesce(sum(col("dsum")).over(wOff), lit(0L)))
       .select(col("event_type"), col("hr"), col("off"))
-    val conc = run.join(off, Seq("event_type", "hr"))
-      .select(col("event_type"), col("us"), (col("off") + col("run")).as("conc"))
-    val peak = conc.groupBy(col("event_type")).agg(max(col("conc")).as("peak"))
-    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
-    conc.join(peak, Seq("event_type"))
-      .filter(col("conc") === col("peak"))
-      .groupBy(col("event_type"), col("peak"))
-      .agg(min(col("us")).as("peak_us"))
-      .join(n, Seq("event_type"))
-      .select(col("event_type"), col("n_events"), col("peak"), col("peak_us"))
+    // single-pass peak argmax: max(struct(conc, -us)) picks max
+    // concurrency then EARLIEST microsecond — no self-join re-evaluation
+    run.join(off, Seq("event_type", "hr"))
+      .select(col("event_type"), col("starts"),
+              (col("off") + col("run")).as("conc"), col("us"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("starts")).as("n_events"),
+           max(struct(col("conc").as("c"), (-col("us")).as("nu"))).as("s"))
+      .select(col("event_type"), col("n_events"),
+              col("s.c").as("peak"), (-col("s.nu")).as("peak_us"))
       .orderBy(col("event_type"))
   }
 }
