@@ -708,6 +708,7 @@ object Analytics {
       .filter(col("us") >= col("tv"))
       .groupBy(col("user_id"), col("tv")).agg(min(col("us")).as("tp"))
     val d = tp.select(col("user_id"), expr("(tp - tv) div 1000000").as("sec"))
+      .localCheckpoint() // grid probe + rank + stats share the two joins' work
     val rk = Rank.rankExact(d.withColumn("__all", lit(0)), "__all",
       col("sec"), col("user_id"), grid = Rank.gridFor(d, col("sec")),
       desc = false, out = "rk")

@@ -615,6 +615,7 @@ object Stats {
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
               cents(col("c_acctbal")).as("v"))
       .withColumn("__all", lit(0))
+      .localCheckpoint() // grid probe + rank census/local + tie census share ONE scan
     val rk = Rank.rankExact(v, "__all", col("v"), col("c_custkey"),
       grid = Rank.gridFor(v, col("v")), desc = false, out = "rk")
     // doubled average rank per tie group: min+max of the run (exact, no

@@ -376,6 +376,7 @@ object Timeseries {
               datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
       .groupBy(col("event_type"), col("epoch_day"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // pair sides + n + tie census share ONE scan
     val a = daily.select(col("event_type"), col("epoch_day").as("da"), col("cnt").as("ca"))
     val b = daily.select(col("event_type"), col("epoch_day").as("db"), col("cnt").as("cb"))
     val s = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
@@ -598,6 +599,7 @@ object Timeseries {
               datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
       .groupBy(col("event_type"), col("epoch_day"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // trend frame + seasonal rollup share ONE scan
     val w7 = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rowsBetween(-3, 3)
     val t = daily
