@@ -249,6 +249,7 @@ object SparkEntry {
     "q_peak_concurrency" -> Timeseries.peakConcurrency,
     "q_decompose_daily" -> Timeseries.decomposeDaily,
     "q_rate_shift" -> Stats.rateShift,
+    "q_k_anonymity" -> Stats.kAnonymity,
     "q_benford" -> Stats.benford,
     "q_skyline" -> Stats.skyline,
     "q_mad_outliers" -> Stats.madOutliers,
@@ -3180,6 +3181,20 @@ object SparkEntry {
         |  seasonal, round(det - seasonal, 6) AS remainder
         |FROM f JOIN seas ON f.event_type = seas.event_type AND f.dow = seas.dow
         |ORDER BY f.event_type, epoch_day""".stripMargin,
+
+    // k-anonymity: QI-grain census -> class-size histogram; floor (not
+    // integer div) banding because balances go negative and the two
+    // engines' integer division semantics differ on negatives
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |               / 100000.0) AS BIGINT) AS band,
+        |    COUNT(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT class_size, COUNT(*) AS n_classes,
+        |  CAST(class_size * COUNT(*) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Poisson rate shift: data-derived midpoint split, exact conditional
     // counts and day spans, one shared IEEE tree round-6

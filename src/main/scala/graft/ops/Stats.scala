@@ -640,6 +640,33 @@ object Stats {
       .select(col("k"), col("nn").as("n_total"), r6(h / corr).as("h"))
   }
 
+  /** q_k_anonymity: k-anonymity audit over the quasi-identifier tuple
+    * (nation, market segment, $1000 balance band) — the governance
+    * check a dataset release runs BEFORE shipping: the CLASS-SIZE
+    * HISTOGRAM (equivalence-class size → #classes, #rows) whose first
+    * row IS k (the smallest class), and whose small-size mass is the
+    * re-identification exposure. Pairs with q_pii_scrub: scrub removes
+    * direct identifiers; this measures what the quasi-identifiers still
+    * leak. Banding uses floor(cents/1e5) — floor, NOT integer div,
+    * because balances go negative and Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors (a real cross-engine divergence on
+    * negatives); the float boundary is exact (multiples of 1e5 divide
+    * exactly). Two hash aggregates: QI-grain then size-grain — the
+    * histogram is bounded by |distinct class sizes|. All integers.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.cents
+    val cls = Sources.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(cents(col("c_acctbal")) / 100000.0).cast("long").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("class_size"))
+    cls.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+           (col("class_size") * count(lit(1))).as("n_rows"))
+      .orderBy(col("class_size"))
+  }
+
   /** q_rate_shift: two-sample Poisson rate z-test per event_type across
     * the data-derived midpoint of the observation window — "did this
     * stream's arrival RATE change between the first and second half":

@@ -394,6 +394,21 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("k-anonymity: histogram conserves rows and classes vs the brute QI census") {
+    val c = graft.io.Sources.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(graft.Det.cents(col("c_acctbal")) / 100000.0).cast("long").as("band"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val classes = c.groupBy(identity).map(_._2.length)
+    val brute = classes.groupBy(identity).map { case (sz, xs) => sz.toLong -> xs.size.toLong }
+    val rows = Stats.kAnonymity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => r._1 -> r._2).toMap == brute, "class-size histogram")
+    assert(rows.map(_._3).sum == c.length, "histogram must conserve rows")
+    assert(rows.forall(r => r._3 == r._1 * r._2))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted, "ordered by class size")
+  }
+
   test("rate shift: split counts conserve totals; z sign follows the rate difference") {
     val rows = Stats.rateShift(spark, sfDir).collect()
     assert(rows.nonEmpty)
