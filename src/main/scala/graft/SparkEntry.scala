@@ -248,6 +248,7 @@ object SparkEntry {
     "q_rolling_corr" -> Timeseries.rollingCorr,
     "q_peak_concurrency" -> Timeseries.peakConcurrency,
     "q_decompose_daily" -> Timeseries.decomposeDaily,
+    "q_burn_rate" -> Timeseries.burnRate,
     "q_rate_shift" -> Stats.rateShift,
     "q_k_anonymity" -> Stats.kAnonymity,
     "q_benford" -> Stats.benford,
@@ -3150,6 +3151,25 @@ object SparkEntry {
         |FROM conc JOIN p USING (event_type) JOIN n USING (event_type)
         |WHERE conc = peak
         |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    // burn rate: exact BIGINT 7-window sums over the global daily
+    // (err, tot) census; burn multiple = one shared IEEE tree round-6
+    "q_burn_rate" ->
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+        |    COUNT(*) AS tot
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT epoch_day, err, tot,
+        |    COUNT(*) OVER w7 AS n7,
+        |    CAST(SUM(err) OVER w7 AS BIGINT) AS err7,
+        |    CAST(SUM(tot) OVER w7 AS BIGINT) AS tot7
+        |  FROM d
+        |  WINDOW w7 AS (ORDER BY epoch_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT epoch_day, err, tot, err7, tot7,
+        |  round(CAST(err7 AS DOUBLE) / CAST(tot7 AS DOUBLE) / 0.01, 6) AS burn7x
+        |FROM r WHERE n7 = 7 ORDER BY epoch_day""".stripMargin,
 
     // additive decomposition: BIGINT 7-day sums -> deterministic
     // trend/det IEEE expressions; seasonal mean round-6 absorbed; the

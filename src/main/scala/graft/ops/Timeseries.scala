@@ -576,6 +576,37 @@ object Timeseries {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** q_burn_rate: SRE error-budget burn — the 7-observation rolling
+    * error RATE against a 1% budget, as a burn MULTIPLE (burn7x > 1 ⇒
+    * the budget exhausts before the window does): the alerting form SRE
+    * playbooks page on, complementing q_error_spikes' single-day
+    * z-score with the sustained-burn view that catches slow leaks a
+    * daily outlier test never fires on. Numerator/denominator are exact
+    * BIGINT window sums over the daily (errors, total) census — ONE
+    * day-grain census carries both conditional counts, so the whole key
+    * is one scan + one global-ordered window over the calendar-bounded
+    * census (≤ |days| rows — the q_cumulative_uniques bound) — and
+    * burn7x = (Σerr/Σtot)/0.01 is one shared IEEE tree, round-6. Full
+    * windows only (the q_wma honest-contract rule).
+    */
+  def burnRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val d = Sources.events(spark, dir)
+      .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"),
+              col("event_type"))
+      .groupBy(col("epoch_day"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"),
+           count(lit(1)).as("tot"))
+    val w7 = Window.orderBy(col("epoch_day")).rowsBetween(-6, Window.currentRow)
+    d.withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("err7", sum(col("err")).over(w7))
+      .withColumn("tot7", sum(col("tot")).over(w7))
+      .filter(col("n7") === 7L)
+      .select(col("epoch_day"), col("err"), col("tot"), col("err7"), col("tot7"),
+        r6(col("err7").cast("double") / col("tot7").cast("double") / 0.01).as("burn7x"))
+      .orderBy(col("epoch_day"))
+  }
+
   /** q_decompose_daily: classical additive decomposition of each
     * event_type's daily volume — cnt = trend + seasonal + remainder, the
     * capacity/anomaly workhorse that SPLITS a series instead of just

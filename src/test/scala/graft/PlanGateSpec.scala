@@ -199,6 +199,7 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_mixture_sample",  // reuses the q_mixture_weights rate frame
     "q_cumulative_uniques", // running sum over the DAILY aggregate (calendar-days domain)
     "q_skew_diag",          // cumulative over the rows-per-key VALUE HISTOGRAM (tens of rows)
+    "q_burn_rate",          // 7-row frame over the GLOBAL daily census (calendar-days domain)
     // GLOBAL two-phase ranks (seg = a constant column, which Catalyst
     // folds out of the partition spec): the flagged window is rankExact's
     // census prefix-sum, whose input is the (seg, chunk) census —
