@@ -419,6 +419,21 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("burn rate: window sums match the brute global daily census") {
+    val daily = dailyCensus()
+    val byDay = daily.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val err = daily.filter(_._1 == "error").map(r => r._2 -> r._3).toMap
+    val days = byDay.keys.toSeq.sorted
+    val got = Timeseries.burnRate(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    days.sliding(7).filter(_.length == 7).foreach { w =>
+      val (e7, t7) = (w.map(d => err.getOrElse(d, 0L)).sum, w.map(byDay).sum)
+      val (ge, gt, gb) = got(w.last)
+      assert(ge == e7 && gt == t7, s"day ${w.last}: ($ge,$gt) vs ($e7,$t7)")
+      assert(math.abs(gb - e7.toDouble / t7 / 0.01) < 1e-6)
+    }
+  }
+
   test("decompose: cnt == trend + seasonal + remainder within rounding; trend is the centered mean") {
     val census = dailyCensus()
       .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toSeq }
