@@ -125,6 +125,7 @@ object SparkEntry {
     "q_triangle_count" -> Graph.triangleCountQuery,
     "q_bfs_hops" -> Graph.bfsHopsQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
+    "q_minhash_calibration" -> Text.minhashCalibrationQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
     "q_media_meta" -> Multimodal.mediaMetaQuery,
@@ -468,6 +469,40 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_minhash_calibration oracle: the q_dedup_minhash estimate LEFT
+    * JOINed to the q_dedup_ngram-style exact shingle Jaccard on the same
+    * bounded panel; |err| of two already-rounded values is deterministic.
+    */
+  private def minhashCalibrationOracle: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 4}:'||s), ${(i % 4) * 8 + 1}, 8)) AS m$i").mkString(",\n    ")
+    val matches = (0 until 8).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1.0 ELSE 0.0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 40),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+       |  FROM t),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY 1),
+       |est AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(($matches) / 8.0, 6) AS est_j
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ex AS (SELECT i.id_a, i.id_b,
+       |    round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) AS jaccard
+       |  FROM inter i JOIN sz za ON i.id_a = za.doc_id
+       |  JOIN sz zb ON i.id_b = zb.doc_id)
+       |SELECT est.id_a, est.id_b, est_j,
+       |  COALESCE(jaccard, 0.0) AS jaccard,
+       |  round(abs(est_j - COALESCE(jaccard, 0.0)), 6) AS abs_err
+       |FROM est LEFT JOIN ex ON est.id_a = ex.id_a AND est.id_b = ex.id_b
+       |WHERE est_j > 0 OR COALESCE(jaccard, 0) > 0
+       |ORDER BY est.id_a, est.id_b""".stripMargin
+  }
+
   /** q_dedup_lsh_candidates oracle: the same banded-MinHash candidate
     * generation over the FULL corpus — signature = 8 min-md5-string
     * components (verbatim the q_dedup_minhash construction), 4 bands of 2
@@ -659,6 +694,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+    "q_minhash_calibration" -> minhashCalibrationOracle,
 
     "q_dedup_lsh_candidates" -> lshOracle,
 

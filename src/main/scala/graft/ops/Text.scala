@@ -966,6 +966,34 @@ object Text {
       .orderBy(col("decile"))
   }
 
+  /** q_minhash_calibration: the ESTIMATOR AUDIT of the dedup stack — for
+    * every pair in the bounded panel, the k=8 MinHash estimate next to
+    * the EXACT shingle Jaccard and their absolute error: what q_ann_recall
+    * is to the IVF index, this is to the MinHash sketch ("how wrong is
+    * est_j at k=8, and on which pairs") — the calibration every pipeline
+    * runs before trusting an LSH threshold. Both sides are deterministic
+    * declared constructions (the q_dedup_minhash signature; the
+    * q_dedup_ngram exact join), so est, exact and |err| are hashable
+    * numbers, not tolerance bands. Pairs sharing no shingles surface
+    * with jaccard 0 (LEFT join): a nonzero est there is pure sketch
+    * noise — exactly what the audit must show. Scale: the exact side is
+    * the bounded ground-truth panel (the dedup family rule); production
+    * calibration samples pairs, it never sweeps the corpus.
+    */
+  def minhashCalibrationQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val docs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
+    val est = dedupMinhashQuery(spark, dir)
+    val exact = ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+    est.join(exact, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("est_j"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        r6(abs(col("est_j") - coalesce(col("jaccard"), lit(0.0)))).as("abs_err"))
+      .filter(col("est_j") > 0.0 || col("jaccard") > 0.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q_keywords_rake: RAKE keyword extraction over the corpus — score a
     * content word by degree/frequency, where degree sums the lengths of
     * the stopword-delimited PHRASES it appears in: words that live in
