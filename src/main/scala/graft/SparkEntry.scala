@@ -126,6 +126,7 @@ object SparkEntry {
     "q_bfs_hops" -> Graph.bfsHopsQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_minhash_calibration" -> Text.minhashCalibrationQuery,
+    "q_lsh_recall" -> Text.lshRecallQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
     "q_media_meta" -> Multimodal.mediaMetaQuery,
@@ -550,6 +551,31 @@ object SparkEntry {
        |SELECT id_a, id_b, n_bands, est_j FROM scored
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q_lsh_recall oracle: the q_dedup_ngram-style exact ≥0.5 pairs on
+    * the bounded panel LEFT JOINed to the full-corpus `scored` LSH
+    * candidate frame — the miss set itself is hash-proven.
+    */
+  private def lshRecallOracle: String =
+    s"""WITH $lshScoredCtes,
+       |pt AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |       FROM documents WHERE doc_id < 40),
+       |psh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+       |  FROM pt),
+       |psz AS (SELECT doc_id, COUNT(*) AS sz FROM psh GROUP BY 1),
+       |pinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |  FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |tp AS (SELECT i.id_a, i.id_b,
+       |    round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) AS jaccard
+       |  FROM pinter i JOIN psz za ON i.id_a = za.doc_id
+       |  JOIN psz zb ON i.id_b = zb.doc_id
+       |  WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) >= 0.5)
+       |SELECT tp.id_a, tp.id_b, tp.jaccard,
+       |  CAST(CASE WHEN s2.id_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found
+       |FROM tp LEFT JOIN scored s2 ON tp.id_a = s2.id_a AND tp.id_b = s2.id_b
+       |ORDER BY tp.id_a, tp.id_b""".stripMargin
+
   /** q_dedup_clusters oracle: the identical LSH pairs at est_j >= 0.5
     * become symmetric edges; a recursive CTE propagates every reachable
     * node id and MIN(label) per node is the component id — the same
@@ -695,6 +721,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
     "q_minhash_calibration" -> minhashCalibrationOracle,
+    "q_lsh_recall" -> lshRecallOracle,
 
     "q_dedup_lsh_candidates" -> lshOracle,
 

@@ -994,6 +994,35 @@ object Text {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q_lsh_recall: the RECALL audit of banded LSH — q_minhash_calibration
+    * audits the ESTIMATE's accuracy; this audits the CANDIDATE
+    * GENERATION's coverage: of the true near-dup pairs (exact shingle
+    * Jaccard ≥ 0.5 on the bounded panel), how many does the 4×2-banded
+    * LSH join actually surface? The banding theory says a pair at
+    * Jaccard j collides on some band with prob 1−(1−j²)⁴ (≥ 0.68 at
+    * j = 0.5, → 1 fast above) — this key MEASURES it: per true pair,
+    * its exact Jaccard and a found flag (left-semi against the full
+    * lshScoredCandidates frame), plus the panel totals. All
+    * deterministic: the exact side is the declared q_dedup_ngram
+    * construction, the candidate side the declared
+    * q_dedup_lsh_candidates one — the gate proves the miss set itself,
+    * pair by pair. Scale: exact side bounded panel (the dedup rule);
+    * candidate side is the production subquadratic path unchanged.
+    */
+  def lshRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    val docs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
+    val truePairs = ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val cand = lshScoredCandidates(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+    truePairs.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+              coalesce(col("found"), lit(0L)).as("found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q_keywords_rake: RAKE keyword extraction over the corpus — score a
     * content word by degree/frequency, where degree sums the lengths of
     * the stopword-delimited PHRASES it appears in: words that live in
