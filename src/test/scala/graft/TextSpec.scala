@@ -363,6 +363,46 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("minhash calibration: err is |est - exact|; exact side matches the declared ngram join") {
+    import graft.ops.Text
+    val rows = Text.minhashCalibrationQuery(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (est, ex, err)) =>
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
+      assert(math.abs(err - math.abs(est - ex)) < 1e-9, s"($a,$b) err")
+    }
+    // identical pair set as the declared exact join restricted to overlap>0,
+    // unioned with est>0 sketch-noise pairs
+    val exact = Text.ngramJaccardPairs(
+        graft.io.Sources.documents(spark, sfDir).filter(col("doc_id") < 40),
+        "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    rows.foreach { case (p, (_, ex, _)) =>
+      val want = exact.get(p).map(j => BigDecimal(j)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).getOrElse(0.0)
+      assert(math.abs(ex - want) < 1e-9, s"$p exact side")
+    }
+  }
+
+  test("lsh recall: every found pair IS a banded candidate; misses are not") {
+    import graft.ops.Text
+    val cand = Text.lshScoredCandidates(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Text.lshRecallQuery(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, j, found) =>
+      assert(j >= 0.5, s"$p below threshold")
+      assert(found == (if (cand(p)) 1L else 0L), s"$p found flag")
+    }
+    // high-similarity pairs should essentially always collide on a band
+    rows.filter(_._2 >= 0.9).foreach { case (p, j, found) =>
+      assert(found == 1L, s"$p at jaccard $j missed by banding — collision prob ≥ 1-(1-j²)⁴ ≈ 1")
+    }
+  }
+
   test("rake keywords: top-25 equals the brute phrase-algebra sweep") {
     import graft.ops.Text
     val stops = Text.stopwords("en").toSet
