@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: equi-depth chunk id of a long value
   * against a SORTED DISTINCT boundary array — `#{b in bounds : b <= v}`,
@@ -20,10 +20,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * monotone tie-safe mapping, bit-identical chunk ids — and chunk ids
   * are grid-internal anyway (RankSpec proves results grid-independent).
   *
+  * Boundaries are held as an immutable Seq (ADVICE r11): a case class
+  * over Array[Long] compares referentially, so two semantically equal
+  * BoundsChunk expressions from separate gridFor probes would never be
+  * semanticEquals — defeating common-subexpression reuse. The Seq gives
+  * structural equals/hashCode; compute uses a lazily-built array.
+  *
   * NULL in → NULL out (ranking inputs are non-null by construction).
   */
-case class BoundsChunk(child: Expression, bounds: Array[Long])
+case class BoundsChunk(child: Expression, bounds: Seq[Long])
     extends UnaryExpression {
+
+  @transient private lazy val arr: Array[Long] = bounds.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -35,10 +43,10 @@ case class BoundsChunk(child: Expression, bounds: Array[Long])
   override def prettyName: String = "bounds_chunk"
 
   override def nullSafeEval(input: Any): Any =
-    BoundsChunk.compute(input.asInstanceOf[Long], bounds)
+    BoundsChunk.compute(input.asInstanceOf[Long], arr)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bounds", bounds, "long[]")
+    val ref = ctx.addReferenceObj("bounds", arr, "long[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.BoundsChunk.compute($v, $ref);")
   }
@@ -50,6 +58,50 @@ case class BoundsChunk(child: Expression, bounds: Array[Long])
 object BoundsChunk {
   /** #{bounds <= v} for a sorted-distinct bounds array. */
   def compute(v: Long, bounds: Array[Long]): Long = {
+    val idx = java.util.Arrays.binarySearch(bounds, v)
+    if (idx >= 0) idx + 1L else -(idx + 1).toLong
+  }
+}
+
+/** Double twin of [[BoundsChunk]] for FRACTIONAL ranking metrics
+  * (ADVICE r11 medium): casting a [0,1) metric to long truncates every
+  * value to 0, collapsing the probed equi-depth grid to a single chunk —
+  * i.e. one full-corpus sort task, the exact anti-pattern the two-phase
+  * rank exists to remove. Ranking metrics are non-NaN by construction
+  * (quality scores, rates); IEEE double compare is a total order on the
+  * non-NaN reals, so monotonicity and tie-safety hold exactly as in the
+  * long form. NULL in → NULL out.
+  */
+case class BoundsChunkDouble(child: Expression, bounds: Seq[Double])
+    extends UnaryExpression {
+
+  @transient private lazy val arr: Array[Double] = bounds.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires DOUBLE, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bounds_chunk_double"
+
+  override def nullSafeEval(input: Any): Any =
+    BoundsChunkDouble.compute(input.asInstanceOf[Double], arr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", arr, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BoundsChunkDouble.compute($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BoundsChunkDouble =
+    copy(child = newChild)
+}
+
+object BoundsChunkDouble {
+  /** #{bounds <= v} for a sorted-distinct bounds array. */
+  def compute(v: Double, bounds: Array[Double]): Long = {
     val idx = java.util.Arrays.binarySearch(bounds, v)
     if (idx >= 0) idx + 1L else -(idx + 1).toLong
   }

@@ -714,12 +714,17 @@ object Analytics {
       desc = false, out = "rk")
     val stats = d.agg(count(lit(1)).as("n"),
       min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    // groupBy the broadcast stats (like the oracle's GROUP BY n, mn, mx)
+    // rather than a global agg: with ZERO converters a global agg over
+    // the empty cross join would emit one all-NULL row while the oracle
+    // emits none — a latent hash divergence on degenerate data (ADVICE
+    // r11). With converters present this is the same single-group agg.
     rk.crossJoin(broadcast(stats))
-      .agg(first(col("n")).as("n_converters"),
-           first(col("mn")).as("min_s"),
-           max(when(col("rk") === expr("(n + 1) div 2"), col("sec"))).as("p50_s"),
-           max(when(col("rk") === expr("(9 * n + 9) div 10"), col("sec"))).as("p90_s"),
-           first(col("mx")).as("max_s"))
+      .groupBy(col("n"), col("mn"), col("mx"))
+      .agg(max(when(col("rk") === expr("(n + 1) div 2"), col("sec"))).as("p50_s"),
+           max(when(col("rk") === expr("(9 * n + 9) div 10"), col("sec"))).as("p90_s"))
+      .select(col("n").as("n_converters"), col("mn").as("min_s"),
+              col("p50_s"), col("p90_s"), col("mx").as("max_s"))
   }
 
   /** q_cohort_ltv: cumulative purchase value per signup cohort by week

@@ -78,7 +78,24 @@ object Rank {
       else org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.BoundsChunk(
           org.apache.spark.sql.graftbridge.Bridge.expression(metric.cast("long")),
-          bounds.toArray))
+          bounds))
+  }
+
+  /** Equi-depth cells over DOUBLE boundaries — the grid for FRACTIONAL
+    * metrics (ADVICE r11 medium): the long grid's `metric.cast("long")`
+    * truncates a [0,1) score to 0, so the probed boundary list dedupes
+    * to nothing and the "≈256-chunk" rank silently degenerates to one
+    * full-corpus sort task. Same monotone tie-safe contract (ranking
+    * metrics are non-NaN by construction; IEEE compare totally orders
+    * the non-NaN reals), same native binary-search expression.
+    */
+  final case class DoubleBoundsGrid(bounds: Seq[Double]) extends Grid {
+    def chunkOf(metric: Column): Column =
+      if (bounds.isEmpty) lit(0L)
+      else org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.BoundsChunkDouble(
+          org.apache.spark.sql.graftbridge.Bridge.expression(metric.cast("double")),
+          bounds))
   }
 
   /** Data-driven grid (VERDICT r10 "wrong" #3): ONE bounded probe — a
@@ -99,12 +116,44 @@ object Rank {
   def gridFor(df: DataFrame, metric: Column, targetChunks: Int = 256): Grid = {
     require(targetChunks > 1)
     val pcts = (1 until targetChunks).map(i => i.toDouble / targetChunks)
-    val row = df
-      .agg(percentile_approx(metric.cast("long"),
-        lit(pcts.toArray), lit(10000)).as("bs"))
-      .head()
-    if (row.isNullAt(0)) BoundsGrid(Nil)
-    else BoundsGrid(row.getSeq[Long](0).distinct.sorted)
+    // Fractional metrics probe (and chunk) in DOUBLE: the long cast would
+    // truncate a [0,1) score to 0 and collapse the grid to one chunk —
+    // one full-corpus sort task (ADVICE r11 medium). Integral metrics
+    // keep the long path (exact compares beyond 2^53, e.g. cents sums).
+    val fractional = df.select(metric).schema.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           (_: org.apache.spark.sql.types.DecimalType) => true
+      case _ => false
+    }
+    val grid: Grid = if (fractional) {
+      val row = df
+        .agg(percentile_approx(metric.cast("double"),
+          lit(pcts.toArray), lit(10000)).as("bs"))
+        .head()
+      if (row.isNullAt(0)) DoubleBoundsGrid(Nil)
+      else DoubleBoundsGrid(row.getSeq[Double](0).distinct.sorted)
+    } else {
+      val row = df
+        .agg(percentile_approx(metric.cast("long"),
+          lit(pcts.toArray), lit(10000)).as("bs"))
+        .head()
+      if (row.isNullAt(0)) BoundsGrid(Nil)
+      else BoundsGrid(row.getSeq[Long](0).distinct.sorted)
+    }
+    // A near-empty boundary list means the rank will run as ~one sort
+    // task. Legitimate for a genuinely tiny-NDV metric (ties must share
+    // a chunk — an inherent parallelism floor), but worth a trace: if
+    // the metric is high-NDV this is a probe/typing bug, not a floor.
+    val nb = grid match {
+      case BoundsGrid(b) => b.size
+      case DoubleBoundsGrid(b) => b.size
+      case _ => targetChunks
+    }
+    if (nb < 2) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"gridFor probed only $nb boundary(ies) for target=$targetChunks — " +
+        "rank parallelism degenerates to a single chunk (fine iff the metric is tiny-NDV)")
+    grid
   }
 
   /** Adds `__rank` (1-based long, per seg, by (metric, tiebreak)), `__n`

@@ -566,6 +566,10 @@ object Stats {
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
               cents(col("c_acctbal")).as("v"))
       .withColumn("__all", lit(0))
+      // consumed by the grid probe + rank census/join + tie census: without
+      // this the 1-row percentile probe re-runs the customer scan+filter
+      // on every execution (ADVICE r11 — the kruskalWallis pattern)
+      .localCheckpoint()
     val rk = Rank.rankExact(two, "__all", col("v"), col("c_custkey"),
       grid = Rank.gridFor(two, col("v")), desc = false, out = "rk")
     // tie census + shuffle join on v (cents nearly unique → ~n tiny

@@ -821,27 +821,61 @@ object Text {
     * across a big size gap) prunes candidates inside the join condition,
     * and the exact Jaccard is then verified on the candidates only.
     *
-    * Scale shape: five linear passes — df count, prefix rank (window by
-    * doc), prefix equi-join, candidate distinct, verification join back to
-    * the full (id → hashed-shingle array) sets. Every shuffle is on an id
-    * or a hash; nothing is all-pairs. FP hygiene: prefix lengths and the
-    * length filter take a 1e-9 slack so binary-double fuzz in t·|x| can
-    * only lengthen a prefix (extra candidates), never drop a true pair;
-    * the final threshold is the division-free integer-exact form
-    * common >= t·(union), identical IEEE arithmetic in any engine.
+    * Scale shape (round 12 — kills the r11 verification memory wall):
+    *
+    *   0. CONTENT COLLAPSE. Verbatim duplicates — the dominant mass in
+    *      real crawl data, and exactly what made the sf10docs probe OOM —
+    *      are collapsed FIRST: fingerprint each doc's sorted-distinct
+    *      shingle array (structural xxhash64), keep one representative
+    *      (min id) per distinct content, remember the membership. ALL
+    *      pair work then runs at the DISTINCT-CONTENT grain, so its cost
+    *      is independent of replication depth; identical-content pairs
+    *      (J exactly 1) and cross-content matches expand back through
+    *      two membership equi-joins — output-linear, the only quadratic
+    *      left is the answer itself.
+    *   1. prefix filter on representatives: df count, prefix rank
+    *      (window by doc), prefix equi-join + length filter, candidate
+    *      distinct — same AllPairs shape as before.
+    *   2. COUNT-FORM verification: never materializes a shingle array
+    *      per candidate (the r11 form joined candidates back to full
+    *      hash arrays on BOTH sides and ran array_intersect per pair —
+    *      OOM at an 8 GiB driver on sf10docs). Instead each candidate
+    *      pair fans out over A's (id, h) shingle stream, equi-joins on
+    *      (id_b, h) to keep exactly the hashes B also holds, and COUNTS
+    *      matches per pair — shuffles carry (hash, id) rows, never
+    *      arrays, so per-task memory is row-bounded regardless of
+    *      document length or near-dup density among DISTINCT contents.
+    *
+    * FP hygiene: prefix lengths and the length filter take a 1e-9 slack
+    * so binary-double fuzz in t·|x| can only lengthen a prefix (extra
+    * candidates), never drop a true pair; the final threshold is the
+    * division-free integer-exact form common >= t·(union), identical
+    * IEEE arithmetic in any engine. No candidate pair is lost to the
+    * inner count joins: every candidate shares >= 1 prefix shingle, so
+    * common >= 1 always. The content fingerprint adds one more 64-bit
+    * collision surface with the same argument as the shingle hashing
+    * itself (~1e-8 at a billion distinct contents; the oracle computes
+    * over raw strings, so any collision surfaces as a gate mismatch).
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          w: Int = 3, t: Double = 0.7): DataFrame = {
-    // materialize the hashed shingle sets ONCE: this subtree otherwise
-    // evaluates four times (df-count branch, prefix branch, both
-    // verification joins) — shingling is the dominant per-row cost.
-    // Native fused generator (graft.functions.XxShingleHashes): sorted
-    // distinct xxhash64 per shingle byte-span, no shingle strings built.
-    val docs = df
+    // materialize shingle sets + content ids ONCE: this subtree otherwise
+    // evaluates once per downstream branch — shingling is the dominant
+    // per-row cost. Native fused generator (graft.functions
+    // .XxShingleHashes): sorted distinct xxhash64 per shingle byte-span,
+    // no shingle strings built. xxhash64(array) is structural, and the
+    // arrays are canonical (sorted distinct), so equal sets ⇔ equal fp.
+    val tagged = df
       .select(col(idCol).as("id"), xxShingleHashes(col(textCol), w).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("id"), col("hs"), size(col("hs")).as("sz"))
+      .withColumn("cid", min(col("id")).over(
+        Window.partitionBy(xxhash64(col("hs")))))
+      .select(col("id"), col("cid"), col("hs"), size(col("hs")).as("sz"))
       .localCheckpoint()
+    val mem = tagged.select(col("cid"), col("id"))
+    // distinct-content corpus: every pair stage below runs at this grain
+    val docs = tagged.filter(col("id") === col("cid"))
+      .select(col("id"), col("hs"), col("sz"))
     val ex = docs.select(col("id"), col("sz"), explode(col("hs")).as("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val pos = row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("h")))
@@ -854,17 +888,40 @@ object Text {
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
         least(col("a.sz"), col("b.sz")).cast("double") >=
           lit(t) * greatest(col("a.sz"), col("b.sz")) - 1e-9)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    val sets = docs.select(col("id"), col("hs"), col("sz"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+    // count-form verifier (distinct-content grain): stream A's hashes
+    // through the pair, keep the ones B also holds (equi-join on
+    // (id_b, h)), count per pair. `ex` re-explodes from the checkpointed
+    // `tagged`, so shingling itself still computes once.
+    val hsA = ex.select(col("id").as("id_a"), col("h"))
+    val hsB = ex.select(col("id").as("id_b"), col("h"))
+    val cross = cand
+      .join(hsA, "id_a")
+      .join(hsB, Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("common"))
       .withColumn("un", col("sz_a") + col("sz_b") - col("common"))
       .filter(col("common").cast("double") >= lit(t) * col("un").cast("double"))
       .select(col("id_a"), col("id_b"),
               r6(col("common").cast("double") / col("un").cast("double")).as("jaccard"))
+    // expand content-grain matches to member pairs. Cross-content pairs
+    // keep the representative-level jaccard (identical sets ⇒ identical
+    // J for every member combination); member ids re-order through
+    // least/greatest because content-rep order says nothing about member
+    // id order. Same-content pairs are J = 1 by construction (t <= 1
+    // always admits them, as the old per-doc form did via sz/sz).
+    val expanded = cross
+      .join(mem.select(col("cid").as("id_a"), col("id").as("ia")), "id_a")
+      .join(mem.select(col("cid").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+              greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val twins = mem.as("x").join(mem.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              lit(1.0).as("jaccard"))
+    expanded.unionByName(twins)
   }
 
   /** Deterministic synthetic URL per doc — BOTH engines build the identical

@@ -110,6 +110,33 @@ class RankSpec extends AnyFunSuite with SparkFixture {
     assert(Rank.gridFor(narrow.filter(col("m") < 0), col("m")) === Rank.BoundsGrid(Nil))
   }
 
+  test("gridFor: FRACTIONAL [0,1) metric gets a non-degenerate double grid (ADVICE r11)") {
+    // the round-11 bug: metric.cast('long') truncated a quality score in
+    // [0,1) to 0 everywhere — the probe deduped to ~1 boundary and the
+    // "≈256-chunk" rank silently became ONE full-corpus sort task
+    val frac = (0 until 4000)
+      .map(i => ("s" + (i % 3), (i % 997).toDouble / 997.0, i.toLong))
+      .toDF("seg", "m", "id")
+    val grid = Rank.gridFor(frac, col("m"), targetChunks = 64)
+    assert(grid.isInstanceOf[Rank.DoubleBoundsGrid], s"expected double grid, got $grid")
+    val occupancy = frac.select(grid.chunkOf(col("m")).as("c"))
+      .groupBy("c").count().agg(max("count"), countDistinct("c")).head()
+    val (maxPerChunk, nChunks) = (occupancy.getLong(0), occupancy.getLong(1))
+    assert(nChunks > 10, s"fractional grid collapsed: $nChunks chunks")
+    assert(maxPerChunk <= 4000 / 10, s"equi-depth violated: $maxPerChunk rows in one chunk")
+    val got = Rank.rankExact(frac, "seg", col("m"), col("id"), grid, desc = false, "r")
+    val want = frac.withColumn("r",
+      row_number().over(Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))).cast("long"))
+    assert(got.select("seg", "m", "id", "r").exceptAll(want.select("seg", "m", "id", "r")).isEmpty &&
+           want.select("seg", "m", "id", "r").exceptAll(got.select("seg", "m", "id", "r")).isEmpty)
+    // and ntile (the q_score_deciles shape) matches the window form too
+    val gotT = Rank.ntileExact(frac, "seg", col("m"), col("id"), 10, grid, desc = false, "d")
+    val wantT = frac.withColumn("d",
+      ntile(10).over(Window.partitionBy(col("seg")).orderBy(col("m"), col("id"))))
+    assert(gotT.select("seg", "m", "id", "d").exceptAll(wantT.select("seg", "m", "id", "d")).isEmpty &&
+           wantT.select("seg", "m", "id", "d").exceptAll(gotT.select("seg", "m", "id", "d")).isEmpty)
+  }
+
   test("topK equals window top-k for any repartitioning of the input") {
     val df = rows(300).toDF("seg", "m", "id")
     for (k <- Seq(1, 3, 10); parts <- Seq(1, 7)) {
