@@ -127,6 +127,8 @@ object SparkEntry {
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_minhash_calibration" -> Text.minhashCalibrationQuery,
     "q_lsh_recall" -> Text.lshRecallQuery,
+    "q_dedup_lsh_rebanded" -> Text.dedupLshRebandedQuery,
+    "q_lsh_recall_rebanded" -> Text.lshRecallRebandedQuery,
     "q_dedup_simhash" -> Text.dedupSimhashQuery,
     "q_media_dedup" -> Multimodal.mediaDedupQuery,
     "q_media_meta" -> Multimodal.mediaMetaQuery,
@@ -518,11 +520,18 @@ object SparkEntry {
     * string so q_dedup_lsh_candidates and q_dedup_clusters stay in
     * lockstep with Text.lshScoredCandidates.
     */
-  private def lshScoredCtes: String = {
+  private def lshScoredCtes: String = lshScoredCtesAt(rows = 2)
+
+  /** rows = 2 → 4 bands × 2 (the candidate-lean default); rows = 1 →
+    * 8 bands × 1 (the recall ≈ 1 re-banding). Band keys mirror
+    * Text.lshScoredCandidates' concat_ws("|", slice(sig, ...)) exactly.
+    */
+  private def lshScoredCtesAt(rows: Int): String = {
     val mins = (0 until 8).map(i =>
       s"min(substr(md5('${i / 4}:'||s), ${(i % 4) * 8 + 1}, 8)) AS m$i").mkString(",\n    ")
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_idx, m${2 * b}||'|'||m${2 * b + 1} AS band_key FROM sig"
+    val bands = (0 until 8 / rows).map { b =>
+      val key = (0 until rows).map(r => s"m${rows * b + r}").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
     }.mkString(" UNION ALL\n  ")
     val matches = (0 until 8).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1.0 ELSE 0.0 END").mkString(" + ")
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -551,12 +560,20 @@ object SparkEntry {
        |SELECT id_a, id_b, n_bands, est_j FROM scored
        |ORDER BY id_a, id_b""".stripMargin
 
+  private def lshRebandedOracle: String =
+    s"""WITH ${lshScoredCtesAt(rows = 1)}
+       |SELECT id_a, id_b, n_bands, est_j FROM scored
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** q_lsh_recall oracle: the q_dedup_ngram-style exact ≥0.5 pairs on
     * the bounded panel LEFT JOINed to the full-corpus `scored` LSH
     * candidate frame — the miss set itself is hash-proven.
     */
-  private def lshRecallOracle: String =
-    s"""WITH $lshScoredCtes,
+  private def lshRecallOracle: String = lshRecallOracleAt(rows = 2)
+  private def lshRecallRebandedOracle: String = lshRecallOracleAt(rows = 1)
+
+  private def lshRecallOracleAt(rows: Int): String =
+    s"""WITH ${lshScoredCtesAt(rows)},
        |pt AS (SELECT doc_id, string_split(text, ' ') AS toks
        |       FROM documents WHERE doc_id < 40),
        |psh AS (
@@ -722,8 +739,10 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
     "q_minhash_calibration" -> minhashCalibrationOracle,
     "q_lsh_recall" -> lshRecallOracle,
+    "q_lsh_recall_rebanded" -> lshRecallRebandedOracle,
 
     "q_dedup_lsh_candidates" -> lshOracle,
+    "q_dedup_lsh_rebanded" -> lshRebandedOracle,
 
     "q_dedup_clusters" -> clustersOracle,
 

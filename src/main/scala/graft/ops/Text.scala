@@ -356,12 +356,27 @@ object Text {
   def dedupLshQuery(spark: SparkSession, dir: String): DataFrame =
     lshScoredCandidates(spark, dir).orderBy(col("id_a"), col("id_b"))
 
-  /** The scored banded-LSH candidate frame (id_a, id_b, n_bands, est_j),
-    * unsorted — shared by q_dedup_lsh_candidates (declared as-is) and
-    * q_dedup_clusters (est_j-thresholded pairs become component edges).
+  /** q_dedup_lsh_rebanded: the RECALL KNOB production actually turns —
+    * the same k=8 signature re-banded 8 bands × 1 row. Banding theory:
+    * a pair at Jaccard j collides on some band with prob 1−(1−j^rows)^bands
+    * — 4×2 gives 0.68 at j=0.5 (cheap, candidate-lean), 8×1 gives
+    * 1−(1−j)⁸ = 0.996 (recall ≈ 1, more low-j candidates). Declaring
+    * BOTH geometries through the same machinery, each paired with its
+    * recall audit (q_lsh_recall / q_lsh_recall_rebanded), hash-proves
+    * the recall/candidate-volume tradeoff at both ends — the decision a
+    * 100 TB dedup actually tunes. Same signature build; only the band
+    * split changes, so the extra cost is purely the wider candidate set.
     */
-  def lshScoredCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8; val rows = 2; val nBands = k / rows
+  def dedupLshRebandedQuery(spark: SparkSession, dir: String): DataFrame =
+    lshScoredCandidates(spark, dir, rows = 1).orderBy(col("id_a"), col("id_b"))
+
+  /** The scored banded-LSH candidate frame (id_a, id_b, n_bands, est_j),
+    * unsorted — shared by q_dedup_lsh_candidates (declared as-is),
+    * q_dedup_clusters (est_j-thresholded pairs become component edges)
+    * and the rebanded 8×1 config (rows = 1).
+    */
+  def lshScoredCandidates(spark: SparkSession, dir: String, rows: Int = 2): DataFrame = {
+    val k = 8; val nBands = k / rows
     val sigs = Sources.documents(spark, dir)
       // fully fused native signature (graft.functions.Md5MinHashFromText —
       // text bytes → token-window digests, no shingle strings ever built);
@@ -1066,13 +1081,26 @@ object Text {
     * pair by pair. Scale: exact side bounded panel (the dedup rule);
     * candidate side is the production subquadratic path unchanged.
     */
-  def lshRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+  def lshRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAt(spark, dir, rows = 2)
+
+  /** q_lsh_recall_rebanded: the recall audit at the 8×1 geometry — with
+    * q_lsh_recall this hash-proves BOTH ends of the banding tradeoff:
+    * theory says every true j ≥ 0.5 pair collides with prob ≥ 0.996
+    * under 8×1, so the found column should read all-1 where the 4×2
+    * audit shows misses. Same bounded exact panel, same production
+    * candidate path — only the band split differs.
+    */
+  def lshRecallRebandedQuery(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAt(spark, dir, rows = 1)
+
+  private def lshRecallAt(spark: SparkSession, dir: String, rows: Int): DataFrame = {
     import graft.Det.r6
     val docs = Sources.documents(spark, dir).filter(col("doc_id") < 40)
     val truePairs = ngramJaccardPairs(docs, "doc_id", "text", 3)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    val cand = lshScoredCandidates(spark, dir)
+    val cand = lshScoredCandidates(spark, dir, rows)
       .select(col("id_a"), col("id_b"), lit(1L).as("found"))
     truePairs.join(cand, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), col("jaccard"),

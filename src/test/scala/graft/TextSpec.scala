@@ -403,6 +403,28 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rebanded 8x1 candidates are a superset of the 4x2 candidates") {
+    import graft.ops.Text
+    // a 4x2 collision means BOTH band components match, so each matches
+    // individually — every 2-row collision implies a 1-row collision
+    val c42 = Text.lshScoredCandidates(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c81 = Text.lshScoredCandidates(spark, sfDir, rows = 1)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c42.subsetOf(c81), s"missing: ${c42.diff(c81).take(3)}")
+    assert(c81.size >= c42.size)
+    // and the rebanded recall audit never misses a pair the 4x2 audit found
+    val f42 = Text.lshRecallQuery(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val f81 = Text.lshRecallRebandedQuery(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(f42.keySet === f81.keySet) // same true-pair panel
+    f42.foreach { case (p, found42) =>
+      assert(f81(p) >= found42, s"$p: rebanded lost a pair 4x2 had") }
+  }
+
   test("rake keywords: top-25 equals the brute phrase-algebra sweep") {
     import graft.ops.Text
     val stops = Text.stopwords("en").toSet
