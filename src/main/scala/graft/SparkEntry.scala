@@ -172,6 +172,7 @@ object SparkEntry {
     // §2 H event-time processing (batch twins; streaming twins in tests)
     "q_stream_tumbling" -> Streaming.tumbling,
     "q_stream_exec" -> Streaming.streamExec,
+    "q_stream_update_exec" -> Streaming.streamUpdateExec,
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_session_native" -> Streaming.sessionNative,
@@ -2035,6 +2036,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_update_exec" ->
+      // the UPDATE-MODE contract: the final upserted table holds every
+      // window's final running value — INCLUDING the still-open one the
+      // append run must omit — so the oracle is the plain tumbling
+      // aggregate with no closure predicate (q_stream_tumbling verbatim)
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -369,6 +369,113 @@ object Streaming {
       .orderBy(col("k"))
   }
 
+  /** q_stream_update_exec: UPDATE-MODE streaming under the hash gate —
+    * the eighth real-exec pillar and the last output mode the oracle
+    * never saw (the other execs are append or foreachBatch): the live
+    * dashboard shape, where every micro-batch RE-EMITS the current
+    * running value of each window it touched instead of holding rows
+    * until watermark closure. Update mode cannot target a file sink
+    * (parquet sinks are append-only by design), so the honest update
+    * consumer is a keyed upsert — each batch's re-emissions overwrite
+    * that key's previous value, exactly how a dashboard store consumes
+    * an update stream. Three real micro-batches execute: the events
+    * table is staged as three files split at exact event-time tercile
+    * cuts (percentile_disc picks), consumed with maxFilesPerTrigger=1.
+    *
+    * Determinism has the q_stream_cdc_exec two belts: (1) file mtimes
+    * are pinned so batches arrive in EVENT-TIME order — batch N+1's
+    * rows are all >= batch N's max ts, so the 0s watermark can never
+    * drop a row (a window that received a later-file row always has
+    * end > that batch's watermark) and counts per key only accumulate,
+    * making the LAST re-emission per key the final total regardless of
+    * which batches touched it; (2) even if the source coalesced all
+    * files into one batch, update mode emits each key exactly once with
+    * the same final total. The final upserted table therefore equals
+    * the full batch tumbling aggregate — the oracle is the
+    * q_stream_tumbling SQL VERBATIM, with NO closure predicate: update
+    * mode emits windows the watermark hasn't closed, the very thing
+    * that distinguishes it from q_stream_exec's append run (whose sink
+    * is missing the open window by contract).
+    *
+    * Scale: state = open (window × event_type) keys on RocksDB; the
+    * upsert consumer is the Merge.upsert dataflow per batch (hash join
+    * on the key), the directory-swap stand-in for the KV store a real
+    * dashboard writes.
+    */
+  def streamUpdateExec(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = sys.props("java.io.tmpdir") + s"/graft_stream_update_$tag"
+    val marker = s"graft.streamUpdateExec.done.$tag"
+    val table = s"$base/table"
+    if (!spark.conf.getOption(marker).contains("true")) {
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true)
+      val ev = Sources.events(spark, dir)
+        .select(col("ts").cast("timestamp").as("ts"),
+                col("event_type"), col("value"))
+        .localCheckpoint() // cut probe + three filtered writes share one scan
+      // exact event-time tercile cuts: equal-ts rows stay in one file, so
+      // file k+1's min ts >= file k's max ts (the no-late-drops belt)
+      val evUs = ev.withColumn("__us", unix_micros(col("ts")))
+      // percentile_disc returns DOUBLE; the picked value is an actual
+      // epoch-μs (< 2^53), so the round-trip cast is exact
+      val cuts = evUs.agg(
+        expr("CAST(percentile_disc(0.3333) WITHIN GROUP (ORDER BY __us) AS BIGINT)").as("q1"),
+        expr("CAST(percentile_disc(0.6667) WITHIN GROUP (ORDER BY __us) AS BIGINT)").as("q2")).head()
+      val (q1, q2) = (cuts.getLong(0), cuts.getLong(1))
+      val parts = Seq(
+        1 -> evUs.filter(col("__us") <= q1),
+        2 -> evUs.filter(col("__us") > q1 && col("__us") <= q2),
+        3 -> evUs.filter(col("__us") > q2)).map { case (s, d) => s -> d.drop("__us") }
+      val stageDir = new org.apache.hadoop.fs.Path(s"$base/stage")
+      fs.mkdirs(stageDir)
+      parts.foreach { case (s, df) =>
+        val tmp = s"$base/tmp$s"
+        df.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
+        val dst = new org.apache.hadoop.fs.Path(stageDir, f"t$s%02d.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, s * 60000L, -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val src = spark.readStream.schema(parts.head._2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir.toString)
+        .withWatermark("ts", "0 seconds")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = tumblingOn(src).writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val spark0 = batch.sparkSession
+              val p = new org.apache.hadoop.fs.Path(table)
+              val tfs = p.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+              val target = if (tfs.exists(p)) spark0.read.parquet(table) else batch.limit(0)
+              graft.io.Sinks.atomicOverwrite(
+                Merge.upsert(target, batch, Seq("win_us", "event_type")), table)
+            }
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.set(marker, "true")
+    }
+    spark.read.parquet(table)
+      .select(col("win_us"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_us"), col("event_type"))
+  }
+
   /** Streaming twin of `session` — native session_window (same gap
     * semantics as the batch sessionization above).
     */

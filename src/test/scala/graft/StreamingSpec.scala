@@ -640,6 +640,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sink.count() > 0)
   }
 
+  test("stream update exec: final upserted table equals FULL batch tumbling (no closure cut) over >1 micro-batch") {
+    val table = Streaming.streamUpdateExec(spark, sfDir)
+    val batch = Streaming.tumbling(spark, sfDir) // NO closure predicate — update mode emits open windows
+    assert(table.exceptAll(batch).isEmpty && batch.exceptAll(table).isEmpty)
+    assert(table.count() > 0)
+    // the run must have consumed MULTIPLE real micro-batches (three staged
+    // files at maxFilesPerTrigger=1), not one coalesced pass — count the
+    // committed batch ids in the checkpoint
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val commits = new java.io.File(
+      sys.props("java.io.tmpdir") + s"/graft_stream_update_$tag/ckpt/commits")
+    val n = commits.listFiles().count(_.getName.forall(_.isDigit))
+    assert(n >= 3, s"expected >= 3 committed micro-batches, saw $n")
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicate dropped, post-eviction duplicate re-emitted") {
     // the bounded sibling of q_stream_dedup_exec's exact form: state for a
     // key is evictable once the watermark passes its event time — a dup
