@@ -125,6 +125,7 @@ object SparkEntry {
     "q_triangle_count" -> Graph.triangleCountQuery,
     "q_bfs_hops" -> Graph.bfsHopsQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
+    "q_minhash_agg" -> Text.minhashAggQuery,
     "q_minhash_calibration" -> Text.minhashCalibrationQuery,
     "q_lsh_recall" -> Text.lshRecallQuery,
     "q_dedup_lsh_rebanded" -> Text.dedupLshRebandedQuery,
@@ -473,6 +474,24 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_minhash_agg oracle: per-doc signature components over the FULL
+    * corpus — the identical min(substr(md5('g:'||shingle))) arithmetic
+    * the Spark side's typed Aggregator computes through the UDAF path.
+    */
+  private def minhashAggOracle: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 4}:'||s), ${(i % 4) * 8 + 1}, 8)) AS m$i").mkString(",\n    ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s
+       |  FROM t)
+       |SELECT doc_id,
+       |    $mins
+       |FROM sh GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q_minhash_calibration oracle: the q_dedup_minhash estimate LEFT
     * JOINed to the q_dedup_ngram-style exact shingle Jaccard on the same
     * bounded panel; |err| of two already-rounded values is deterministic.
@@ -738,6 +757,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+    "q_minhash_agg" -> minhashAggOracle,
     "q_minhash_calibration" -> minhashCalibrationOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_lsh_recall_rebanded" -> lshRecallRebandedOracle,

@@ -62,6 +62,43 @@ object MinHash {
     def outputEncoder: Encoder[Array[Long]] = implicitly(org.apache.spark.sql.Encoders.kryo[Array[Long]])
   }
 
+  /** The PORTABLE-regime twin of [[MinHashAgg]] (round 12, VERDICT r11
+    * next #6): same Aggregator/UDAF surface, but over the md5-component
+    * pattern — input = one concatenated group-hash string per shingle
+    * (the [[md5Hashes]] stage), buffer/output = the k per-component
+    * lexicographic minima. finish() is exactly
+    * [[md5SignatureFromHashes]], so the sketch is DETERMINISTIC and
+    * oracle-declarable (q_minhash_agg): the custom-Aggregator surface
+    * itself — zero/reduce/merge through Spark's partial-aggregation
+    * tree, map-side combine via functions.udaf — now runs under the
+    * hash gate instead of only under ScalaTest. [[MinHashAgg]] above
+    * stays the fast in-engine (xxhash64/splitmix) form: its mixer's
+    * wrapping-Long arithmetic is deliberately JVM-native and has no
+    * cross-engine twin.
+    */
+  class Md5MinHashAgg(k: Int) extends Aggregator[String, Seq[String], Seq[String]] {
+    def zero: Seq[String] = Seq.fill(k)(null)
+    def reduce(b: Seq[String], a: String): Seq[String] = {
+      val out = b.toArray
+      var i = 0
+      while (i < k) {
+        val w = a.substring(8 * i, 8 * i + 8)
+        if (out(i) == null || w < out(i)) out(i) = w
+        i += 1
+      }
+      out.toSeq
+    }
+    def merge(x: Seq[String], y: Seq[String]): Seq[String] =
+      x.lazyZip(y).map { (a, b) =>
+        if (a == null) b else if (b == null) a else if (a <= b) a else b
+      }
+    def finish(b: Seq[String]): Seq[String] = b
+    def bufferEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Engine-PORTABLE MinHash signature: each md5 call yields FOUR 32-bit
     * components (8 hex chars each), so k components cost only ceil(k/4)
     * md5 calls per shingle — component i is the lexicographic MIN over

@@ -681,6 +681,32 @@ object Text {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q_minhash_agg: the custom-Aggregator sketch surface under the gate
+    * (VERDICT r11 next #6 — the last §2 row whose only evidence was
+    * ScalaTest): per-doc k=8 MinHash signatures computed by
+    * MinHash.Md5MinHashAgg — a typed Aggregator run through
+    * functions.udaf, so zero/reduce/merge execute inside Spark's
+    * partial-aggregation tree (map-side combine on the shingle stream,
+    * merge across partitions) — in the PORTABLE md5-component regime,
+    * where the sketch is deterministic: component i = lexicographic min
+    * of the i-th md5 hex window over the doc's distinct shingles, the
+    * identical arithmetic the oracle runs as min(substr(md5(...))).
+    * FULL corpus, one row per ≥3-token doc. Scale: the aggregation is
+    * the mergeable-sketch shape itself — fixed k·8 bytes of state per
+    * doc regardless of length, combine-before-shuffle.
+    */
+  def minhashAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val ex = Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(MinHash.md5Hashes(array_distinct(shingles(col("text"), 3)), k)).as("h"))
+    val sigCol = org.apache.spark.sql.functions.udaf(new MinHash.Md5MinHashAgg(k))
+    val agg = ex.groupBy(col("doc_id")).agg(sigCol(col("h")).as("sig"))
+    agg.select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** q_dedup_simhash: PORTABLE SimHash (16-bit, md5-nibble bits,
     * Similarity.simHashMd5) — pairwise Hamming distance over the same
     * bounded doc slice. Near-dup texts → small Hamming distance; the

@@ -47,6 +47,22 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Md5MinHashAgg (UDAF path) == the staged column-expression signature") {
+    // the gated q_minhash_agg regime: the typed Aggregator through
+    // functions.udaf must produce component-for-component the same
+    // signature as md5SignatureFromHashes over the same hash stream
+    val hs = docs100.select(col("doc_id"),
+      MinHash.md5Hashes(array_distinct(Text.shingles(col("text"), 3)), 8).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val colForm = hs.select(col("doc_id"),
+        MinHash.md5SignatureFromHashes(col("hs"), 8).as("sig"))
+    val udafCol = udaf(new MinHash.Md5MinHashAgg(8))
+    val aggForm = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id")).agg(udafCol(col("h")).as("sig"))
+    assert(colForm.exceptAll(aggForm).isEmpty && aggForm.exceptAll(colForm).isEmpty)
+    assert(colForm.count() > 0)
+  }
+
   test("candidatePairs: exact duplicates always collide with est 1.0") {
     import spark.implicits._
     val base = docs100.select(col("doc_id"), col("text"))
