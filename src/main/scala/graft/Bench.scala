@@ -43,7 +43,8 @@ object Bench {
     val runOnce = Set(
       "q_stream_exec", "q_stream_session_exec", "q_stream_join_exec",
       "q_stream_dedup_exec", "q_stream_sliding_exec", "q_stream_asof_exec",
-      "q_stream_cdc_exec", "q_stream_update_exec", "q_incremental_view")
+      "q_stream_cdc_exec", "q_stream_update_exec", "q_stream_tws_exec",
+      "q_incremental_view")
     // two timed passes, min per query: local-machine contention adds
     // ±15-20% noise to any single pass; the min is the steady-state cost.
     // A failing query must NOT pass off its elapsed-to-failure time as a

@@ -174,6 +174,7 @@ object SparkEntry {
     "q_stream_tumbling" -> Streaming.tumbling,
     "q_stream_exec" -> Streaming.streamExec,
     "q_stream_update_exec" -> Streaming.streamUpdateExec,
+    "q_stream_tws_exec" -> Streaming.streamTwsExec,
     "q_stream_sliding" -> Streaming.sliding,
     "q_stream_session" -> Streaming.session,
     "q_session_native" -> Streaming.sessionNative,
@@ -2059,6 +2060,17 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_tws_exec" ->
+      // transformWithState gate: the declared result is the FINAL
+      // per-user (count, cents) total — integer state, so the batch
+      // aggregate below is the answer under ANY batching of the source
+      """WITH c AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_update_exec" ->
       // the UPDATE-MODE contract: the final upserted table holds every

@@ -414,34 +414,7 @@ object Streaming {
       val ev = Sources.events(spark, dir)
         .select(col("ts").cast("timestamp").as("ts"),
                 col("event_type"), col("value"))
-        .localCheckpoint() // cut probe + three filtered writes share one scan
-      // exact event-time tercile cuts: equal-ts rows stay in one file, so
-      // file k+1's min ts >= file k's max ts (the no-late-drops belt)
-      val evUs = ev.withColumn("__us", unix_micros(col("ts")))
-      // percentile_disc returns DOUBLE; the picked value is an actual
-      // epoch-μs (< 2^53), so the round-trip cast is exact
-      val cuts = evUs.agg(
-        expr("CAST(percentile_disc(0.3333) WITHIN GROUP (ORDER BY __us) AS BIGINT)").as("q1"),
-        expr("CAST(percentile_disc(0.6667) WITHIN GROUP (ORDER BY __us) AS BIGINT)").as("q2")).head()
-      val (q1, q2) = (cuts.getLong(0), cuts.getLong(1))
-      val parts = Seq(
-        1 -> evUs.filter(col("__us") <= q1),
-        2 -> evUs.filter(col("__us") > q1 && col("__us") <= q2),
-        3 -> evUs.filter(col("__us") > q2)).map { case (s, d) => s -> d.drop("__us") }
-      val stageDir = new org.apache.hadoop.fs.Path(s"$base/stage")
-      fs.mkdirs(stageDir)
-      parts.foreach { case (s, df) =>
-        val tmp = s"$base/tmp$s"
-        df.coalesce(1).write.parquet(tmp)
-        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
-        val dst = new org.apache.hadoop.fs.Path(stageDir, f"t$s%02d.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, s * 60000L, -1)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      }
-      val src = spark.readStream.schema(parts.head._2.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stageDir.toString)
+      val src = stageTimeOrderedTerciles(spark, ev, base, fs)
         .withWatermark("ts", "0 seconds")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(providerKey)
@@ -474,6 +447,120 @@ object Streaming {
     spark.read.parquet(table)
       .select(col("win_us"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_us"), col("event_type"))
+  }
+
+  /** Stage `ev` (must carry a `ts` timestamp column) as three files cut
+    * at exact event-time terciles (percentile_disc picks; equal-ts rows
+    * stay in one file, so file k+1's min ts >= file k's max ts — the
+    * no-late-drops belt) with PINNED mtimes (the file source orders
+    * batches by modification time — the batch-order belt), and return
+    * the maxFilesPerTrigger=1 streaming reader over them: the shared
+    * multi-micro-batch determinism rig of q_stream_update_exec and
+    * q_stream_tws_exec (the q_stream_cdc_exec pattern, generalized).
+    */
+  private def stageTimeOrderedTerciles(spark: SparkSession, ev: DataFrame,
+                                       base: String,
+                                       fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
+    val evc = ev.localCheckpoint() // cut probe + three filtered writes share one scan
+    val evUs = evc.withColumn("__us", unix_micros(col("ts")))
+    // percentile_disc returns DOUBLE; the picked value is an actual
+    // epoch-μs (< 2^53), so the round-trip cast is exact
+    val cuts = evUs.agg(
+      expr("CAST(percentile_disc(0.3333) WITHIN GROUP (ORDER BY __us) AS BIGINT)").as("q1"),
+      expr("CAST(percentile_disc(0.6667) WITHIN GROUP (ORDER BY __us) AS BIGINT)").as("q2")).head()
+    val (q1, q2) = (cuts.getLong(0), cuts.getLong(1))
+    val parts = Seq(
+      1 -> evUs.filter(col("__us") <= q1),
+      2 -> evUs.filter(col("__us") > q1 && col("__us") <= q2),
+      3 -> evUs.filter(col("__us") > q2)).map { case (s, d) => s -> d.drop("__us") }
+    val stageDir = new org.apache.hadoop.fs.Path(s"$base/stage")
+    fs.mkdirs(stageDir)
+    parts.foreach { case (s, df) =>
+      val tmp = s"$base/tmp$s"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(stageDir, f"t$s%02d.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, s * 60000L, -1)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    spark.readStream.schema(parts.head._2.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+  }
+
+  /** q_stream_tws_exec: the transformWithState API (arbitrary-stateful
+    * v2 — StatefulProcessor + named state variables, Spark 4's successor
+    * to flatMapGroupsWithState) under the hash gate — the NINTH real-exec
+    * pillar: q_stream_asof_exec gates the classic GroupState path; this
+    * gates the handle/ValueState path a new enrichment job should be
+    * written against. Per-user running totals accumulate in ONE named
+    * ValueState[(Long, Long)] across THREE real micro-batches (the
+    * tercile rig above) on RocksDB; each batch RE-EMITS the user's
+    * running (n, cents) — the append history of a live accumulator.
+    *
+    * Determinism: state is (count, CENTS) — pure integer arithmetic, so
+    * per-user totals are iterator-order-independent within a batch and
+    * batch-order-independent across them. The DECLARED result is the
+    * FINAL total per user (argmax-n row of the sink via max(struct)) —
+    * the same belt as q_stream_cdc_exec: correct even if the source
+    * coalesced the files into one batch (then each user emits exactly
+    * its final row). The oracle is the plain per-user batch aggregate;
+    * StreamingSpec separately asserts >= 3 commits and that the sink
+    * holds true RUNNING prefixes (cross-batch accumulation really
+    * happened). Scale: O(users) ValueState on RocksDB, one row per
+    * (user, touching batch) emitted.
+    */
+  def streamTwsExec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.cents
+    val sink = runStreamOnceRaw(spark, dir, "graft_stream_tws", "streamTwsExec", () => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = sys.props("java.io.tmpdir") + s"/graft_stream_tws_$tag"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ev = Sources.events(spark, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+                cents(col("value")).as("cents"))
+      runningUserCentsTws(stageTimeOrderedTerciles(spark, ev, s"$base/rig", fs))
+    })
+    sink.groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("cents"))).as("m"))
+      .select(col("user_id"), col("m.n").as("n_events"),
+              (col("m.cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** transformWithState per-user running (count, cents) — the exact-
+    * integer gate twin of [[runningUserTotalsTws]] (whose double sum is
+    * iterator-order-sensitive and therefore only equivalence-testable).
+    */
+  def runningUserCentsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    events
+      .select(col("user_id"), col("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCentsProcessor,
+                          TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n", "cents")
+  }
+
+  private class RunningCentsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator((user, n, s))
+    }
   }
 
   /** Streaming twin of `session` — native session_window (same gap

@@ -655,6 +655,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(n >= 3, s"expected >= 3 committed micro-batches, saw $n")
   }
 
+  test("stream tws exec: final totals equal batch; sink holds true running prefixes over >= 3 micro-batches") {
+    val finals = Streaming.streamTwsExec(spark, sfDir)
+    val batch = graft.io.Sources.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(graft.Det.cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+    assert(finals.exceptAll(batch).isEmpty && batch.exceptAll(finals).isEmpty)
+    assert(finals.count() > 0)
+    // cross-batch accumulation really happened: the sink's per-user rows
+    // are strict running prefixes — n strictly increasing, cents = the
+    // cumulative sum at that n — and >= 3 micro-batches committed
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val sink = spark.read.parquet(
+      sys.props("java.io.tmpdir") + s"/graft_stream_tws_$tag/sink")
+    assert(sink.count() > finals.count(), "no user emitted more than one running row")
+    val dupN = sink.groupBy("user_id", "n").count().filter(col("count") > 1).count()
+    assert(dupN === 0, "duplicate running row for a (user, n)")
+    val commits = new java.io.File(
+      sys.props("java.io.tmpdir") + s"/graft_stream_tws_$tag/ckpt/commits")
+    val nb = commits.listFiles().count(_.getName.forall(_.isDigit))
+    assert(nb >= 3, s"expected >= 3 committed micro-batches, saw $nb")
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicate dropped, post-eviction duplicate re-emitted") {
     // the bounded sibling of q_stream_dedup_exec's exact form: state for a
     // key is evictable once the watermark passes its event time — a dup
