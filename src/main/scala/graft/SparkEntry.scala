@@ -139,6 +139,8 @@ object SparkEntry {
       graft.io.Sources.customer(s, dir),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_sim_neardup" -> Similarity.simPairsQuery,
+    "q_embed_lsh" -> Similarity.embedLshQuery,
+    "q_embed_lsh_recall" -> Similarity.embedLshRecallQuery,
     "q_vector_stats" -> Similarity.vectorStatsQuery,
     "q_embed_quant_int8" -> Similarity.embedQuantQuery,
     "q_cluster_assign" -> Similarity.clusterAssignQuery,
@@ -474,6 +476,62 @@ object SparkEntry {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Shared CTE prefix of the two embedding-LSH oracles: quantize →
+    * md5-nibble plane signs → exact integer dots → 8-bit band values →
+    * distinct candidate pairs. Mirrors Similarity.embedLshCandidates
+    * step for step (same md5("p:d") strings, same round(x·1e6) BIGINT
+    * quantization, same sign-of-dot bits).
+    */
+  private def embedLshCtes: String =
+    """c AS (SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
+      |  FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+      |e AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+      |  FROM c),
+      |pl AS (SELECT p.range AS p, d.range AS d,
+      |    CASE WHEN substr(md5(p.range||':'||d.range), 1, 1)
+      |           IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+      |  FROM range(64) p, range(64) d),
+      |dots AS (SELECT e.vec_id, pl.p, SUM(pl.s * e.qe[pl.d + 1]) AS dot
+      |  FROM e, pl GROUP BY 1, 2),
+      |bands AS (SELECT vec_id, p // 8 AS band_idx,
+      |    SUM(CASE WHEN dot >= 0 THEN 1 << (p % 8) ELSE 0 END) AS band_val
+      |  FROM dots GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.vec_id < b.vec_id)""".stripMargin
+
+  private def embedLshOracle: String =
+    s"""WITH $embedLshCtes
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                                 CAST(y.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM cand JOIN c x ON x.vec_id = id_a
+       |            JOIN c y ON y.vec_id = id_b) t
+       |WHERE sim >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  private def embedLshRecallOracle: String =
+    s"""WITH $embedLshCtes,
+       |p AS (SELECT vec_id, embedding FROM c
+       |  WHERE CASE WHEN vec_id >= (SELECT max(vec_id) + 1 FROM embeddings)
+       |             THEN vec_id - (SELECT max(vec_id) + 1 FROM embeddings)
+       |             ELSE vec_id END < 1000),
+       |tp AS (SELECT * FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                 CAST(b.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id) z
+       |  WHERE sim >= 0.8)
+       |SELECT tp.id_a, tp.id_b, tp.sim,
+       |  CAST(CASE WHEN cd.id_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found
+       |FROM tp LEFT JOIN cand cd ON tp.id_a = cd.id_a AND tp.id_b = cd.id_b
+       |ORDER BY tp.id_a, tp.id_b""".stripMargin
 
   /** q_minhash_agg oracle: per-doc signature components over the FULL
     * corpus — the identical min(substr(md5('g:'||shingle))) arithmetic
@@ -1548,6 +1606,9 @@ object SparkEntry {
         |    AND substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
         |    AND substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) t
         |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_lsh" -> embedLshOracle,
+    "q_embed_lsh_recall" -> embedLshRecallOracle,
 
     "q_window_ntile" ->
       """SELECT c_custkey, c_mktsegment,

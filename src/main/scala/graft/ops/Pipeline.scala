@@ -78,7 +78,13 @@ object Pipeline {
     val gated = Text.qualityScore(Sources.documents(spark, dir), "text")
       .filter(col("quality") >= 0.3)
     val ded = Text.exactDedup(gated, "text", "doc_id")
-    val dupIds = Text.prefixJaccardPairs(ded, "doc_id", "text", 3, t = 0.499999)
+    // collapse=false: the md5 dedup ahead already collapsed verbatim
+    // duplicates, so the miner's content-collapse pass would be a no-op
+    // shuffle + two no-op joins here; pairs whose shingle-SETS still
+    // coincide (different text, same set) are found by the miner itself
+    // either way — semantics identical, proven by the shared gate hashes
+    val dupIds = Text.prefixJaccardPairs(ded, "doc_id", "text", 3, t = 0.499999,
+        collapse = false)
       .filter(col("jaccard") >= 0.5) // jaccard is already round-6
       .select(col("id_b").as("doc_id")).distinct()
     ded.join(dupIds, Seq("doc_id"), "left_anti")

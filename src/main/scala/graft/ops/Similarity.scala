@@ -180,6 +180,140 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** PORTABLE sign matrix for the oracle-gated embedding LSH: plane p's
+    * ±1 component for dimension d is the first md5 hex nibble of "p:d"
+    * (< 8 → +1) — the md5-component determinism pattern (q_dedup_minhash
+    * family) applied to hyperplanes. Data-independent constants, computed
+    * driver-side once per query build (64×64 = 4096 values).
+    */
+  private def md5Sign(p: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xF) < 8) 1L else -1L
+  }
+
+  /** q_embed_lsh / q_embed_lsh_recall shared core: banded sign-projection
+    * candidate pairs over the FULL embedding corpus — the ORACLE-GATED
+    * twin of [[nearDupPairs]] (whose xxhash64 planes and double dot sums
+    * are engine-specific, hence API-only). Every step is cross-engine
+    * exact: embeddings quantize to round(x·1e6) BIGINTs (monotone, both
+    * engines round half away from zero, and the sign of a quantized dot
+    * IS the declared hash — no IEEE summation order anywhere); plane
+    * signs come from md5 nibbles; the 64-plane signature splits into
+    * 8 bands × 8 bits; candidates = docs equal on any (band_idx,
+    * band_val) — a hash EQUI-join, never all-pairs; exact cosine (the
+    * q_sim_neardup-proven round-6 form) scores each candidate once.
+    * Returns (id_a, id_b, sim) for ALL banded candidates, unfiltered.
+    *
+    * Scale shape: signature build is map-side (64 exact integer dots per
+    * row over zip_with literals); the only shuffles are the banding
+    * equi-join on (band_idx, band_val) and the pair distinct — candidate
+    * volume ∝ collisions (P ≈ 2⁻⁸ per band for unrelated pairs, ~3% of
+    * pairs in 8 bands), the price of the OR-construction's recall.
+    */
+  def embedLshCandidates(emb: DataFrame,
+                         planes: Int = 64, bandBits: Int = 8): DataFrame = {
+    val nBands = planes / bandBits
+    val dims = emb.select(size(col("embedding"))).head().getInt(0) // 1-row probe
+    val q = emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
+    val dots = (0 until planes).map { p =>
+      val signs = array((0 until dims).map(d => lit(md5Sign(p, d))): _*)
+      aggregate(zip_with(col("qe"), signs, (x, s) => x * s),
+                lit(0L), (acc, v) => acc + v).as(s"__dot$p")
+    }
+    // no checkpoint here: the self-join's two sides are IDENTICAL
+    // subplans, so ReuseExchange computes the signature shuffle once —
+    // measured 17.6 s WITH an eager localCheckpoint vs 15.0 s without at
+    // sf1 (the checkpoint's materialize round-trip costs more than the
+    // map-side dot build it saves; contrast lshScoredCandidates, whose
+    // signature build dominates per-row cost)
+    val withBands = q.select(col("vec_id") +: col("embedding") +: dots: _*)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band_idx"),
+            (0 until bandBits).map(i =>
+              when(col(s"__dot${b * bandBits + i}") >= 0, lit(1L << i))
+                .otherwise(lit(0L))).reduce(_ + _).as("band_val"))
+        }: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.band_idx"), col("b.band_val"))
+    withBands.as("x").join(withBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+              col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+              r6(cosineNative(col("ea"), col("eb"))).as("sim"))
+  }
+
+  /** The embedding corpus with a DETERMINISTIC 25% RE-INGEST: every
+    * vector whose md5 first digit is 0–3 appears a second time re-keyed
+    * by +base (base = max(vec_id)+1, a 1-row probe). This is the
+    * at-least-once-ingest reality the embedding-dedup operator exists
+    * for (the q_stream_dedup_exec self-union pattern at the vector
+    * grain): re-crawled or re-encoded content lands again with a new id,
+    * and the corpus' only TRUE near-duplicate structure is exactly those
+    * re-ingests — this synthetic corpus' organic pair sims top out
+    * ≈ 0.51 (measured), below any dedup threshold, so without the
+    * re-ingest a near-dup operator has nothing to find (and hyperplane
+    * LSH at mid-range thresholds is the WRONG tool by design — that
+    * regime belongs to IVF, gated at q_ivf_search/q_ann_recall).
+    */
+  def embedReingested(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val base = emb.agg((max(col("vec_id")) + 1L).as("b")).head().getLong(0) // 1-row probe
+    val dup = emb
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1).isin("0", "1", "2", "3"))
+      .select((col("vec_id") + base).as("vec_id"), col("embedding"))
+    emb.unionByName(dup)
+  }
+
+  /** q_embed_lsh: embedding DEDUP end-to-end under the gate — the
+    * q_dedup_lsh_candidates analogue for an embedding column: portable
+    * signature → banding equi-join over the full re-ingested corpus →
+    * exact rescore → sim >= 0.8. The declared output is precisely the
+    * re-ingested duplicate pairs (identical vectors rescore to r6 = 1.0;
+    * organic pairs top out ≈ 0.51), found WITHOUT any all-pairs stage.
+    */
+  def embedLshQuery(spark: SparkSession, dir: String): DataFrame =
+    embedLshCandidates(embedReingested(spark, dir))
+      .filter(col("sim") >= 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q_embed_lsh_recall: the recall audit (the q_lsh_recall pattern for
+    * embeddings) — of the TRUE sim >= 0.8 pairs on the bounded exact
+    * panel (original id < 1000 plus their re-ingested copies, md5-half
+    * sampled), which does the banded sign-LSH surface? Theory: a pair at
+    * cosine s agrees per bit with P = 1 − arccos(s)/π, an 8-bit band
+    * matches with P^8 and any of 8 bands 1−(1−P^8)^8 → 1 as s → 1; at
+    * the dedup operating point (identical vectors, s = 1) EVERY band
+    * matches, so measured recall must be EXACTLY 1 — the audit proves
+    * the operator complete in its design regime, pair by pair.
+    */
+  def embedLshRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embedReingested(spark, dir)
+    val base = Sources.embeddings(spark, dir)
+      .agg((max(col("vec_id")) + 1L).as("b")).head().getLong(0)
+    // ABSOLUTE panel bound (original id < 1000 + their re-ingests — at
+    // most 1250 vectors at ANY scale factor): the exact miner is
+    // quadratic by semantics, so the gate's ground-truth work must stay
+    // constant as the corpus grows (the q_sim_neardup rule)
+    val panel = corpus.filter(
+      when(col("vec_id") >= base, col("vec_id") - base)
+        .otherwise(col("vec_id")) < 1000)
+    val truePairs = simPairsExact(panel, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    val cand = embedLshCandidates(corpus)
+      .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+    truePairs.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("sim"),
+              coalesce(col("found"), lit(0L)).as("found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Deterministic random-hyperplane sign bits: plane p's component for
     * dimension i is derived from xxhash64(seed, p, i), mapped to ±1.
     * sign(v) = bit vector of sign(v·plane_p) — classic SimHash/LSH for

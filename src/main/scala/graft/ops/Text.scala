@@ -899,18 +899,25 @@ object Text {
     * over raw strings, so any collision surfaces as a gate mismatch).
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         w: Int = 3, t: Double = 0.7): DataFrame = {
+                         w: Int = 3, t: Double = 0.7,
+                         collapse: Boolean = true): DataFrame = {
     // materialize shingle sets + content ids ONCE: this subtree otherwise
     // evaluates once per downstream branch — shingling is the dominant
     // per-row cost. Native fused generator (graft.functions
     // .XxShingleHashes): sorted distinct xxhash64 per shingle byte-span,
     // no shingle strings built. xxhash64(array) is structural, and the
     // arrays are canonical (sorted distinct), so equal sets ⇔ equal fp.
+    // collapse=false skips the content-grain machinery (the fp window,
+    // membership joins and twin expansion become pure overhead) for
+    // callers whose input is ALREADY exact-deduped — q_pipeline_corpus
+    // runs this stage after its md5 dedup, where every shingle-set that
+    // still collides is at most an md5-vs-shingle disagreement corner.
     val tagged = df
       .select(col(idCol).as("id"), xxShingleHashes(col(textCol), w).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("cid", min(col("id")).over(
-        Window.partitionBy(xxhash64(col("hs")))))
+      .withColumn("cid",
+        if (collapse) min(col("id")).over(Window.partitionBy(xxhash64(col("hs"))))
+        else col("id"))
       .select(col("id"), col("cid"), col("hs"), size(col("hs")).as("sz"))
       .localCheckpoint()
     val mem = tagged.select(col("cid"), col("id"))
@@ -953,16 +960,21 @@ object Text {
     // least/greatest because content-rep order says nothing about member
     // id order. Same-content pairs are J = 1 by construction (t <= 1
     // always admits them, as the old per-doc form did via sz/sz).
-    val expanded = cross
-      .join(mem.select(col("cid").as("id_a"), col("id").as("ia")), "id_a")
-      .join(mem.select(col("cid").as("id_b"), col("id").as("ib")), "id_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-              greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
-    val twins = mem.as("x").join(mem.as("y"),
-        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-              lit(1.0).as("jaccard"))
-    expanded.unionByName(twins)
+    // Without collapse every content is its own singleton — cross IS the
+    // answer and the membership/twin joins would be no-op shuffles.
+    if (!collapse) cross
+    else {
+      val expanded = cross
+        .join(mem.select(col("cid").as("id_a"), col("id").as("ia")), "id_a")
+        .join(mem.select(col("cid").as("id_b"), col("id").as("ib")), "id_b")
+        .select(least(col("ia"), col("ib")).as("id_a"),
+                greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+      val twins = mem.as("x").join(mem.as("y"),
+          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+                lit(1.0).as("jaccard"))
+      expanded.unionByName(twins)
+    }
   }
 
   /** Deterministic synthetic URL per doc — BOTH engines build the identical
