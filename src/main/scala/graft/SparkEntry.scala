@@ -258,6 +258,7 @@ object SparkEntry {
     "q_peak_concurrency" -> Timeseries.peakConcurrency,
     "q_decompose_daily" -> Timeseries.decomposeDaily,
     "q_burn_rate" -> Timeseries.burnRate,
+    "q_cusum" -> Timeseries.cusumQuery,
     "q_rate_shift" -> Stats.rateShift,
     "q_k_anonymity" -> Stats.kAnonymity,
     "q_benford" -> Stats.benford,
@@ -3339,6 +3340,29 @@ object SparkEntry {
 
     // burn rate: exact BIGINT 7-window sums over the global daily
     // (err, tot) census; burn multiple = one shared IEEE tree round-6
+    "q_cusum" ->
+      // CUSUM in prefix-sum closed form: S+ = P - min(0, running min P);
+      // all BIGINT (deviations scaled by n; k/h integer-floor cents), so
+      // the alarm is an exact integer compare in both engines
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS t FROM d),
+        |p AS (
+        |  SELECT epoch_day, x, n, t,
+        |    CAST(SUM(n * x - t - n * (t // (20 * n))) OVER w AS BIGINT) AS pp
+        |  FROM d, s
+        |  WINDOW w AS (ORDER BY epoch_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT epoch_day, x, n, t, pp,
+        |    CAST(MIN(pp) OVER (ORDER BY epoch_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pmin
+        |  FROM p)
+        |SELECT epoch_day, CAST(x AS DOUBLE) / 100.0 AS revenue,
+        |  CAST((pp - LEAST(0, pmin)) // n AS DOUBLE) / 100.0 AS s_plus,
+        |  CAST(CASE WHEN pp - LEAST(0, pmin) > n * (t // (2 * n)) THEN 1 ELSE 0 END AS INT) AS alarm
+        |FROM m ORDER BY epoch_day""".stripMargin,
+
     "q_burn_rate" ->
       """WITH d AS (
         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,

@@ -589,6 +589,53 @@ object Timeseries {
     * burn7x = (Σerr/Σtot)/0.01 is one shared IEEE tree, round-6. Full
     * windows only (the q_wma honest-contract rule).
     */
+  /** q_cusum: one-sided CUSUM drift detection on the daily order-revenue
+    * series — the sequential change detector SRE/data-quality monitoring
+    * runs where q_changepoint does retrospective segmentation: has the
+    * series drifted ABOVE its baseline mean by more than slack k, summed
+    * persistently past decision threshold h? Classic recursion
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)) is not window-expressible,
+    * but its closed form is: S⁺_t = P_t − min(0, min_{j≤t} P_j) with P
+    * the prefix sum of deviations — one running sum + one running min.
+    *
+    * EXACT INTEGER arithmetic throughout (stronger than the ordered-
+    * running-double precedent): deviations are scaled by n —
+    * dev'_t = n·x_t − T − n·k with T = Σx (exact BIGINT cents),
+    * k = ⌊0.05μ⌋ = T div (20n) and h = ⌊0.5μ⌋ = T div (2n) integer
+    * cents — so P', S'⁺ and the alarm compare S'⁺ > n·h are all BIGINT:
+    * no float ever crosses a threshold. s_plus surfaces at exact
+    * FLOOR-CENT grain (S' div n, then /100 — see the in-body note on why
+    * r6 of the raw division is not engine-stable at this magnitude).
+    * Scale: the windows run over the DAILY
+    * census (calendar-days domain, ~2.4k rows at any SF — PlanGate
+    * allowlisted like q_cumulative_uniques/q_burn_rate).
+    */
+  def cusumQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.orders(spark, dir)
+      .select(datediff(col("o_orderdate").cast("date"),
+                       lit("1970-01-01").cast("date")).as("epoch_day"),
+              graft.Det.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("epoch_day"))
+      .agg(sum(col("c")).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val w = Window.orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("dev", col("n") * col("x") - col("t")
+        - col("n") * expr("t div (20 * n)"))
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("sp", col("p") - least(lit(0L), min(col("p")).over(w)))
+      // s_plus surfaces at exact FLOOR-CENT grain (sp div n, then /100):
+      // r6 of the raw division is NOT cross-engine stable here — s_plus
+      // reaches ~1e8, where the 6th decimal sits at the double's 1e-16
+      // relative precision floor (measured 1-ulp flip at sf1 row 2398)
+      .select(col("epoch_day"),
+        (col("x").cast("double") / 100.0).as("revenue"),
+        (expr("sp div n").cast("double") / 100.0).as("s_plus"),
+        (col("sp") > col("n") * expr("t div (2 * n)")).cast("int").as("alarm"))
+      .orderBy(col("epoch_day"))
+  }
+
   def burnRate(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
     val d = Sources.events(spark, dir)

@@ -47,7 +47,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_mannwhitney",     // 1-row moments × broadcast(1-row tie correction)
     "q_kruskal_wallis",  // 1-row moments × broadcast(1-row tie correction)
     "q_growth_accounting", // churn-week frame × broadcast(1-row max week)
-    "q_l28_histogram"    // (user, day) census × broadcast(1-row min day)
+    "q_l28_histogram",   // (user, day) census × broadcast(1-row min day)
+    "q_cusum"            // daily census × broadcast(1-row n/T totals)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
@@ -200,6 +201,7 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_cumulative_uniques", // running sum over the DAILY aggregate (calendar-days domain)
     "q_skew_diag",          // cumulative over the rows-per-key VALUE HISTOGRAM (tens of rows)
     "q_burn_rate",          // 7-row frame over the GLOBAL daily census (calendar-days domain)
+    "q_cusum",              // prefix sum + prefix min over the GLOBAL daily census (calendar-days domain)
     // GLOBAL two-phase ranks (seg = a constant column, which Catalyst
     // folds out of the partition spec): the flagged window is rankExact's
     // census prefix-sum, whose input is the (seg, chunk) census —

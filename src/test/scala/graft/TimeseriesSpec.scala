@@ -434,6 +434,34 @@ class TimeseriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cusum: closed form equals the naive max(0, S+dev) recursion; alarm at the integer threshold") {
+    // rebuild the exact integer series the query derives, run the classic
+    // recursion in plain Scala, and demand bit-equality with the
+    // prefix-sum/prefix-min closed form the declared plan uses
+    val daily = graft.io.Sources.orders(spark, sfDir)
+      .select(datediff(col("o_orderdate").cast("date"),
+                       lit("1970-01-01").cast("date")).as("d"),
+              graft.Det.cents(col("o_totalprice")).as("c"))
+      .groupBy("d").agg(sum("c").as("x"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = daily.length.toLong
+    val t = daily.map(_._2).sum
+    val k = t / (20 * n); val h = t / (2 * n)
+    var s = 0L
+    val want = daily.map { case (d, x) =>
+      s = math.max(0L, s + (n * x - t - n * k))
+      d -> ((s / n, if (s > n * h) 1 else 0))
+    }.toMap
+    val got = graft.ops.Timeseries.cusumQuery(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(2) * 100).round, r.getInt(3)))
+    assert(got.length == daily.length)
+    got.foreach { case (d, (spCents, alarm)) =>
+      val (wSp, wAlarm) = want(d)
+      assert(spCents == wSp, s"day $d: s_plus cents $spCents vs $wSp")
+      assert(alarm == wAlarm, s"day $d: alarm $alarm vs $wAlarm")
+    }
+  }
+
   test("decompose: cnt == trend + seasonal + remainder within rounding; trend is the centered mean") {
     val census = dailyCensus()
       .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toSeq }
