@@ -126,6 +126,7 @@ object SparkEntry {
     "q_bfs_hops" -> Graph.bfsHopsQuery,
     "q_dedup_minhash" -> Text.dedupMinhashQuery,
     "q_minhash_agg" -> Text.minhashAggQuery,
+    "q_bpe_train" -> Text.bpeTrainQuery,
     "q_minhash_calibration" -> Text.minhashCalibrationQuery,
     "q_lsh_recall" -> Text.lshRecallQuery,
     "q_dedup_lsh_rebanded" -> Text.dedupLshRebandedQuery,
@@ -534,6 +535,38 @@ object SparkEntry {
        |FROM tp LEFT JOIN cand cd ON tp.id_a = cd.id_a AND tp.id_b = cd.id_b
        |ORDER BY tp.id_a, tp.id_b""".stripMargin
 
+  /** q_bpe_train oracle: the same 5 unrolled merge rounds — per round,
+    * pair census over the evolving word-census symbol sequences, argmax
+    * (n desc, pair asc), literal double-space replace, re-canonicalize.
+    * Generated by the same loop shape the Spark side runs.
+    */
+  private def bpeTrainOracle: String = {
+    val rounds = 5
+    val sb = new StringBuilder
+    sb.append(
+      """r0 AS (
+        |  SELECT array_to_string(string_split(w, ''), ' ') AS s, cnt FROM (
+        |    SELECT w, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+        |    WHERE w <> '' GROUP BY 1) wc)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"r${r - 1}"
+      sb.append(s""",
+        |p$r AS (SELECT pr, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1])) AS pr, cnt
+        |  FROM (SELECT string_split(s, ' ') AS tk, cnt FROM $prev) tt) pp GROUP BY 1),
+        |m$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
+        |r$r AS (SELECT trim(regexp_replace(replace(' '||replace(s, ' ', '  ')||' ',
+        |    ' '||(SELECT string_split(pr, ' ')[1] FROM m$r)||'  '||(SELECT string_split(pr, ' ')[2] FROM m$r)||' ',
+        |    ' '||(SELECT replace(pr, ' ', '') FROM m$r)||' '), ' +', ' ', 'g')) AS s, cnt FROM $prev)""".stripMargin)
+    }
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS round, string_split(pr, ' ')[1] AS left_tok, " +
+        s"string_split(pr, ' ')[2] AS right_tok, replace(pr, ' ', '') AS merged, n FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${sb.result()}\n$sel\nORDER BY round"
+  }
+
   /** q_minhash_agg oracle: per-doc signature components over the FULL
     * corpus — the identical min(substr(md5('g:'||shingle))) arithmetic
     * the Spark side's typed Aggregator computes through the UDAF path.
@@ -818,6 +851,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
     "q_minhash_agg" -> minhashAggOracle,
+    "q_bpe_train" -> bpeTrainOracle,
     "q_minhash_calibration" -> minhashCalibrationOracle,
     "q_lsh_recall" -> lshRecallOracle,
     "q_lsh_recall_rebanded" -> lshRecallRebandedOracle,

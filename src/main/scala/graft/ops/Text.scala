@@ -1146,6 +1146,75 @@ object Text {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q_bpe_train: the first FIVE actual BPE merges, hash-proven —
+    * q_bpe_pairs censuses the pair frequencies a trainer WOULD see; this
+    * key runs the trainer's loop itself: 5 rounds of (count adjacent
+    * token pairs over the word census, weighted by word frequency →
+    * argmax (count desc, pair asc) → apply the merge corpus-wide), the
+    * exact Sennrich et al. (ACL'16) algorithm at vocabulary grain.
+    *
+    * Determinism: words are space-split as-is; each word's state is its
+    * space-joined symbol sequence; the merge application is ONE literal
+    * (non-regex) global replace per round using the q_keywords_rake
+    * double-space trick — double every separator so adjacent occurrences
+    * of the pair don't fight over a shared boundary space (" u  v "
+    * consumes one flank each; consecutive "u v u v" still matches twice),
+    * then re-canonicalize. Literal replace scans left-to-right and never
+    * re-matches inside its own replacement in BOTH engines. The argmax
+    * is a (BIGINT count desc, ascii pair asc) total order.
+    *
+    * Scale: ALL work is at VOCABULARY grain (distinct words × their
+    * counts — Heaps-sublinear in corpus size); each round is one
+    * pair-explode + one aggregate + one TakeOrdered(1) + one map-side
+    * replace; the 5 collected merge rows are the OUTPUT itself (bounded
+    * driver artifacts, the IVF-centroid precedent). The per-round
+    * localCheckpoint keeps round r+1 from re-executing rounds 1..r
+    * twice (argmax + next census both consume the frame).
+    */
+  def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rounds = 5
+    val words = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = words
+      .select(concat_ws(" ",
+        filter(split(col("w"), ""), x => length(x) > 0)).as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val tk = split(col("s"), " ")
+      // sequence(1, 0) DESCENDS in Spark (it never yields empty), so a
+      // single-symbol word must short-circuit to an empty pair array
+      val pairs = vocab
+        .select(explode(when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1),
+            i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pr"),
+          col("cnt"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("pr")).limit(1).head()
+      val Array(a, b) = top.getString(0).split(" ", 2)
+      val n = top.getLong(1)
+      vocab = vocab.select(
+        trim(regexp_replace(
+          replace(concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+                  lit(s" $a  $b "), lit(s" $a$b ")),
+          " +", " ")).as("s"), col("cnt"))
+        .localCheckpoint()
+      Row(r, a, b, a + b, n)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(merges).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("left_tok", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("right_tok", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, false))))
+      .orderBy(col("round"))
+  }
+
   /** q_keywords_rake: RAKE keyword extraction over the corpus — score a
     * content word by degree/frequency, where degree sums the lengths of
     * the stopword-delimited PHRASES it appears in: words that live in
