@@ -151,6 +151,7 @@ object SparkEntry {
     "q_ivf_probe" -> Ivf.ivfProbeQuery,
     "q_ann_recall" -> Ivf.annRecallQuery,
     "q_pq_adc" -> Pq.pqAdcQuery,
+    "q_ivf_pq" -> Pq.ivfPqQuery,
     "q_tdigest_exact" -> Quantile.tdigestExactQuery,
     "q_pipeline_corpus" -> Pipeline.pipelineQuery,
     "q_dataset_card" -> Pipeline.datasetCardQuery,
@@ -4247,6 +4248,36 @@ object SparkEntry {
         |  median(length(text)) AS len_med,
         |  CAST(max(length(text)) AS DOUBLE) AS len_max
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ivf_pq" ->
+      // IVFADC composed: round-6 cell pruning (argmax can't flip) +
+      // lossless ADC == exact L2² on the candidate set; top-10 cut inside
+      // a 50-replica group — exact ties, row_id break
+      """WITH base AS (
+        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |corpus AS (
+        |  SELECT vec_id * 100 + r.range AS row_id, emb FROM base, range(50) r),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cemb
+        |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+        |asg AS (SELECT row_id, emb, centroid_id AS cell FROM (
+        |  SELECT c.row_id, c.emb, ct.centroid_id,
+        |    row_number() OVER (PARTITION BY c.row_id ORDER BY
+        |      round(list_cosine_similarity(c.emb, ct.cemb), 6) DESC, ct.centroid_id) AS rn
+        |  FROM corpus c, cents ct) z WHERE rn = 1),
+        |p AS (SELECT CAST(embedding AS DOUBLE[]) AS pemb FROM embeddings WHERE vec_id = 20),
+        |pc AS (SELECT centroid_id AS cell FROM (
+        |  SELECT ct.centroid_id,
+        |    round(list_cosine_similarity(ct.cemb, p.pemb), 6) AS s
+        |  FROM cents ct, p) z ORDER BY s DESC, centroid_id LIMIT 2),
+        |d AS (
+        |  SELECT a.row_id,
+        |    list_inner_product(a.emb, a.emb) + list_inner_product(p.pemb, p.pemb)
+        |      - 2 * list_inner_product(a.emb, p.pemb) AS dist2
+        |  FROM asg a JOIN pc ON a.cell = pc.cell, p)
+        |SELECT row_id, round(dist2, 6) AS dist2 FROM d
+        |ORDER BY dist2, row_id LIMIT 10""".stripMargin,
 
     "q_pq_adc" ->
       // lossless-regime ADC == exact squared L2 (inner-product expansion);

@@ -148,6 +148,57 @@ object Pq {
     * scan. Top-10 lands entirely inside one 50-replica group, so the cut
     * boundary is an exact tie broken by row_id — no FP boundary exists.
     */
+  /** q_ivf_pq: the COMPOSED production ANN shape under the gate — IVF
+    * routes (q_ivf_probe's fixed-centroid, round-6-ranked cell pruning)
+    * and PQ ADC scores (q_pq_adc's lossless regime), in one plan: the
+    * FAISS IVFADC architecture, both halves previously gated only in
+    * isolation. Probe → top-nprobe=2 of 4 fixed cells; candidates =
+    * corpus rows assigned (round-6 cosine argmax, centroid tiebreak) to
+    * those cells; each candidate scored by m = 8 byte-code table lookups
+    * — no vector math on the scan side; top-10 by (adc, row_id).
+    *
+    * Determinism inherits both parents': cell pruning ranks ROUND-6
+    * cosines (argmax cannot flip cross-engine), and the lossless-regime
+    * ADC (codebooks trained on exactly the 16 distinct bases ⇒ zero
+    * quantization error) equals true squared L2, so the oracle is cell
+    * pruning + brute-force L2² on the candidate set. The top-10 cut
+    * falls inside a 50-replica group — exact ties, row_id break — so
+    * raw-order ADC-vs-L2² last-ulp differences can't move the boundary
+    * (the q_pq_adc argument). Scale: centroids + codebooks are the only
+    * collected state; assignment and ADC are map-side; with the index
+    * written partitioned by cell the candidate join prunes to nprobe
+    * directories per probe.
+    */
+  def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Det.r6
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.io.Sources.embeddings(spark, dir)
+    val base = e.filter(col("vec_id") < 16).select(col("vec_id"), col("embedding"))
+    val corpus = base
+      .crossJoin(spark.range(0, 50).select(col("id").as("rep")))
+      .select((col("vec_id") * 100 + col("rep")).as("row_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val wA = Window.partitionBy(col("row_id")).orderBy(col("asim").desc, col("centroid_id"))
+    val indexed = corpus.crossJoin(broadcast(cents))
+      .select(col("row_id"), col("embedding"), col("centroid_id"),
+              r6(Similarity.cosineNative(col("embedding"), col("cent_emb"))).as("asim"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("row_id"), col("embedding"), col("centroid_id").as("cell"))
+    val probeRow = e.filter(col("vec_id") === 20).select(col("embedding").as("probe_emb"))
+    val pc = cents.crossJoin(broadcast(probeRow))
+      .select(col("centroid_id"),
+              r6(Similarity.cosineNative(col("probe_emb"), col("cent_emb"))).as("psim"))
+      .orderBy(col("psim").desc, col("centroid_id")).limit(2)
+      .select(col("centroid_id").as("cell"))
+    val books = train(base, m = 8, ksub = 16, iters = 2)
+    val coded = encode(indexed, books)
+    val probe = probeRow.head.getSeq[Float](0).map(_.toDouble).toArray
+    adcTopK(coded.join(broadcast(pc), Seq("cell")), books, probe, k = 10, idCol = "row_id")
+      .select(col("row_id"), r6(col("adc_dist")).as("dist2"))
+  }
+
   def pqAdcQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
     val base = graft.io.Sources.embeddings(spark, dir).filter(col("vec_id") < 16)

@@ -40,6 +40,7 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_rate_shift",      // events × broadcast(1-row window-bounds probe)
     "q_time_to_convert", // ranked deltas × broadcast(1-row count/min/max)
     "q_pq_adc",          // 16 base vectors × broadcast(50-row replica range)
+    "q_ivf_pq",          // q_pq_adc's replica cross + corpus/probe × broadcast(4-row centroid frame)
     "q_percent_total",   // 5 segment rows × broadcast(1-row grand total)
     "q_error_spikes",    // 30 day rows × broadcast(1-row totals)
     "q_vocab_growth",    // token first-doc table × broadcast(1-row max + 10-row deciles)
