@@ -43,19 +43,27 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // Materialize the (possibly expensive) edge DAG ONCE before
-    // symmetrizing — union(e, e.swapped) over an uncheckpointed frame
-    // evaluates the upstream plan in both branches (exchange reuse only
-    // recovers the shuffle stages, not the map-side work). A NULL
-    // endpoint is dropped (it denotes "no edge", not a node — and the
-    // recursive-CTE oracle would never reach it through a NULL join key).
-    val e0 = edges
+    // A NULL endpoint is dropped (it denotes "no edge", not a node — and
+    // the recursive-CTE oracle would never reach it through a NULL join
+    // key).
+    // r12 opt: symmetrize with ONE explode per edge row (the old
+    // self-union evaluated the upstream plan twice and needed a separate
+    // e0 checkpoint to avoid that), then ONE exchange — hash by dst
+    // (dst-clustering satisfies the (src,dst) dedup), so the per-round
+    // `sym ⋈ labels` on dst never re-shuffles the adjacency; and the
+    // per-round `labels ⋈ nbrMin` on id reuses the id partitioning both
+    // sides inherit (labels from the previous round's checkpointed join
+    // output, nbrMin from its groupBy) — per round, only the nbr-min
+    // census exchange moves data.
+    val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
-    val sym = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -111,14 +119,27 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
                checkpointEvery: Int = 0): DataFrame = {
+    // r12 opt (guide §2.4 — remove shuffles outright): every loop-invariant
+    // frame is materialized ALREADY hash-partitioned on its per-round join
+    // key (localCheckpoint preserves the partitioning), and each round's
+    // output comes out of a join on `id`, so round t+1's `e ⋈ ranks` and
+    // `nodes ⋈ contribs` reuse existing partitioning instead of
+    // re-exchanging both sides every round — the per-round exchanges drop
+    // from 3-data-sided to ONE (the contribs groupBy), plan-verified in
+    // plans/r12/q_pagerank_{before,after}.txt.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      // ONE exchange: hash by src, then dedup (src-clustering satisfies
+      // the (src,dst) aggregate, so no second exchange) — output stays
+      // partitioned by src for every round's join AND the outdeg census
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct() // distinct ⇒ already hash-partitioned by id
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
       val contribs = e
@@ -147,13 +168,23 @@ object Graph {
   def bfsHops(edges: DataFrame, src: Long, maxHops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges
+    // r12 opt: symmetrize with ONE explode per input row instead of a
+    // self-union (the union evaluated the upstream edge plan twice and
+    // needed its own checkpoint to avoid that); then ONE exchange — hash
+    // by src (clustering by src satisfies the (src,dst) dedup, and every
+    // round's frontier join keys on src, so the adjacency never
+    // re-shuffles). The 1-row visited seed needs no materialization.
+    val sym = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var visited = Seq((src, 0)).toDF("id", "hop").localCheckpoint()
+    var visited = Seq((src, 0)).toDF("id", "hop")
     var frontier = visited.select(col("id"))
     var h = 0
     while (h < maxHops) {
@@ -419,21 +450,31 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // r12 opt (guide §2.4): the adjacency is materialized ALREADY
+    // partitioned by the per-round join key, so none of the `rounds`
+    // joins re-shuffles the edge list — only the (src,label) census and
+    // the per-node argmax move data. The rounds themselves stay LAZY
+    // (fixed round count, no per-round action, and each round references
+    // the previous labels exactly ONCE, so the composed plan is linear in
+    // `rounds` — the q_pagerank argument; the old per-round eager
+    // localCheckpoint paid a materialization job every round for nothing).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
     (1 to rounds).foreach { _ =>
+      // per-node argmax as ONE hash aggregate (max_by on (cnt, -label):
+      // highest count wins, ties to the SMALLEST label — identical to the
+      // old row_number window, minus the window's per-partition sort)
       labels = und
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("id"), col("label"))
-        .localCheckpoint()
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl")))
+          .getField("nl").as("label"))
+        .select(col("id"), (-col("label")).as("label"))
     }
     labels
   }

@@ -77,7 +77,12 @@ object Pipeline {
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     val gated = Text.qualityScore(Sources.documents(spark, dir), "text")
       .filter(col("quality") >= 0.3)
-    val ded = Text.exactDedup(gated, "text", "doc_id")
+    // materialize the deduped survivors ONCE (r12 opt, guide §1/§2.4):
+    // this frame feeds BOTH the miner and the final left_anti — without
+    // the checkpoint the anti-join's left branch re-runs the full scan +
+    // qualityScore regexes + the md5 dedup window a second time (plan
+    // audit: a second `Scan parquet → Window` subtree under the LeftAnti)
+    val ded = Text.exactDedup(gated, "text", "doc_id").localCheckpoint()
     // collapse=false: the md5 dedup ahead already collapsed verbatim
     // duplicates, so the miner's content-collapse pass would be a no-op
     // shuffle + two no-op joins here; pairs whose shingle-SETS still
