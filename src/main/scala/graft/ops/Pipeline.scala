@@ -77,12 +77,14 @@ object Pipeline {
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     val gated = Text.qualityScore(Sources.documents(spark, dir), "text")
       .filter(col("quality") >= 0.3)
-    // materialize the deduped survivors ONCE (r12 opt, guide §1/§2.4):
-    // this frame feeds BOTH the miner and the final left_anti — without
-    // the checkpoint the anti-join's left branch re-runs the full scan +
-    // qualityScore regexes + the md5 dedup window a second time (plan
-    // audit: a second `Scan parquet → Window` subtree under the LeftAnti)
-    val ded = Text.exactDedup(gated, "text", "doc_id").localCheckpoint()
+    // NO checkpoint here (r12, measured): materializing the survivors
+    // once looks like it should pay for the anti-join branch's duplicate
+    // scan + quality regexes + md5 window, and a cold single-key probe
+    // agreed (6.0 → 4.4 s) — but in the full-suite steady state the wide
+    // text-carrying materialization made the key SLOWER (4.63 → 6.29 s
+    // across two full runs); the duplicate subtree's scan prunes columns
+    // and shares AQE-reused exchanges, so recompute is the cheaper side.
+    val ded = Text.exactDedup(gated, "text", "doc_id")
     // collapse=false: the md5 dedup ahead already collapsed verbatim
     // duplicates, so the miner's content-collapse pass would be a no-op
     // shuffle + two no-op joins here; pairs whose shingle-SETS still

@@ -224,11 +224,14 @@ object Similarity {
                 lit(0L), (acc, v) => acc + v).as(s"__dot$p")
     }
     // no checkpoint here: the self-join's two sides are IDENTICAL
-    // subplans, so ReuseExchange computes the signature shuffle once —
+    // subplans, so exchange reuse computes the signature shuffle once —
     // measured 17.6 s WITH an eager localCheckpoint vs 15.0 s without at
-    // sf1 (the checkpoint's materialize round-trip costs more than the
-    // map-side dot build it saves; contrast lshScoredCandidates, whose
-    // signature build dominates per-row cost)
+    // sf1, and re-measured in r12 (banded-frame checkpoint: q_embed_lsh
+    // 2.21→1.87 but q_embed_lsh_recall 1.56→2.13, net LOSS — the initial
+    // explain shows two full signature subtrees, but AQE's runtime stage
+    // reuse dedups them, so the checkpoint only adds a materialization
+    // round trip; contrast lshScoredCandidates, whose signature build
+    // dominates per-row cost)
     val withBands = q.select(col("vec_id") +: col("embedding") +: dots: _*)
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until nBands).map { b =>

@@ -214,7 +214,12 @@ object Text {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Sources.documents(spark, dir)
-    val n = d.count() // one tiny job; the corpus row count is a scalar broadcast
+    // r12 opt (guide §5): N rides the dataflow as a broadcast 1-row
+    // aggregate (the q_semantic_dedup kDf pattern) instead of a separate
+    // count() job — at 100 TB that job is its own full corpus pass. The
+    // score tree is unchanged: count→double is the same value the
+    // collected literal carried, in the same log(N/df) expression.
+    val nDf = d.agg(count(lit(1)).cast("double").as("n_docs"))
     // ONE explode, one shuffle to (doc, term) grain; tf and df are then
     // cheap rollups of the same frame — no second explode, no distinct
     // expansion ((doc_id, term) is already unique at this grain).
@@ -226,8 +231,9 @@ object Text {
     val tf = perDoc.groupBy(col("lang"), col("term")).agg(sum(col("c")).as("tf"))
     val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDf))
       .select(col("lang"), col("term"),
-              round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+              round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
     // two-phase top-5 per lang (Rank.topK) — same reason as q_lm_score:
     // the (lang, term) grain grows with the vocab, lang has 5 values
     Rank.topK(scored, Seq("lang"), Seq(col("score").desc, col("term")), 5, "rn")

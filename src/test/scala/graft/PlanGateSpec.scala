@@ -49,7 +49,8 @@ class PlanGateSpec extends AnyFunSuite with SparkFixture {
     "q_kruskal_wallis",  // 1-row moments × broadcast(1-row tie correction)
     "q_growth_accounting", // churn-week frame × broadcast(1-row max week)
     "q_l28_histogram",   // (user, day) census × broadcast(1-row min day)
-    "q_cusum"            // daily census × broadcast(1-row n/T totals)
+    "q_cusum",           // daily census × broadcast(1-row n/T totals)
+    "q_tfidf_topterms"   // (lang, term) tf×df frame × broadcast(1-row corpus N)
   )
 
   /** A lineitem ReadSchema carrying join keys AND money AND date columns
