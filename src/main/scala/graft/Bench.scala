@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r12 measured negative: spark.sql.join.preferSortMergeJoin=false
+      // (guide §9's shuffled-hash suggestion) benched 180.3 s vs 161.5 s
+      // for the identical tree in adjacent full-suite runs — no key
+      // improved beyond the noise band while several join-heavy keys
+      // regressed; reverted to the engine default (sort-merge).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed steady-state warm-up: one full pass over every query first —

@@ -517,7 +517,7 @@ object Analytics {
       .join(Sources.customer(spark, dir)
               .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")),
             Seq("o_custkey"))
-      .localCheckpoint() // consumed by 3 censuses + 3 rank joins (q_kmeans pattern)
+      .localCheckpoint(eager = false) // consumed by 3 censuses + 3 rank joins (lazy r12 — the grid probe materializes)
     // equi-depth grids probed from the checkpointed frame — all three
     // metrics in ONE 1-row aggregate job (Rank.gridsFor, r12 opt), not
     // hard-coded: a domain or mass-shape shift re-sizes the grid instead
@@ -710,7 +710,7 @@ object Analytics {
       .filter(col("us") >= col("tv"))
       .groupBy(col("user_id"), col("tv")).agg(min(col("us")).as("tp"))
     val d = tp.select(col("user_id"), expr("(tp - tv) div 1000000").as("sec"))
-      .localCheckpoint() // grid probe + rank + stats share the two joins' work
+      .localCheckpoint(eager = false) // grid probe + rank + stats share the two joins' work (lazy r12)
     val rk = Rank.rankExact(d.withColumn("__all", lit(0)), "__all",
       col("sec"), col("user_id"), grid = Rank.gridFor(d, col("sec")),
       desc = false, out = "rk")

@@ -64,10 +64,10 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .dropDuplicates("src", "dst")
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: round 1 materializes, later rounds reuse
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -80,7 +80,9 @@ object Graph {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
                 least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
+        // lazy (r12): the changed-count below is the materializing action,
+        // so the eager form paid a separate checkpoint job per round
+        .localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -135,11 +137,11 @@ object Graph {
       // partitioned by src for every round's join AND the outdeg census
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
-      .localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: the single pipelined rank job materializes all three
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct() // distinct ⇒ already hash-partitioned by id
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
       val contribs = e
@@ -183,7 +185,7 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: the one 3-hop job materializes it
     var visited = Seq((src, 0)).toDF("id", "hop")
     var frontier = visited.select(col("id"))
     var h = 0
@@ -196,7 +198,12 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint()
+        // LAZY checkpoint (r12): still truncates lineage and caches the
+        // level's blocks at first compute — `next` is referenced twice
+        // (visited union + next frontier) and materializes once — but
+        // without an eager per-level job barrier: the whole 3-hop
+        // expansion runs as one job at the final action.
+        .localCheckpoint(eager = false)
       visited = visited.union(next)
       frontier = next.select(col("id"))
     }
@@ -254,7 +261,9 @@ object Graph {
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .filter(col("u") < col("v"))
-      .localCheckpoint() // referenced by degrees, orientation, and the closing semi-join
+      // lazy (r12): all references sit in ONE final job — blocks cache at
+      // first compute, no separate materialization job
+      .localCheckpoint(eager = false) // referenced by degrees, orientation, and the closing semi-join
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -264,7 +273,7 @@ object Graph {
     val oriented = withDeg.select(
       when(lowerFirst, col("u")).otherwise(col("v")).as("src"),
       when(lowerFirst, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint() // joined with itself for wedges
+      .localCheckpoint(eager = false) // joined with itself for wedges (lazy, r12)
     val wedges = oriented.as("w1")
       .join(oriented.as("w2"), col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
       .select(least(col("w1.dst"), col("w2.dst")).as("u"),
@@ -368,7 +377,7 @@ object Graph {
     */
   def assortativityQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = coOrderEdges(spark, dir)
-      .localCheckpoint() // consumed by the degree census + the edge join
+      .localCheckpoint(eager = false) // consumed by the degree census + the edge join (lazy, r12)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val j = e
@@ -407,7 +416,7 @@ object Graph {
   def jaccardNeighborsQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
     val e = coOrderEdges(spark, dir)
-      .localCheckpoint() // referenced by degrees, orientation, and the edge joins
+      .localCheckpoint(eager = false) // referenced by degrees, orientation, and the edge joins (lazy, r12)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -417,7 +426,7 @@ object Graph {
     val oriented = withDeg.select(
       when(lowerFirst, col("u")).otherwise(col("v")).as("src"),
       when(lowerFirst, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint() // joined with itself for wedges
+      .localCheckpoint(eager = false) // joined with itself for wedges (lazy, r12)
     val wedges = oriented.as("w1")
       .join(oriented.as("w2"), col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
       .select(col("w1.src").as("w"),
@@ -461,7 +470,7 @@ object Graph {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .repartition(col("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: the one pipelined LPA job materializes it
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     (1 to rounds).foreach { _ =>

@@ -320,7 +320,7 @@ object Pipeline {
     val q = Text.qualityScore(Sources.documents(spark, dir), "text")
       .select(col("doc_id"), col("quality"))
       .withColumn("__all", lit(0))
-      .localCheckpoint() // the regex-heavy score runs ONCE, not 3x (probe + census + local)
+      .localCheckpoint(eager = false) // the regex-heavy score runs ONCE, not 3x (probe + census + local; lazy r12 — the grid probe is the materializing action)
     val d = Rank.ntileExact(q, "__all", col("quality"), col("doc_id"),
       k = 10, grid = Rank.gridFor(q, col("quality")), desc = false, out = "decile")
     d.groupBy(col("decile").cast("long").as("decile"))

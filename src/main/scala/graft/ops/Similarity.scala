@@ -554,7 +554,7 @@ object Similarity {
   def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = Sources.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint() // consumed by init + both assignment rounds
+      .localCheckpoint(eager = false) // consumed by init + both assignment rounds (lazy r12)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
     // round 0 IS the coarse assignment — one ranking rule for every
     // assignment in this file (a determinism fix there applies here too)
@@ -603,14 +603,14 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
     val assign = clusterAssignWith(e0, cents)
       .select(col("centroid_id").as("cl"), col("vec_id"), col("embedding"))
-      .localCheckpoint() // both sides of the pair join + the member rollup
+      .localCheckpoint(eager = false) // both sides of the pair join + the member rollup (lazy r12)
     val pairs = assign.select(col("cl"), col("vec_id").as("a"), col("embedding").as("ea"))
       .join(assign.select(col("cl"), col("vec_id").as("b"), col("embedding").as("eb")), Seq("cl"))
       .filter(col("a") < col("b"))
       .select(col("cl"), col("a"), col("b"),
               r6(cosineNative(col("ea"), col("eb"))).as("sim"))
       .filter(col("sim") >= 0.3)
-      .localCheckpoint() // pair rollup + distinct-member rollup
+      .localCheckpoint(eager = false) // pair rollup + distinct-member rollup (lazy r12)
     val perCluster = pairs.groupBy(col("cl"))
       .agg(count(lit(1)).as("n_pairs"), max(col("sim")).as("max_sim"))
     val members = pairs.select(col("cl"), explode(array(col("a"), col("b"))).as("vec"))

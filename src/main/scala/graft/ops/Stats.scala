@@ -329,7 +329,7 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
-      .localCheckpoint() // consumed by census + rank join (q_kmeans pattern)
+      .localCheckpoint(eager = false) // consumed by census + rank join (lazy r12 — the grid probe materializes)
     Rank.rankExact(spend, "c_mktsegment", col("cents"), col("c_custkey"),
         Rank.gridFor(spend, col("cents")), desc = false, "i")
       .groupBy(col("c_mktsegment"))
@@ -361,7 +361,7 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg((sum(graft.Det.money(col("o_totalprice"))) * 100).cast("long").as("cents"))
-      .localCheckpoint() // consumed by census + rank join (q_kmeans pattern)
+      .localCheckpoint(eager = false) // consumed by census + rank join (lazy r12 — the grid probe materializes)
     Rank.rankCumsum(spend, "c_mktsegment", col("cents"), col("c_custkey"),
         col("cents"), Rank.gridFor(spend, col("cents")), desc = true,
         "rk", "cum", "n_customers", "total")
@@ -475,7 +475,7 @@ object Stats {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("x"), sum(cents(col("o_totalprice"))).as("y"))
       .withColumn("__all", lit(0))
-      .localCheckpoint() // consumed by 2 probes + 2 censuses + 2 rank joins
+      .localCheckpoint(eager = false) // consumed by the grid probe + 2 censuses + 2 rank joins (lazy r12)
     // equi-depth grids PROBED from the checkpointed frame — BOTH metrics
     // in one 1-row aggregate job (Rank.gridsFor, r12 opt), not hard-coded
     // domain constants: the grid re-sizes itself under any
@@ -621,7 +621,7 @@ object Stats {
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
               cents(col("c_acctbal")).as("v"))
       .withColumn("__all", lit(0))
-      .localCheckpoint() // grid probe + rank census/local + tie census share ONE scan
+      .localCheckpoint(eager = false) // grid probe + rank census/local + tie census share ONE scan (lazy r12)
     val rk = Rank.rankExact(v, "__all", col("v"), col("c_custkey"),
       grid = Rank.gridFor(v, col("v")), desc = false, out = "rk")
     // doubled average rank per tie group: min+max of the run (exact, no

@@ -149,7 +149,7 @@ object Text {
       .select(filter(tokens(col("text")), t => t =!= "").as("t"))
     val uni = toks.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // joined twice (a-side and b-side) + totalled
+      .localCheckpoint(eager = false) // joined twice (a-side and b-side) + totalled (lazy r12)
     val bi = toks
       .select(explode(arrays_zip(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
@@ -392,7 +392,7 @@ object Text {
       // runs twice
       .select(col("doc_id"), MinHash.md5SignatureFromTextNative(col("text"), 3, k).as("sig"))
       .filter(col("sig").isNotNull)
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: both self-join sides sit in one job
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
           struct(b.as("band_idx"),
@@ -925,7 +925,7 @@ object Text {
         if (collapse) min(col("id")).over(Window.partitionBy(xxhash64(col("hs"))))
         else col("id"))
       .select(col("id"), col("cid"), col("hs"), size(col("hs")).as("sz"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: every pair stage sits in the final job
     val mem = tagged.select(col("cid"), col("id"))
     // distinct-content corpus: every pair stage below runs at this grain
     val docs = tagged.filter(col("id") === col("cid"))
@@ -1187,7 +1187,7 @@ object Text {
     var vocab = words
       .select(concat_ws(" ",
         filter(split(col("w"), ""), x => length(x) > 0)).as("s"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: round 1's argmax head() materializes it
     val merges = (1 to rounds).map { r =>
       val tk = split(col("s"), " ")
       // sequence(1, 0) DESCENDS in Spark (it never yields empty), so a
@@ -1207,7 +1207,7 @@ object Text {
           replace(concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
                   lit(s" $a  $b "), lit(s" $a$b ")),
           " +", " ")).as("s"), col("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // lazy r12: the next round's argmax materializes it
       Row(r, a, b, a + b, n)
     }
     spark.createDataFrame(

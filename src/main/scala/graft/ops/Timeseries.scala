@@ -376,7 +376,7 @@ object Timeseries {
               datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
       .groupBy(col("event_type"), col("epoch_day"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // pair sides + n + tie census share ONE scan
+      .localCheckpoint(eager = false) // pair sides + n + tie census share ONE scan (lazy r12)
     val a = daily.select(col("event_type"), col("epoch_day").as("da"), col("cnt").as("ca"))
     val b = daily.select(col("event_type"), col("epoch_day").as("db"), col("cnt").as("cb"))
     val s = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
@@ -677,7 +677,7 @@ object Timeseries {
               datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("epoch_day"))
       .groupBy(col("event_type"), col("epoch_day"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // trend frame + seasonal rollup share ONE scan
+      .localCheckpoint(eager = false) // trend frame + seasonal rollup share ONE scan (lazy r12)
     val w7 = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rowsBetween(-3, 3)
     val t = daily
@@ -729,7 +729,7 @@ object Timeseries {
       .agg(sum(col("delta")).as("delta"),
            count(when(col("delta") === 1L, 1)).as("starts"))
       .withColumn("hr", expr("us div 3600000000"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy r12: run + hour-total branches share one job
     val wHr = Window.partitionBy(col("event_type"), col("hr")).orderBy(col("us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = census.withColumn("run", sum(col("delta")).over(wHr))

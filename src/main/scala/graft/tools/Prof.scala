@@ -1,9 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Dev profiler: run one declared query against a data dir, print the
-  * warmed wall time and the formatted physical plan.
+  * warmed wall time, DETERMINISTIC structure counters (jobs / stages /
+  * tasks / shuffle bytes — immune to wall-clock noise, r12), and the
+  * formatted physical plan.
   *
   * Usage: runMain graft.tools.Prof <key> <sfDir> [cpus]
   */
@@ -21,9 +25,25 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(key)
     fn(spark, dir).count() // warm: JIT + codegen + footer caches
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val shufRead = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shufRead.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val n = fn(spark, dir).count()
-    println(f"[prof] $key: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // let the listener bus drain (private API in Spark 4)
+    println(f"[prof] $key: $wall%.3f s, $n rows, jobs=${jobs.get}, " +
+      f"stages=${stages.get}, tasks=${tasks.get}, shuffleReadMB=${shufRead.get / 1e6}%.1f")
     fn(spark, dir).explain("formatted")
     spark.stop()
   }
