@@ -442,10 +442,12 @@ object Relational {
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
     // materialize the projected join side ONCE: UnionLoop re-executes the
     // recursive step per level, and without this each of the ~log2(N)
-    // levels would re-scan the parquet file
+    // levels would re-scan the parquet file (lazy r12: level 1's job
+    // materializes the blocks, levels 2..log2(N) reuse them — same
+    // sharing, one fewer up-front job)
     Sources.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .createOrReplaceTempView("rc_customer")
     spark.sql(
       """WITH RECURSIVE h(ck, depth, bal) AS (

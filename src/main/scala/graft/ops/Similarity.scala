@@ -232,22 +232,33 @@ object Similarity {
     // reuse dedups them, so the checkpoint only adds a materialization
     // round trip; contrast lshScoredCandidates, whose signature build
     // dominates per-row cost)
+    // r12 opt (guide §2.3/§8 — decide with small rows, move payloads
+    // once): the banding self-join shuffles ONLY (vec_id, band_idx,
+    // band_val) — the embedding no longer rides the 8-way band explode
+    // through both exchange sides (measured 59 MB shuffle read → ids
+    // only); the exact-rescore embeddings re-attach to the DEDUPED pair
+    // list by two id equi-joins against the plain (vec_id, embedding)
+    // projection, which the planner can broadcast or hash-join at
+    // output-pair grain. Same pairs, same cosine inputs ⇒ same sims.
     val withBands = q.select(col("vec_id") +: col("embedding") +: dots: _*)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band_idx"),
             (0 until bandBits).map(i =>
               when(col(s"__dot${b * bandBits + i}") >= 0, lit(1L << i))
                 .otherwise(lit(0L))).reduce(_ + _).as("band_val"))
         }: _*)).as("b"))
-      .select(col("vec_id"), col("embedding"), col("b.band_idx"), col("b.band_val"))
-    withBands.as("x").join(withBands.as("y"),
+      .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
+    val pairs = withBands.as("x").join(withBands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-              col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val embs = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(embs.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
               r6(cosineNative(col("ea"), col("eb"))).as("sim"))
   }
