@@ -194,9 +194,18 @@ object Graph {
       // only the new level materializes: `visited` is a union chain over
       // already-checkpointed levels, so re-deriving it each round costs a
       // union of cached blocks, not a recomputation (3 rounds deep)
-      val next = sym.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+      // r13 (guide §3.1/§3.2, VERDICT r12 #9): BROADCAST the frontier and
+      // the visited set — both are id-only frames bounded by the k-hop
+      // neighborhood, orders of magnitude smaller than the adjacency. The
+      // unhinted SMJ re-SORTED the src-partitioned adjacency every level
+      // and exchanged the frontier; as broadcast hash joins the adjacency
+      // is never sorted or re-shuffled, and the anti-join loses its
+      // exchange too. (For frontiers beyond broadcast size — web-graph
+      // BFS, not this bounded-radius query — drop the hints and the
+      // partitioned SMJ form returns.)
+      val next = sym.join(broadcast(frontier.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(broadcast(visited), Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
         // LAZY checkpoint (r12): still truncates lineage and caches the
         // level's blocks at first compute — `next` is referenced twice
@@ -349,7 +358,13 @@ object Graph {
     */
   def degreeDistQuery(spark: SparkSession, dir: String): DataFrame = {
     val edges = coOrderEdges(spark, dir)
-    edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+    // r13 (guide §2.4/§2.3, VERDICT r12 #4): endpoint census as ONE
+    // explode(array(u, v)) per edge row — the old unionAll of two
+    // different projections evaluated the whole coOrderEdges
+    // pair-generation subtree (collect_set + HOF pair expansion +
+    // (u,v)-count) TWICE: the branches are distinct plans, so exchange
+    // reuse never dedups them. Same multiset of endpoints, one subtree.
+    edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"), sum(col("n")).as("sum_id"))
       .orderBy(col("deg"))
@@ -456,6 +471,13 @@ object Graph {
     * Each round is ONE hash join (edges ⋈ labels) + one aggregate + one
     * per-node argmax window — all partitioned by node id; lineage is cut
     * per round (the CC pattern).
+    *
+    * Node ids must be SIGNED NUMERIC (and not Long.MinValue): the argmax
+    * tie-break negates the label (max of (cnt, −label) = highest count,
+    * ties to smallest label), which has no meaning for string keys and
+    * would overflow on Long.MinValue (ADVICE r12). Every caller maps to
+    * long ids first; for orderable non-numeric ids use the row_number
+    * window form this replaced.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
@@ -467,8 +489,15 @@ object Graph {
     // the previous labels exactly ONCE, so the composed plan is linear in
     // `rounds` — the q_pagerank argument; the old per-round eager
     // localCheckpoint paid a materialization job every round for nothing).
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // r13 (guide §2.4, the CC/BFS explode-symmetrize trick): ONE explode
+    // per edge row instead of unionAll of two projections — the upstream
+    // edge plan (for q_communities the full coOrderEdges pair-generation)
+    // is evaluated ONCE into the materialized adjacency, not twice.
+    val und = edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .localCheckpoint(eager = false) // lazy r12: the one pipelined LPA job materializes it
     var labels = und.select(col("src").as("id")).distinct()

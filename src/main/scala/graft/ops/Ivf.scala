@@ -54,6 +54,8 @@ object Ivf {
         (i, r.getSeq[Float](0).map(_.toDouble).toArray)
       }
     // dim from the init sample itself — no separate 1-row probe job (r12)
+    require(centroids.nonEmpty,
+      "Ivf.buildCentroids: corpus is empty — cannot infer dim or sample init centroids")
     val dim = centroids.head._2.length
     (1 to iters).foreach { _ =>
       // single-pass per-cell means: dim is known, so the per-dimension

@@ -75,26 +75,41 @@ object Pipeline {
     * BOTH engines; the exact integer form alone would keep it).
     */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
-    val gated = Text.qualityScore(Sources.documents(spark, dir), "text")
+    // r13 restructure (guide §8 "decide with small rows" / §2.3, VERDICT
+    // r12 #1): the r12 form used the WIDE dedup survivor frame (text
+    // riding along) on BOTH branches — the pair miner and the final
+    // anti-join — so the scan + quality regexes + md5 window subtree
+    // evaluated twice (a wide-text checkpoint measured WORSE in r12:
+    // 4.63 → 6.29 s steady-state, kept as the negative result). Instead
+    // materialize only the NARROW decision frame (doc_id, lang, n_chars —
+    // everything downstream of the keep-decision needs, ~20 B/row, no
+    // text): the regexes and the md5 window run ONCE into it, the miner
+    // re-attaches text by ONE id semi-join against the raw scan (text
+    // moves once, never through the decision shuffles), and the final
+    // rollup never touches text at all.
+    val docs = Sources.documents(spark, dir)
+    val dec = Text.qualityScore(docs, "text")
       .filter(col("quality") >= 0.3)
-    // NO checkpoint here (r12, measured): materializing the survivors
-    // once looks like it should pay for the anti-join branch's duplicate
-    // scan + quality regexes + md5 window, and a cold single-key probe
-    // agreed (6.0 → 4.4 s) — but in the full-suite steady state the wide
-    // text-carrying materialization made the key SLOWER (4.63 → 6.29 s
-    // across two full runs); the duplicate subtree's scan prunes columns
-    // and shares AQE-reused exchanges, so recompute is the cheaper side.
-    val ded = Text.exactDedup(gated, "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("__h"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .localCheckpoint(eager = false) // lazy: the final job materializes it once
+    // re-attach text to the survivors for the miner: ids-only semi-join —
+    // the raw text column crosses exactly one join, into the shingler
+    val dedText = docs.select(col("doc_id"), col("text"))
+      .join(dec.select(col("doc_id")), Seq("doc_id"), "left_semi")
     // collapse=false: the md5 dedup ahead already collapsed verbatim
     // duplicates, so the miner's content-collapse pass would be a no-op
     // shuffle + two no-op joins here; pairs whose shingle-SETS still
     // coincide (different text, same set) are found by the miner itself
     // either way — semantics identical, proven by the shared gate hashes
-    val dupIds = Text.prefixJaccardPairs(ded, "doc_id", "text", 3, t = 0.499999,
+    val dupIds = Text.prefixJaccardPairs(dedText, "doc_id", "text", 3, t = 0.499999,
         collapse = false)
       .filter(col("jaccard") >= 0.5) // jaccard is already round-6
       .select(col("id_b").as("doc_id")).distinct()
-    ded.join(dupIds, Seq("doc_id"), "left_anti")
+    dec.join(dupIds, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))

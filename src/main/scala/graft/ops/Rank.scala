@@ -124,6 +124,7 @@ object Rank {
     */
   def gridsFor(df: DataFrame, metrics: Seq[Column], targetChunks: Int = 256): Seq[Grid] = {
     require(targetChunks > 1)
+    require(metrics.nonEmpty, "Rank.gridsFor: need at least one metric column")
     val pcts = (1 until targetChunks).map(i => i.toDouble / targetChunks)
     // Fractional metrics probe (and chunk) in DOUBLE: the long cast would
     // truncate a [0,1) score to 0 and collapse the grid to one chunk —

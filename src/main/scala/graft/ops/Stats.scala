@@ -133,15 +133,26 @@ object Stats {
     */
   def marketBasket(spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.r6
-    val baskets = Sources.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = baskets.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val itemCounts = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    // per-order pair explosion, map-side: sorted distinct parts -> (a<b) pairs
-    val pairs = baskets
+    // r13 (guide §2.3/§2.4, VERDICT r12 #6): ONE exchange over the fact.
+    // The r12 form shuffled lineitem THREE times — a (orderkey, partkey)
+    // distinct, then groupBy(orderkey) for baskets, plus groupBy(partkey)
+    // for item counts (exchange reuse caught only identical subtrees).
+    // collect_set already dedups, so the distinct pre-pass was redundant:
+    // aggregate straight to the per-order sorted part list (map-side
+    // partial collect_set shrinks the shuffle too), lazily checkpoint
+    // that small basket frame, and derive EVERYTHING from it — n_orders
+    // is its row count (1-row agg), item counts re-explode it (per-order
+    // sets ⇒ count per part = #orders containing it), pairs as before.
+    val perOrder = Sources.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .localCheckpoint(eager = false) // 3 consumers; the one final job materializes it
+    val nOrders = perOrder.agg(count(lit(1)).as("n_orders"))
+    val itemCounts = perOrder.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    // per-order pair explosion, map-side: sorted distinct parts -> (a<b) pairs
+    val pairs = perOrder
       .select(explode(flatten(transform(col("parts"), (x, i) =>
         transform(slice(col("parts"), i + lit(2), size(col("parts"))),
                   y => struct(x.as("a"), y.as("b")))))).as("p"))

@@ -41,7 +41,16 @@ object Prof {
     val t0 = System.nanoTime()
     val n = fn(spark, dir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // let the listener bus drain (private API in Spark 4)
+    // let the async listener bus drain: poll until the counters are stable
+    // across two 100 ms reads (a single fixed sleep undercounted on a
+    // loaded machine — ADVICE r12), bounded at 5 s
+    var prev = -1L
+    var spins = 0
+    while (prev != jobs.get.toLong + stages.get + tasks.get + shufRead.get && spins < 50) {
+      prev = jobs.get.toLong + stages.get + tasks.get + shufRead.get
+      Thread.sleep(100)
+      spins += 1
+    }
     println(f"[prof] $key: $wall%.3f s, $n rows, jobs=${jobs.get}, " +
       f"stages=${stages.get}, tasks=${tasks.get}, shuffleReadMB=${shufRead.get / 1e6}%.1f")
     fn(spark, dir).explain("formatted")
